@@ -1,0 +1,26 @@
+"""PySpark-native near-duplicate detection and clustering engine.
+
+A from-scratch, idiomatic-Spark re-imagination of the reference
+(SelfSend/email-sanitizer-api, /root/reference) ``validate → normalize →
+dedup → prune`` stages as pure batch DataFrame transforms over a
+``code_files(repo, path, commit, lang, content)`` table:
+
+- S1 validate   — CASE-cascade verdicts (cheap→expensive, first-failure
+  codes; mirrors reference src/routes/email.rs:195-271 stage ordering)
+- S2 normalize  — CRLF/trailing-ws/NFC canonicalization pre-hash
+  (mirrors readme.md:38 "Normalize Unicode to NFC form to avoid duplicates")
+- S3 exact      — sha256 content keys, groupBy collapse (mirrors the
+  reference's per-key memoization dedup, src/routes/email.rs:81-117)
+- S4/S5 minhash+LSH, S6 simhash, S7 suffix-array — near-dup candidate paths
+- S8 verify     — Jaccard-estimate filter (pure column math)
+- S9 cluster    — distributed connected components (iterative hash-join
+  label propagation)
+- S10 prune     — deterministic canonical keeper per cluster (window)
+
+All heavy lifting is DataFrame/Catalyst-native; Python appears only inside
+Arrow-vectorized pandas UDFs (never per-row ``F.udf``).
+"""
+
+__version__ = "0.1.0"
+
+from email_sanitizer_api_spark.config import DedupConfig  # noqa: F401

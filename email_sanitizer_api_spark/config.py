@@ -1,0 +1,79 @@
+"""Pinned pipeline configuration.
+
+One dataclass holds every knob that affects dedup *results* (shingling,
+signature width, banding, thresholds) so the exact config can be versioned
+into the checkpoint manifest and reproduced bit-for-bit — the "recall parity
+at same config" requirement (SURVEY.md §7.4). Defaults follow the classic
+LSH S-curve: 128 hashes in 16 bands × 8 rows ⇒ collision threshold
+t ≈ (1/16)^(1/8) ≈ 0.707, matched to ``jaccard_threshold`` 0.7.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- validate (S1) ---
+    max_content_bytes: int = 1_048_576  # 1 MiB file-size cap (octet_length)
+    # reference analog: 254-octet total / 64-octet local caps use *byte*
+    # lengths (reference src/handlers/validation/syntax.rs:26,56)
+
+    # --- shingling / MinHash (S4) ---
+    shingle_k: int = 5          # character k-grams over normalized content
+    num_hashes: int = 128       # signature width
+    seed: int = 42              # hash-family seed (determinism)
+
+    # --- LSH banding (S5) ---
+    num_bands: int = 16
+    rows_per_band: int = 8
+    # buckets with <= this many members generate all pairs; bigger (hot)
+    # buckets fall back to star pairing around the min-id representative —
+    # preserves bucket connectivity without O(n^2) blowup on license-header
+    # / vendored-file bands (north_rule's named skew case)
+    max_bucket_allpairs: int = 64
+
+    # --- SimHash (S6) ---
+    simhash_bits: int = 64
+    simhash_chunks: int = 4      # pigeonhole: hamming<=3 ⇒ one chunk equal
+    simhash_max_hamming: int = 3
+
+    # --- suffix-array substring pass (S7) ---
+    # minimum shared-substring length to count as a substring duplicate.
+    # Deliberately larger than common boilerplate (license headers run
+    # ~500-700 bytes) so shared headers alone don't chain unrelated files;
+    # vendored/embedded file copies are far larger and still caught.
+    suffix_min_len: int = 2048           # min shared-substring length
+    suffix_group_max_bytes: int = 4_000_000  # per-group concat cap
+
+    # --- verify (S8) ---
+    jaccard_threshold: float = 0.70
+
+    # --- clustering (S9) ---
+    cc_max_iterations: int = 50
+    cc_checkpoint_every: int = 5
+
+    # --- execution ---
+    shuffle_partitions: int = 64
+    arrow_batch_rows: int = 2_000
+
+    def validate(self) -> None:
+        if self.num_bands * self.rows_per_band != self.num_hashes:
+            raise ValueError(
+                f"num_bands*rows_per_band ({self.num_bands}*{self.rows_per_band}) "
+                f"must equal num_hashes ({self.num_hashes})"
+            )
+        if self.simhash_bits % self.simhash_chunks != 0:
+            raise ValueError("simhash_bits must be divisible by simhash_chunks")
+        if self.simhash_max_hamming >= self.simhash_chunks:
+            raise ValueError(
+                "pigeonhole needs simhash_max_hamming < simhash_chunks"
+            )
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+DEFAULT_CONFIG = DedupConfig()
+DEFAULT_CONFIG.validate()

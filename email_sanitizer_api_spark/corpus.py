@@ -1,0 +1,191 @@
+"""Deterministic synthetic source-code corpus (the ``code_files`` table).
+
+Schema per BASELINE.json input_hint:
+    repo:string, path:string, commit:string, lang:string, content:string
+
+Plants (FIXTURES.md §1):
+- exact duplicates under different (repo, path)           → recall-1.0 floor
+- near duplicates via k random line edits                 → LSH boundary probes
+- a shared license header on a configurable fraction      → hot-band skew
+- a vendored subtree copied across many repos             → hot-band skew
+- invalid rows (empty, NUL-byte binary sniff, oversize)   → validate stage
+- normalization probes (CRLF, trailing-ws, NFD variants)  → must collapse
+
+Everything derives from one numpy ``default_rng(seed)`` — same seed, same
+corpus, byte for byte. The generator is pure-local (pandas out) so tests can
+cross-check with pandas/duckdb brute force.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+LANGS = ["python", "java", "c", "go", "markdown"]
+EXT = {"python": "py", "java": "java", "c": "c", "go": "go", "markdown": "md"}
+
+_KEYWORDS = {
+    "python": ["def", "return", "import", "class", "for", "if", "else", "with"],
+    "java": ["public", "class", "static", "void", "return", "import", "new"],
+    "c": ["int", "return", "void", "struct", "static", "include", "for"],
+    "go": ["func", "return", "package", "import", "var", "type", "range"],
+    "markdown": ["#", "##", "the", "a", "of", "and", "to", "in"],
+}
+
+LICENSE_HEADER = (
+    "// Licensed under the Apache License, Version 2.0 (the \"License\");\n"
+    "// you may not use this file except in compliance with the License.\n"
+    "// You may obtain a copy of the License at\n"
+    "//     http://www.apache.org/licenses/LICENSE-2.0\n"
+    "// Unless required by applicable law or agreed to in writing, software\n"
+    "// distributed under the License is distributed on an \"AS IS\" BASIS,\n"
+    "// WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.\n"
+)
+
+
+@dataclass
+class CorpusSpec:
+    n_base: int = 200            # distinct base files
+    n_repos: int = 20
+    exact_dup_rate: float = 0.15  # extra exact copies per base file
+    near_dup_rate: float = 0.20   # extra near copies per base file
+    license_fraction: float = 0.25
+    vendored_files: int = 5       # files in the vendored subtree
+    vendored_repos: int = 8       # how many repos vendor it
+    invalid_rows: int = 12
+    norm_probe_rate: float = 0.05
+    lines_lo: int = 20
+    lines_hi: int = 80
+    seed: int = 42
+
+
+def _ident(rng: np.random.Generator) -> str:
+    syll = ["foo", "bar", "baz", "qux", "calc", "parse", "load", "emit",
+            "node", "item", "util", "http", "json", "hash", "tree", "list"]
+    n = rng.integers(1, 3) + 1
+    return "_".join(syll[i] for i in rng.integers(0, len(syll), n))
+
+
+def _gen_file(rng: np.random.Generator, lang: str, n_lines: int) -> str:
+    kw = _KEYWORDS[lang]
+    lines = []
+    for _ in range(n_lines):
+        k = kw[rng.integers(0, len(kw))]
+        a, b = _ident(rng), _ident(rng)
+        num = int(rng.integers(0, 10_000))
+        style = rng.integers(0, 4)
+        if style == 0:
+            lines.append(f"{k} {a}({b}, x{num}):")
+        elif style == 1:
+            lines.append(f"    {a} = {b} + {num}")
+        elif style == 2:
+            lines.append(f"{k} {a} = compute_{b}({num})")
+        else:
+            lines.append(f"    # {k} {a} {b} {num}")
+    return "\n".join(lines) + "\n"
+
+
+def _edit_lines(rng: np.random.Generator, content: str, n_edits: int) -> str:
+    """Near-dup: replace n random lines with fresh ones (identifier-rename-ish)."""
+    lines = content.split("\n")
+    if len(lines) <= 2:
+        return content + f"\n// edit {int(rng.integers(0, 1 << 30))}\n"
+    for _ in range(n_edits):
+        i = int(rng.integers(0, len(lines) - 1))
+        lines[i] = f"    edited_{_ident(rng)} = {int(rng.integers(0, 9999))}"
+    return "\n".join(lines)
+
+
+def synthesize_code_files(spec: CorpusSpec | None = None) -> pd.DataFrame:
+    spec = spec or CorpusSpec()
+    rng = np.random.default_rng(spec.seed)
+    repos = [f"org{i % 7}/repo{i}" for i in range(spec.n_repos)]
+    commits = {r: "".join(rng.choice(list("0123456789abcdef"), 40)) for r in repos}
+
+    rows: list[tuple[str, str, str, str, str]] = []
+
+    def add(repo: str, path: str, lang: str, content: str) -> None:
+        rows.append((repo, path, commits[repo], lang, content))
+
+    # base files
+    bases: list[tuple[str, str]] = []  # (lang, content)
+    for i in range(spec.n_base):
+        lang = LANGS[int(rng.integers(0, len(LANGS)))]
+        n_lines = int(rng.integers(spec.lines_lo, spec.lines_hi))
+        body = _gen_file(rng, lang, n_lines)
+        if rng.random() < spec.license_fraction:
+            body = LICENSE_HEADER + "\n" + body
+        bases.append((lang, body))
+        repo = repos[int(rng.integers(0, len(repos)))]
+        add(repo, f"src/mod{i}/file_{i}.{EXT[lang]}", lang, body)
+
+    # exact duplicates (different repo/path, same bytes)
+    for i, (lang, body) in enumerate(bases):
+        if rng.random() < spec.exact_dup_rate:
+            repo = repos[int(rng.integers(0, len(repos)))]
+            add(repo, f"copy/of_{i}.{EXT[lang]}", lang, body)
+
+    # near duplicates: edits sized to land just above / just below tau
+    for i, (lang, body) in enumerate(bases):
+        if rng.random() < spec.near_dup_rate:
+            n_lines = body.count("\n") + 1
+            # few edits → high Jaccard (above tau); many → below
+            heavy = rng.random() < 0.3
+            n_edits = max(1, int(n_lines * (0.45 if heavy else 0.05)))
+            repo = repos[int(rng.integers(0, len(repos)))]
+            add(repo, f"near/of_{i}.{EXT[lang]}", lang,
+                _edit_lines(rng, body, n_edits))
+
+    # vendored subtree copied into many repos (hot-band skew)
+    vendored = [("c", _gen_file(rng, "c", 40)) for _ in range(spec.vendored_files)]
+    for r in range(min(spec.vendored_repos, len(repos))):
+        for j, (lang, body) in enumerate(vendored):
+            add(repos[r], f"vendor/lib/v_{j}.{EXT[lang]}", lang, body)
+
+    # normalization probes: CRLF / trailing-ws / NFD variants of base files
+    n_probes = max(1, int(spec.n_base * spec.norm_probe_rate))
+    probe_ids = rng.choice(len(bases), size=n_probes, replace=False)
+    for pi, i in enumerate(probe_ids):
+        lang, body = bases[int(i)]
+        variant = pi % 3
+        if variant == 0:
+            mutated = body.replace("\n", "\r\n")
+        elif variant == 1:
+            mutated = body.replace("\n", "   \n")
+        else:
+            mutated = unicodedata.normalize(
+                "NFD", "# café naïve résumé\n" + body)
+        repo = repos[int(rng.integers(0, len(repos)))]
+        add(repo, f"probe/p_{pi}.{EXT[lang]}", lang, mutated)
+
+    # invalid rows for the validate stage
+    for i in range(spec.invalid_rows):
+        repo = repos[int(rng.integers(0, len(repos)))]
+        kind = i % 3
+        if kind == 0:
+            content = ""  # EMPTY
+        elif kind == 1:
+            content = "ELF\x00\x00\x01binary blob\x00\x7f"  # BINARY_CONTENT
+        else:
+            content = "x" * (2 * 1_048_576 // max(1, spec.invalid_rows))
+            # oversize only when cap small; tests pass explicit small cap
+        add(repo, f"bad/invalid_{i}.bin", "binary", content)
+
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    # a file identity must be unique on (repo, path, commit)
+    pdf = pdf.drop_duplicates(subset=["repo", "path", "commit"]).reset_index(drop=True)
+    return pdf
+
+
+def scaled_spec(n_base: int, seed: int = 42) -> CorpusSpec:
+    """Spec scaled to roughly n_base distinct files (bench helper)."""
+    return CorpusSpec(
+        n_base=n_base,
+        n_repos=max(10, n_base // 50),
+        vendored_repos=max(8, n_base // 100),
+        invalid_rows=max(6, n_base // 100),
+        seed=seed,
+    )

@@ -1,0 +1,21 @@
+from email_sanitizer_api_spark.operators.validate import validate_content
+from email_sanitizer_api_spark.operators.normalize import normalize_content
+from email_sanitizer_api_spark.operators.exact import exact_dedup
+from email_sanitizer_api_spark.operators.signatures import add_signatures
+from email_sanitizer_api_spark.operators.lsh import lsh_candidate_pairs
+from email_sanitizer_api_spark.operators.simhash import simhash_candidate_pairs
+from email_sanitizer_api_spark.operators.verify import verify_pairs
+from email_sanitizer_api_spark.operators.cluster import connected_components
+from email_sanitizer_api_spark.operators.prune import prune_keepers
+
+__all__ = [
+    "validate_content",
+    "normalize_content",
+    "exact_dedup",
+    "add_signatures",
+    "lsh_candidate_pairs",
+    "simhash_candidate_pairs",
+    "verify_pairs",
+    "connected_components",
+    "prune_keepers",
+]

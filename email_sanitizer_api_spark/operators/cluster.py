@@ -1,0 +1,67 @@
+"""S9 — connected components by iterative hash-join min-label propagation.
+
+SURVEY.md §2.7: Catalyst is DAG-only, so the one genuinely iterative step
+runs as a driver loop of joins — each iteration every vertex adopts the
+minimum label among itself and its neighbors; convergence in O(diameter)
+iterations (near-dup clusters are shallow). Lineage is truncated with
+``localCheckpoint`` every ``cc_checkpoint_every`` iterations, the same
+role the reference's job status transitions play for resumability
+(src/job_queue.rs:16-22 Pending→Processing→Completed).
+
+The loop-with-status shape mirrors the reference worker's
+poll→process→update loop (src/job_queue.rs:87-106, src/worker.rs:34-58).
+
+Labels are the (string) sha ids themselves — deterministic across runs and
+partitionings; cluster id = lexicographic min sha of the component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+
+
+def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+                         vertices: DataFrame | None = None) -> DataFrame:
+    """edges(a, b) → (id, cluster_id); singletons (vertices without edges)
+    keep cluster_id == id when ``vertices`` (single column ``id``) given."""
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    if vertices is not None:
+        nodes = nodes.unionByName(vertices.select("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+
+    for it in range(cfg.cc_max_iterations):
+        msgs = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        if (it + 1) % cfg.cc_checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels if (it + 1) % cfg.cc_checkpoint_every == 0 \
+            else new_labels.localCheckpoint(eager=False)
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {cfg.cc_max_iterations} iterations"
+        )
+    return labels.select("id", F.col("label").alias("cluster_id"))

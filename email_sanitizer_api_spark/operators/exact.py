@@ -1,0 +1,63 @@
+"""S3 — exact dedup via content sha256.
+
+The reference's core dedup primitive is "identical keys collapse to one
+evaluation": per-domain memoization (src/routes/email.rs:81-117) and
+per-email full-result memoization (src/graphql/email.rs:100-128). Engine
+analog: ``sha2(content_norm, 256)`` as the exact-dup key, groupBy collapse,
+and every downstream (expensive) near-dup stage runs on *distinct content
+representatives only* — reference optimization O3, typically the biggest
+cost saver on code corpora.
+
+sha256 itself reuses the reference's hashing choice (src/handlers/auth.rs:
+40-42 uses Sha256 for key hashing) and satisfies the per-row invariant
+"content sha256 equality vs reference" — F.sha2 returns the same hex
+digest as hashlib.sha256(content.encode()).hexdigest().
+
+Scale notes: the groupBy shuffles on a 64-hex-char key that is uniformly
+distributed by construction — no skew possible, partial aggregation
+(map-side combine) applies, and AQE coalesces the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_sha(df: DataFrame, content_col: str = "content_norm",
+             out_col: str = "content_sha256") -> DataFrame:
+    """Also keeps ``raw_sha256`` over the un-normalized bytes so the per-row
+    reference invariant (sha256 of original content) stays checkable."""
+    return df.withColumn(out_col, F.sha2(F.col(content_col), 256)) \
+             .withColumn("raw_sha256", F.sha2(F.col("content"), 256))
+
+
+def exact_dedup(df: DataFrame, sha_col: str = "content_sha256") -> tuple[DataFrame, DataFrame]:
+    """Returns (representatives, membership).
+
+    representatives: one row per distinct content — deterministic canonical
+        representative = min (repo, path, commit) within the group (ordered
+        struct min, no window/shuffle beyond the one groupBy).
+    membership: (repo, path, commit, content_sha256, group_size) for every
+        input row — the exact-cluster assignment.
+    """
+    reps = (
+        df.groupBy(sha_col)
+        .agg(
+            F.min(F.struct("repo", "path", "commit")).alias("rep"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.first("lang").alias("lang"),
+            F.first("content_norm").alias("content_norm"),
+        )
+        .select(
+            sha_col,
+            F.col("rep.repo").alias("repo"),
+            F.col("rep.path").alias("path"),
+            F.col("rep.commit").alias("commit"),
+            "lang",
+            "content_norm",
+            "group_size",
+        )
+    )
+    membership = df.select("repo", "path", "commit", sha_col)
+    return reps, membership

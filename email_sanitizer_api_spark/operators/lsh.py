@@ -1,0 +1,85 @@
+"""S5 — LSH banding + skew-aware candidate-pair generation.
+
+Band keys are pure Column math: ``xxhash64(band_index, slice(minhash))`` —
+no Python. Candidate pairs come from a self-equi-join on (band, key)
+(SURVEY.md J5), with explicit skew handling for hot bands (license headers,
+vendored files — the north_rule's named skew case):
+
+- buckets with <= ``max_bucket_allpairs`` members: **all pairs** (full
+  recall for borderline similarities)
+- hotter buckets: **star pairing** around the bucket's min-id member —
+  O(n) pairs instead of O(n^2) while keeping every member reachable from
+  the representative, so connected-components co-membership is preserved
+  for buckets whose members truly are near-dups (hot buckets are, by
+  construction: they share the banded signature rows). AQE skew-join
+  handles residual imbalance at runtime.
+
+Dropped nothing silently: pair counts per strategy are observable via the
+returned DataFrame's ``strategy`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+
+
+def band_keys(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+              id_col: str = "content_sha256") -> DataFrame:
+    """(id, band, key) — one row per band per input row."""
+    r = cfg.rows_per_band
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(F.lit(i), F.slice("minhash", i * r + 1, r)).alias("key"),
+        )
+        for i in range(cfg.num_bands)
+    ])
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(bands).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
+def pairs_from_buckets(nodes: DataFrame, bucket_cols: list[str],
+                       allpairs_cap: int) -> DataFrame:
+    """Generic skew-aware pairing of rows sharing a bucket.
+
+    nodes: DataFrame with ``id`` + bucket columns. Returns distinct
+    (a, b, strategy) with a < b.
+    """
+    counts = nodes.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n")).where("n > 1")
+    tagged = nodes.join(counts, bucket_cols)
+
+    small = tagged.where(F.col("n") <= allpairs_cap).drop("n")
+    hot = tagged.where(F.col("n") > allpairs_cap).drop("n")
+
+    l = small.select(*bucket_cols, F.col("id").alias("a"))
+    r = small.select(*bucket_cols, F.col("id").alias("b"))
+    small_pairs = (
+        l.join(r, bucket_cols)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit("allpairs").alias("strategy"))
+    )
+
+    reps = hot.groupBy(*bucket_cols).agg(F.min("id").alias("rep"))
+    hot_pairs = (
+        hot.join(reps, bucket_cols)
+        .where(F.col("id") != F.col("rep"))
+        .select(
+            F.least("rep", "id").alias("a"),
+            F.greatest("rep", "id").alias("b"),
+            F.lit("star").alias("strategy"),
+        )
+    )
+
+    return small_pairs.unionByName(hot_pairs).dropDuplicates(["a", "b"])
+
+
+def lsh_candidate_pairs(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+                        id_col: str = "content_sha256") -> DataFrame:
+    """Distinct candidate (a, b) id pairs from LSH band collisions."""
+    nodes = band_keys(sigs, cfg, id_col)
+    return pairs_from_buckets(nodes, ["band", "key"], cfg.max_bucket_allpairs)

@@ -1,0 +1,48 @@
+"""S2 — normalize: canonicalize content before hashing.
+
+The reference's normalize-before-dedup principle: "Normalize Unicode to NFC
+form to avoid duplicates" (reference readme.md:38) and lowercase-domain
+canonicalization before membership checks (src/handlers/validation/
+disposable.rs:45). Engine analog over file content:
+
+1. CRLF / CR → LF            (native regexp_replace)
+2. strip trailing ws per line (native regexp_replace)
+3. strip trailing newlines    (native rtrim-ish regexp)
+4. Unicode NFC                (Arrow-vectorized pandas UDF —
+                               pd.Series.str.normalize; Spark has no builtin)
+
+Idempotent: normalize(normalize(x)) == normalize(x) (tested).
+Steps 1-3 are pure Column expressions inside codegen; only NFC leaves the
+JVM, in Arrow batches, and is skipped entirely for pure-ASCII rows via a
+cheap native guard (the common case for source code pays zero Python cost).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+# DataType object (not DDL string) so the module imports without an active
+# SparkSession.
+@pandas_udf(StringType())
+def _nfc(s: pd.Series) -> pd.Series:
+    # vectorized NFC via pandas' str accessor (no per-row Python loop)
+    return s.str.normalize("NFC")
+
+
+def normalize_expr(content: Column) -> Column:
+    c = F.regexp_replace(content, "\r\n?", "\n")      # CRLF / lone CR → LF
+    c = F.regexp_replace(c, "[ \t]+(\n)", "$1")        # trailing ws per line
+    c = F.regexp_replace(c, "[ \t\n]+$", "")           # trailing blank tail
+    # ASCII fast path: NFC is identity on ASCII; only ship non-ASCII rows
+    # through the pandas UDF (rlike guard evaluates JVM-side).
+    return F.when(c.rlike("^[\\x00-\\x7F]*$"), c).otherwise(_nfc(c))
+
+
+def normalize_content(df: DataFrame, content_col: str = "content",
+                      out_col: str = "content_norm") -> DataFrame:
+    return df.withColumn(out_col, normalize_expr(F.col(content_col)))

@@ -1,0 +1,42 @@
+"""S10 — prune: deterministic canonical keeper per cluster.
+
+The reference's prune = caller drops rows whose verdict is invalid and the
+service reports counts (src/routes/email.rs:42-46,474-490); for dedup the
+engine picks ONE canonical keeper per cluster — the lexicographically first
+(repo, path, commit) — via a window ``row_number`` (SURVEY.md §2.5),
+mirroring "preserve case but keep one canonical form" (readme.md:38,50).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prune_keepers(files_with_clusters: DataFrame) -> DataFrame:
+    """Input: one row per file with ``cluster_id``; adds ``is_keeper``.
+
+    Keeper = row_number 1 ordered by (repo, path, commit) within cluster.
+    """
+    w = Window.partitionBy("cluster_id").orderBy("repo", "path", "commit")
+    return files_with_clusters.withColumn(
+        "is_keeper", F.row_number().over(w) == F.lit(1)
+    )
+
+
+def cluster_summary(files_with_clusters: DataFrame) -> DataFrame:
+    """Per-cluster stats: size, n_repos, keeper path — the batch-summary
+    analog of the reference's valid_count/invalid_count (A1)."""
+    return (
+        files_with_clusters.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("repo").alias("n_repos"),
+            F.min(F.struct("repo", "path")).alias("keeper"),
+        )
+        .select(
+            "cluster_id", "n_files", "n_repos",
+            F.col("keeper.repo").alias("keeper_repo"),
+            F.col("keeper.path").alias("keeper_path"),
+        )
+    )

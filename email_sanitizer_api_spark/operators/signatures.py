@@ -1,0 +1,158 @@
+"""S4/S6 — MinHash + SimHash signatures in one Arrow-vectorized pass.
+
+Design (SURVEY.md §2.8 A5): signatures are computed *per row* inside an
+Arrow-batched pandas UDF with numpy doing all the math — no shingle
+explode, therefore **no shuffle at all** for signature generation, and the
+work distributes perfectly with the scan partitions. The alternative
+(explode shingles → groupBy(file).agg(min per family)) shuffles
+O(total_shingles) rows — at 10^12-file scale that is the difference between
+a map-only stage and the largest shuffle in the whole pipeline.
+
+Runs only on distinct-content representatives (post exact dedup, reference
+optimization O3), so shared license headers / vendored copies cost one
+signature each no matter how many times they repeat.
+
+Hashing scheme (pinned by DedupConfig.seed for determinism):
+- char k-gram shingles hashed with a positional 64-bit polynomial mix +
+  splitmix64 finalizer (numpy uint64, wraparound arithmetic)
+- MinHash family i: min over (a_i * h + b_i) with a_i odd — the classic
+  multiply-shift universal family on Z_2^64
+- SimHash: sign of per-bit votes over the unique shingle hashes (64-bit)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+
+_U64 = np.uint64
+_SPLITMIX_C1 = _U64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = _U64(0x94D049BB133111EB)
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _GOLDEN).astype(_U64)
+    x ^= x >> _U64(30)
+    x *= _SPLITMIX_C1
+    x ^= x >> _U64(27)
+    x *= _SPLITMIX_C2
+    x ^= x >> _U64(31)
+    return x
+
+
+def _power_table(k: int, base: int = 1099511628211) -> np.ndarray:
+    """[base^0 .. base^(k-1)] mod 2^64 (python ints avoid numpy scalar
+    overflow warnings; uint64 array out)."""
+    mask = (1 << 64) - 1
+    out, cur = [], 1
+    for _ in range(k):
+        out.append(cur)
+        cur = (cur * base) & mask
+    return np.array(out, dtype=np.uint64)
+
+
+def _hash_families(num: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num, dtype=np.uint64) * _U64(2) + _U64(1)  # odd
+    b = rng.integers(0, 1 << 63, size=num, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(content: str, k: int) -> np.ndarray:
+    """Unique uint64 hashes of the char k-gram shingles of ``content``.
+
+    Shingles are over UTF-8 *bytes* (cheap, alignment-stable) — the same
+    pinned definition the brute-force oracle in tests uses.
+    """
+    raw = content.encode("utf-8", errors="surrogatepass")
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    n = buf.size - k + 1
+    if n <= 0:
+        # shorter than one shingle: hash the whole content as one token
+        if buf.size == 0:
+            return np.array([], dtype=np.uint64)
+        pad = np.zeros(k, dtype=np.uint8)
+        pad[: buf.size] = buf
+        buf, n = pad, 1
+    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+    # positional polynomial combine, then splitmix finalize
+    powers = _power_table(k)
+    h = np.zeros(n, dtype=np.uint64)
+    # chunk the window dot to bound temp memory on big files
+    step = 1 << 16
+    for s in range(0, n, step):
+        e = min(n, s + step)
+        h[s:e] = (win[s:e] * powers).sum(axis=1, dtype=np.uint64)
+    return np.unique(_splitmix64(h))
+
+
+def minhash_from_shingles(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """int64 signature (len == len(a)); empty shingle set → all max-int64."""
+    num = a.size
+    if sh.size == 0:
+        return np.full(num, np.iinfo(np.int64).max, dtype=np.int64)
+    sig = np.full(num, np.iinfo(np.uint64).max, dtype=np.uint64)
+    step = 8192
+    for s in range(0, sh.size, step):
+        chunk = sh[s : s + step]
+        vals = chunk[None, :] * a[:, None] + b[:, None]  # (num, chunk) u64 wrap
+        np.minimum(sig, vals.min(axis=1), out=sig)
+    return sig.view(np.int64)
+
+
+def simhash_from_shingles(sh: np.ndarray) -> int:
+    """64-bit SimHash (as signed int64) from unique shingle hashes."""
+    if sh.size == 0:
+        return 0
+    votes = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    step = 8192
+    for s in range(0, sh.size, step):
+        chunk = sh[s : s + step]
+        bits = ((chunk[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int64)
+        votes += (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= _U64(1) << _U64(i)
+    return int(out.view(np.int64) if hasattr(out, "view") else out)
+
+
+def make_signature_udf(cfg: DedupConfig = DEFAULT_CONFIG):
+    """Iterator-of-series pandas UDF: content → struct<minhash, simhash>.
+
+    Iterator form so the (tiny) hash-family setup happens once per executor
+    python worker, not once per batch.
+    """
+    k, num, seed = cfg.shingle_k, cfg.num_hashes, cfg.seed
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("minhash array<bigint>, simhash bigint")
+    def _sig(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        a, b = _hash_families(num, seed)
+        for s in batches:
+            mins: list[np.ndarray] = []
+            sims: list[int] = []
+            for content in s:
+                sh = shingle_hashes(content if content is not None else "", k)
+                mins.append(minhash_from_shingles(sh, a, b))
+                sims.append(simhash_from_shingles(sh))
+            yield pd.DataFrame({"minhash": mins, "simhash": sims})
+
+    return _sig
+
+
+def add_signatures(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+                   content_col: str = "content_norm") -> DataFrame:
+    sig = make_signature_udf(cfg)(F.col(content_col))
+    return df.withColumn("_sig", sig).withColumn(
+        "minhash", F.col("_sig.minhash")
+    ).withColumn("simhash", F.col("_sig.simhash")).drop("_sig")

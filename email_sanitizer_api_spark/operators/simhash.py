@@ -1,0 +1,51 @@
+"""S6 — SimHash Hamming-distance candidate path (SURVEY.md J7).
+
+Pigeonhole bucketing: split the 64-bit simhash into ``simhash_chunks``
+equal chunks; two hashes within Hamming distance < chunks must agree on at
+least one chunk. Equi-join on (chunk_index, chunk_value) pre-filters, then
+the exact predicate ``bit_count(a ^ b) <= max_hamming`` (pure JVM bit math)
+confirms. Same skew-aware pairing as the LSH path (empty/boilerplate files
+can pile up in one chunk bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+from email_sanitizer_api_spark.operators.lsh import pairs_from_buckets
+
+
+def simhash_chunks(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+                   id_col: str = "content_sha256") -> DataFrame:
+    width = cfg.simhash_bits // cfg.simhash_chunks
+    mask = (1 << width) - 1
+    chunks = F.array(*[
+        F.struct(
+            F.lit(j).alias("chunk"),
+            F.shiftright("simhash", j * width).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for j in range(cfg.simhash_chunks)
+    ])
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("ck"))
+        .select("id", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    )
+
+
+def simhash_candidate_pairs(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+                            id_col: str = "content_sha256") -> DataFrame:
+    """(a, b) pairs with Hamming(simhash_a, simhash_b) <= max_hamming."""
+    nodes = simhash_chunks(sigs, cfg, id_col)
+    cand = pairs_from_buckets(nodes, ["chunk", "key"], cfg.max_bucket_allpairs)
+    sim = sigs.select(F.col(id_col).alias("id"), "simhash")
+    return (
+        cand
+        .join(sim.withColumnsRenamed({"id": "a", "simhash": "sim_a"}), "a")
+        .join(sim.withColumnsRenamed({"id": "b", "simhash": "sim_b"}), "b")
+        .where(
+            F.bit_count(F.expr("sim_a ^ sim_b")) <= F.lit(cfg.simhash_max_hamming)
+        )
+        .select("a", "b", "strategy")
+    )

@@ -1,0 +1,178 @@
+"""S7 — substring-duplicate pass (suffix fingerprints + per-bucket suffix arrays).
+
+Two cooperating pieces, because a single global suffix array over 10^12
+files cannot exist:
+
+1. **Scale path — sampled substring fingerprints** (this module's default):
+   every document emits Rabin-Karp-style hashes of ``window``-byte slices
+   at ``stride`` intervals (winnowing/MOSS-style sampling). Any two
+   documents sharing a substring of length >= window + stride - 1 share at
+   least one sampled fingerprint, so a bucket-join on the fingerprint finds
+   them — exactly the LSH-band join shape, reusing the same skew-aware
+   pairing. Fingerprinting is an Arrow-batched pandas UDF (numpy sliding
+   windows); pairing is pure DataFrame joins.
+
+2. **Exact path — per-bucket suffix arrays** (``suffix_array_spans``):
+   within a bounded candidate group (e.g. one near-dup cluster, or files
+   bucketed by lang+size), ``applyInPandas`` builds a real suffix array
+   over the concatenated group text and reports maximal shared spans —
+   the non-relational step SURVEY.md §4 calls out; group byte size is
+   capped by config so a task never exceeds memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+from email_sanitizer_api_spark.operators.lsh import pairs_from_buckets
+from email_sanitizer_api_spark.operators.signatures import _power_table, _splitmix64
+
+_U64 = np.uint64
+
+
+def substring_fingerprints(content: str, window: int, stride: int) -> np.ndarray:
+    """Unique uint64 fingerprints of window-byte slices sampled every stride."""
+    raw = content.encode("utf-8", errors="surrogatepass")
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    if buf.size < window:
+        return np.array([], dtype=np.uint64)
+    starts = np.arange(0, buf.size - window + 1, stride)
+    # hash each window: positional dot with power weights (chunked)
+    powers = _power_table(window)
+    out = np.empty(starts.size, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(buf, window)
+    step = 1 << 12
+    for s in range(0, starts.size, step):
+        idx = starts[s : s + step]
+        out[s : s + len(idx)] = (win[idx].astype(np.uint64) * powers).sum(
+            axis=1, dtype=np.uint64
+        )
+    return np.unique(_splitmix64(out))
+
+
+def make_fingerprint_udf(cfg: DedupConfig = DEFAULT_CONFIG):
+    window = cfg.suffix_min_len // 2
+    stride = max(1, window // 2)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def _fp(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda c: substring_fingerprints(c or "", window, stride).view(np.int64)
+        )
+
+    return _fp
+
+
+def suffix_candidate_pairs(reps: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+                           id_col: str = "content_sha256",
+                           content_col: str = "content_norm") -> DataFrame:
+    """(a, b) pairs of docs sharing at least one sampled substring fingerprint."""
+    fp = make_fingerprint_udf(cfg)
+    nodes = (
+        reps.select(F.col(id_col).alias("id"), fp(F.col(content_col)).alias("fps"))
+        .select("id", F.explode("fps").alias("key"))
+        .dropDuplicates(["id", "key"])
+    )
+    return pairs_from_buckets(nodes, ["key"], cfg.max_bucket_allpairs)
+
+
+# ---------------------------------------------------------------------------
+# exact per-bucket suffix arrays (applyInPandas)
+# ---------------------------------------------------------------------------
+
+def _suffix_array(s: bytes) -> list[int]:
+    """O(n log^2 n) prefix-doubling suffix array (numpy ranks)."""
+    n = len(s)
+    arr = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+    rank = arr.copy()
+    k = 1
+    idx = np.arange(n, dtype=np.int64)
+    while True:
+        key2 = np.where(idx + k < n, np.append(rank, -1)[np.minimum(idx + k, n)], -1)
+        order = np.lexsort((key2, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        ordered_pairs = np.stack([rank[order], key2[order]], axis=1)
+        diff = np.any(ordered_pairs[1:] != ordered_pairs[:-1], axis=1)
+        new_rank[order] = np.concatenate([[0], np.cumsum(diff)])
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order.tolist()
+        k *= 2
+
+
+def shared_spans_in_group(pdf: pd.DataFrame, min_len: int,
+                          id_col: str, content_col: str) -> pd.DataFrame:
+    """Pairs of docs in one group sharing a byte-span >= min_len.
+
+    Builds a suffix array over the \\x00-joined concatenation and scans
+    adjacent suffixes from different documents with a long-enough common
+    prefix — the standard cross-document maximal-match trick.
+    """
+    ids = pdf[id_col].tolist()
+    bodies = [(c or "").encode("utf-8", errors="surrogatepass") for c in pdf[content_col]]
+    sep = b"\x00"
+    concat = sep.join(bodies)
+    if len(concat) < min_len or len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []}, dtype=object)
+    # doc-id per byte offset
+    owner = np.empty(len(concat), dtype=np.int64)
+    pos = 0
+    for di, b in enumerate(bodies):
+        owner[pos : pos + len(b)] = di
+        pos += len(b) + 1
+        if pos <= len(concat):
+            owner[pos - 1 : pos] = -1  # separator
+    sa = _suffix_array(concat)
+    data = np.frombuffer(concat, dtype=np.uint8)
+    found: set[tuple[str, str]] = set()
+    prev = None
+    for suf in sa:
+        if owner[suf] < 0:
+            prev = suf
+            continue
+        if prev is not None and owner[prev] >= 0 and owner[prev] != owner[suf]:
+            # common prefix length of the two suffixes, bounded scan
+            m = min(len(concat) - prev, len(concat) - suf, min_len)
+            if m >= min_len and np.array_equal(data[prev : prev + min_len],
+                                               data[suf : suf + min_len]):
+                x, y = ids[owner[prev]], ids[owner[suf]]
+                if x != y:
+                    found.add((min(x, y), max(x, y)))
+        prev = suf
+    if not found:
+        return pd.DataFrame({"a": [], "b": []}, dtype=object)
+    a, b = zip(*sorted(found))
+    return pd.DataFrame({"a": list(a), "b": list(b)})
+
+
+def suffix_array_spans(reps: DataFrame, group_cols: list[str],
+                       cfg: DedupConfig = DEFAULT_CONFIG,
+                       id_col: str = "content_sha256",
+                       content_col: str = "content_norm") -> DataFrame:
+    """Exact shared-substring pairs within bounded groups via applyInPandas."""
+    min_len = cfg.suffix_min_len
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = sum(len((c or "").encode("utf-8", "surrogatepass"))
+                    for c in pdf[content_col])
+        if total > cfg.suffix_group_max_bytes:
+            # cap: keep the smallest files up to the byte budget (deterministic)
+            pdf = pdf.assign(_sz=pdf[content_col].str.len()).sort_values(
+                ["_sz", id_col]).reset_index(drop=True)
+            csum = pdf["_sz"].cumsum()
+            pdf = pdf[csum <= cfg.suffix_group_max_bytes]
+        return shared_spans_in_group(pdf, min_len, id_col, content_col)
+
+    out_schema = "a string, b string"
+    return (
+        reps.select(*group_cols, id_col, content_col)
+        .groupBy(*group_cols)
+        .applyInPandas(fn, schema=out_schema)
+        .dropDuplicates(["a", "b"])
+    )

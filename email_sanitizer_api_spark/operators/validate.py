@@ -1,0 +1,93 @@
+"""S1 — validate: CASE-cascade verdicts over content.
+
+Re-expresses the reference's 4-stage ordered short-circuit validation
+(reference src/routes/email.rs:195-271: first failing stage wins, codes
+INVALID_SYNTAX → INVALID_DOMAIN → ROLE_BASED_EMAIL → DISPOSABLE_EMAIL →
+VALID) as a single ``F.when`` cascade — exactly a CASE expression, which
+preserves first-failure semantics with zero extra passes and stays entirely
+inside whole-stage codegen.
+
+Engine verdict codes, cheapest check first (reference optimization O1 —
+CPU-cheap checks before expensive ones, src/routes/email.rs:195-271):
+    EMPTY → TOO_LARGE → BINARY_CONTENT → VALID
+
+Octet (byte) lengths, not char lengths — the reference's length caps use
+Rust ``str::len()`` which is bytes (src/handlers/validation/syntax.rs:26,56).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+
+#: verdict codes in first-failure priority order
+CODES = ("EMPTY", "TOO_LARGE", "BINARY_CONTENT")
+
+
+def _verdict_struct(code: Column | None, message: Column | None) -> Column:
+    if code is None:
+        return F.struct(
+            F.lit(True).alias("is_valid"),
+            F.lit("VALID").alias("status"),
+            F.lit(None).cast("struct<code:string,message:string>").alias("error"),
+        )
+    return F.struct(
+        F.lit(False).alias("is_valid"),
+        F.lit(None).cast("string").alias("status"),
+        F.struct(code.alias("code"), message.alias("message")).alias("error"),
+    )
+
+
+def validation_verdict(content: Column, cfg: DedupConfig = DEFAULT_CONFIG) -> Column:
+    """Verdict struct<is_valid:boolean, status:string, error:struct<code,message>>.
+
+    Mirrors the reference's per-row verdict shape
+    (src/routes/email.rs:22-33 ``EmailValidationResult``).
+    """
+    trimmed = F.trim(content)  # reference trims before validating (routes/email.rs:193)
+    return (
+        F.when(
+            content.isNull() | (F.octet_length(trimmed) == 0),
+            _verdict_struct(F.lit("EMPTY"), F.lit("content is empty or whitespace-only")),
+        )
+        .when(
+            F.octet_length(content) > cfg.max_content_bytes,
+            _verdict_struct(
+                F.lit("TOO_LARGE"),
+                F.concat(F.lit("content exceeds "), F.lit(cfg.max_content_bytes),
+                         F.lit(" bytes: "), F.octet_length(content)),
+            ),
+        )
+        .when(
+            content.contains("\x00"),
+            _verdict_struct(F.lit("BINARY_CONTENT"), F.lit("content contains NUL bytes")),
+        )
+        .otherwise(_verdict_struct(None, None))
+    )
+
+
+def validate_content(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+                     content_col: str = "content") -> DataFrame:
+    """Annotate every row with a ``verdict`` column (no rows dropped here —
+    pruning invalid rows is the caller's choice, like the reference returning
+    per-row verdicts + counts and letting the client drop,
+    src/routes/email.rs:474-490)."""
+    return df.withColumn("verdict", validation_verdict(F.col(content_col), cfg))
+
+
+def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid_rows, invalid_rows) by verdict — the 'prune invalid' filter."""
+    valid = df.where(F.col("verdict.is_valid"))
+    invalid = df.where(~F.col("verdict.is_valid"))
+    return valid, invalid
+
+
+def verdict_counts(df: DataFrame) -> DataFrame:
+    """Batch summary {valid_count, invalid_count} — reference A1
+    (src/routes/email.rs:474-484)."""
+    return df.agg(
+        F.sum(F.when(F.col("verdict.is_valid"), 1).otherwise(0)).cast("long").alias("valid_count"),
+        F.sum(F.when(F.col("verdict.is_valid"), 0).otherwise(1)).cast("long").alias("invalid_count"),
+    )

@@ -1,0 +1,42 @@
+"""S8 — verify candidate pairs with MinHash Jaccard estimates.
+
+Pure column math (SURVEY.md A7): the Jaccard estimate between two MinHash
+signatures is the fraction of equal components —
+``size(filter(zip_with(sa, sb, =), x -> x)) / num_hashes`` — all inside
+whole-stage codegen; no Python touches the hot path.
+
+The two signature lookups are hash joins on the sha key; candidates are a
+small fraction of the corpus so these are cheap, and AQE turns them into
+broadcast joins when the candidate set is small enough.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+
+
+def jaccard_estimate(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return (F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(num_hashes)).alias("jaccard_est")
+
+
+def verify_pairs(pairs: DataFrame, sigs: DataFrame,
+                 cfg: DedupConfig = DEFAULT_CONFIG,
+                 id_col: str = "content_sha256") -> DataFrame:
+    """Keep (a, b, jaccard_est) where estimate >= threshold."""
+    s = sigs.select(F.col(id_col).alias("id"), "minhash")
+    joined = (
+        pairs.select("a", "b")
+        .join(s.withColumnsRenamed({"id": "a", "minhash": "sig_a"}), "a")
+        .join(s.withColumnsRenamed({"id": "b", "minhash": "sig_b"}), "b")
+    )
+    return (
+        joined.withColumn(
+            "jaccard_est", jaccard_estimate(F.col("sig_a"), F.col("sig_b"), cfg.num_hashes)
+        )
+        .where(F.col("jaccard_est") >= F.lit(cfg.jaccard_threshold))
+        .select("a", "b", "jaccard_est")
+    )

@@ -1,0 +1,134 @@
+"""End-to-end dedup pipeline: validate → normalize → exact → near-dup → cluster → prune.
+
+Stage graph (SURVEY.md §7.1), every stage a checkpointed DataFrame transform:
+
+    code_files ─ S1 validate ─ S2 normalize ─ S3 exact(sha256 collapse)
+        └─ invalid rows split off (counted, kept in `validated`)
+    reps ─ S4/S6 signatures ─ S5 lsh pairs ─┐
+         ├─ S6 simhash pairs ───────────────┤─ union ─ S8 verify ─ S9 CC ─ S10 prune
+         └─ S7 substring-fingerprint pairs ─┘
+
+Near-dup stages run on *distinct content representatives only* (exact
+collapse first — reference optimization O3), so repeated license headers /
+vendored files cost one signature each. Cluster ids propagate back to every
+file through the exact-membership table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+from email_sanitizer_api_spark.operators.validate import validate_content, split_valid
+from email_sanitizer_api_spark.operators.normalize import normalize_content
+from email_sanitizer_api_spark.operators.exact import with_sha, exact_dedup
+from email_sanitizer_api_spark.operators.signatures import add_signatures
+from email_sanitizer_api_spark.operators.lsh import lsh_candidate_pairs
+from email_sanitizer_api_spark.operators.simhash import simhash_candidate_pairs
+from email_sanitizer_api_spark.operators.suffix import suffix_candidate_pairs
+from email_sanitizer_api_spark.operators.verify import verify_pairs
+from email_sanitizer_api_spark.operators.cluster import connected_components
+from email_sanitizer_api_spark.operators.prune import prune_keepers, cluster_summary
+from email_sanitizer_api_spark.tableio import TableIO
+
+
+@dataclass
+class PipelineResult:
+    files_clustered: DataFrame   # every valid file + cluster_id + is_keeper
+    clusters: DataFrame          # per-cluster summary
+    validated: DataFrame         # all rows + verdict
+    io: TableIO | None
+
+
+def run_pipeline(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    io: TableIO | None = None,
+    enable_simhash: bool = True,
+    enable_suffix: bool = True,
+) -> PipelineResult:
+    cfg.validate()
+    if io is not None:
+        io.log_config(cfg.to_dict())
+
+    def ckpt(name: str, compute) -> DataFrame:
+        if io is None:
+            return compute()
+        return io.stage(name, compute)
+
+    # S1 validate (verdicts for every row; invalid rows never proceed)
+    validated = ckpt("s1_validated", lambda: validate_content(files, cfg))
+    valid, _invalid = split_valid(validated)
+
+    # S2 normalize + S3 exact-dup keys
+    normalized = ckpt(
+        "s2_normalized",
+        lambda: with_sha(normalize_content(valid.drop("verdict"))),
+    )
+    reps_mem = ckpt("s3_exact_reps", lambda: exact_dedup(normalized)[0])
+    membership = ckpt("s3_membership", lambda: exact_dedup(normalized)[1])
+
+    # S4/S6 signatures on distinct content only
+    sigs = ckpt("s4_signatures", lambda: add_signatures(reps_mem, cfg).select(
+        "content_sha256", "lang", "content_norm", "minhash", "simhash"))
+
+    # S5 LSH candidates → S8 verify (Jaccard estimate >= tau)
+    def _verified():
+        cand = lsh_candidate_pairs(sigs, cfg)
+        return verify_pairs(cand, sigs, cfg)
+    verified = ckpt("s5_verified_pairs", _verified)
+
+    edge_sets = [verified.select("a", "b")]
+
+    if enable_simhash:
+        simhash_pairs = ckpt(
+            "s6_simhash_pairs",
+            lambda: simhash_candidate_pairs(sigs, cfg).select("a", "b"),
+        )
+        edge_sets.append(simhash_pairs.select("a", "b"))
+
+    if enable_suffix:
+        suffix_pairs = ckpt(
+            "s7_suffix_pairs",
+            lambda: suffix_candidate_pairs(sigs, cfg).select("a", "b"),
+        )
+        edge_sets.append(suffix_pairs.select("a", "b"))
+
+    # union of pair sets (SURVEY.md §2.6)
+    edges = edge_sets[0]
+    for e in edge_sets[1:]:
+        edges = edges.unionByName(e)
+    edges = edges.dropDuplicates(["a", "b"])
+
+    # S9 connected components over distinct-content nodes
+    vertices = sigs.select(F.col("content_sha256").alias("id"))
+    clusters_sha = ckpt(
+        "s9_clusters", lambda: connected_components(edges, cfg, vertices=vertices)
+    )
+
+    # propagate sha-level cluster ids to every file via exact membership
+    def _files_clustered():
+        fc = (
+            membership.join(
+                clusters_sha.withColumnRenamed("id", "content_sha256"),
+                "content_sha256",
+                "left",
+            )
+            .withColumn("cluster_id", F.coalesce("cluster_id", "content_sha256"))
+        )
+        return prune_keepers(fc)
+    files_clustered = ckpt("s10_files_clustered", _files_clustered)
+
+    clusters = ckpt("s10_clusters", lambda: cluster_summary(files_clustered))
+
+    return PipelineResult(
+        files_clustered=files_clustered,
+        clusters=clusters,
+        validated=validated,
+        io=io,
+    )

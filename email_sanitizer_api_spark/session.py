@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the dedup workload.
+
+Local mode here; the same builder settings apply verbatim on a real
+multi-executor cluster (spark-submit --py-files). AQE is on so runtime
+re-planning handles skewed LSH-band joins (spark.sql.adaptive.skewJoin);
+Arrow is on because every Python-side function is a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "email-sanitizer-api-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+    cores = os.cpu_count() or 4
+    if shuffle_partitions is None:
+        # local[N] → N; 2-3x cores is the usual rule, but for local-mode
+        # testing matching core count avoids tiny-partition overhead.
+        if master.startswith("local[") and master[6:-1].isdigit():
+            cores = int(master[6:-1])
+        shuffle_partitions = max(2 * cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

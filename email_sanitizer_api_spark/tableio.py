@@ -1,0 +1,130 @@
+"""TableIO — per-stage checkpoint tables + run manifest (resume support).
+
+SURVEY.md §7.0: production targets Iceberg via catalog config
+(``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog`` with
+the runtime jar on the classpath — config, not code); this sandbox has no
+Iceberg jar, so TableIO falls back to a Parquet-directory warehouse with an
+identical table layout plus a JSON-lines manifest carrying the snapshot /
+lineage / metrics information Iceberg would hold. All pipeline code talks
+to TableIO only, never to a format directly.
+
+The manifest reproduces the reference's job-status semantics
+(src/job_queue.rs:16-22 Pending/Processing/Completed/Failed): a stage row
+is written Processing before compute and flipped Completed (with metrics)
+after a successful write; resume reuses Completed stages and recomputes
+anything else — the reference's don't-cache-transient-errors rule
+(src/graphql/email.rs:151-159, optimization O4).
+
+Per-partition lineage rides along as ``{partition_id: row_count}`` computed
+natively with ``spark_partition_id()`` (no Python, one cheap agg).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def partition_lineage(df: DataFrame) -> dict[str, int]:
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {str(r["pid"]): int(r["n"]) for r in rows}
+
+
+@dataclass
+class TableIO:
+    spark: SparkSession
+    warehouse: str
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    resume: bool = True
+    collect_lineage: bool = True
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.warehouse, "_manifest.jsonl")
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    # -- manifest -----------------------------------------------------------
+    def _append_manifest(self, row: dict[str, Any]) -> None:
+        os.makedirs(self.warehouse, exist_ok=True)
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(row, sort_keys=True) + "\n")
+
+    def manifest_rows(self) -> list[dict[str, Any]]:
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def stage_status(self, stage: str) -> str | None:
+        """Latest status for a stage (any run) — Completed wins resume."""
+        status = None
+        for row in self.manifest_rows():
+            if row.get("stage") == stage:
+                status = row.get("status")
+        return status
+
+    # -- tables -------------------------------------------------------------
+    def write(self, df: DataFrame, name: str, metrics: dict[str, Any] | None = None) -> DataFrame:
+        """Write a stage checkpoint table + manifest rows; returns the
+        re-read DataFrame (truncated lineage, stable for downstream)."""
+        path = self.table_path(name)
+        self._append_manifest({
+            "run_id": self.run_id, "stage": name, "status": "Processing",
+            "ts": time.time(),
+        })
+        t0 = time.time()
+        try:
+            df.write.mode("overwrite").parquet(path)
+        except Exception as e:
+            self._append_manifest({
+                "run_id": self.run_id, "stage": name, "status": "Failed",
+                "ts": time.time(), "error": str(e)[:500],
+            })
+            raise
+        out = self.spark.read.parquet(path)
+        row = {
+            "run_id": self.run_id, "stage": name, "status": "Completed",
+            "ts": time.time(), "wall_s": round(time.time() - t0, 3),
+            "metrics": metrics or {},
+        }
+        if self.collect_lineage:
+            row["lineage"] = partition_lineage(out)
+            row["metrics"]["rows"] = sum(row["lineage"].values())
+        self._append_manifest(row)
+        return out
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(name))
+
+    def completed(self, name: str) -> bool:
+        return (
+            self.resume
+            and self.stage_status(name) == "Completed"
+            and os.path.exists(self.table_path(name))
+        )
+
+    def stage(self, name: str, compute, metrics: dict[str, Any] | None = None) -> DataFrame:
+        """Resume-or-compute: reuse a Completed checkpoint, else run
+        ``compute()`` and persist it."""
+        if self.completed(name):
+            return self.read(name)
+        return self.write(compute(), name, metrics)
+
+    def log_config(self, cfg_dict: dict[str, Any]) -> None:
+        self._append_manifest({
+            "run_id": self.run_id, "stage": "_config", "status": "Completed",
+            "ts": time.time(), "config": cfg_dict,
+        })
