@@ -26,8 +26,15 @@ class DedupConfig:
     seed: int = 42              # hash-family seed (determinism)
 
     # --- LSH banding (S5) ---
-    num_bands: int = 16
-    rows_per_band: int = 8
+    # recall math (the reason for 32x4, not 16x8): candidate-collision
+    # probability is 1-(1-J^r)^b. At the target threshold J=0.7:
+    #   16 bands x 8 rows -> 1-(1-0.7^8)^16 ~= 0.62   (misses 38%!)
+    #   32 bands x 4 rows -> 1-(1-0.7^4)^32 ~= 0.9998 (recall target met)
+    # The looser banding admits lower-J candidates (collision prob at
+    # J=0.42 is ~50%), but candidates are cheap to reject in S8 verify —
+    # pure column math — so we buy recall with verification, not shuffle.
+    num_bands: int = 32
+    rows_per_band: int = 4
     # buckets with <= this many members generate all pairs; bigger (hot)
     # buckets fall back to star pairing around the min-id representative —
     # preserves bucket connectivity without O(n^2) blowup on license-header
@@ -48,7 +55,15 @@ class DedupConfig:
     suffix_group_max_bytes: int = 4_000_000  # per-group concat cap
 
     # --- verify (S8) ---
+    # a pair is a near-dup when its true Jaccard >= jaccard_threshold.
+    # The MinHash estimate over 128 hashes has std ~= sqrt(J(1-J)/128)
+    # ~= 0.04 near J=0.7, so accepting at exactly tau would drop ~half of
+    # the pairs sitting at the threshold. verify_margin shifts the accept
+    # line ~2.5 sigma down: recall at J=0.7 ~= 0.99+, at the cost of
+    # admitting some pairs with true J in [0.6, 0.7) — the recall>=0.99
+    # target (BASELINE.json) prices recall above precision.
     jaccard_threshold: float = 0.70
+    verify_margin: float = 0.10
 
     # --- clustering (S9) ---
     cc_max_iterations: int = 50

@@ -3,14 +3,16 @@
 Two cooperating pieces, because a single global suffix array over 10^12
 files cannot exist:
 
-1. **Scale path — sampled substring fingerprints** (this module's default):
-   every document emits Rabin-Karp-style hashes of ``window``-byte slices
-   at ``stride`` intervals (winnowing/MOSS-style sampling). Any two
-   documents sharing a substring of length >= window + stride - 1 share at
-   least one sampled fingerprint, so a bucket-join on the fingerprint finds
-   them — exactly the LSH-band join shape, reusing the same skew-aware
-   pairing. Fingerprinting is an Arrow-batched pandas UDF (numpy sliding
-   windows); pairing is pure DataFrame joins.
+1. **Scale path — winnowed substring fingerprints** (this module's default):
+   every document rolling-hashes ALL of its ``w``-byte windows (O(n) via a
+   polynomial rolling hash on Z_2^64, fully numpy-vectorized) and keeps the
+   minimum hash of every sliding block of ``s = min_len - w + 1`` positions
+   (winnowing, à la MOSS). Selection is content-defined, therefore
+   offset-invariant: any two documents sharing a substring of length >=
+   ``min_len`` are guaranteed to share at least one selected fingerprint.
+   A bucket-join on the fingerprint finds them — exactly the LSH-band join
+   shape, reusing the same skew-aware pairing. Fingerprinting is an
+   Arrow-batched pandas UDF; pairing is pure DataFrame joins.
 
 2. **Exact path — per-bucket suffix arrays** (``suffix_array_spans``):
    within a bounded candidate group (e.g. one near-dup cluster, or files
@@ -34,36 +36,70 @@ from email_sanitizer_api_spark.operators.signatures import _power_table, _splitm
 _U64 = np.uint64
 
 
-def substring_fingerprints(content: str, window: int, stride: int) -> np.ndarray:
-    """Unique uint64 fingerprints of window-byte slices sampled every stride."""
+_BASE = 1099511628211          # FNV prime, odd → invertible mod 2^64
+_BASE_INV = pow(_BASE, -1, 1 << 64)
+_FP_WINDOW = 64                 # rolling-hash window (noise threshold)
+
+
+def _rolling_window_hashes(buf: np.ndarray, w: int) -> np.ndarray:
+    """uint64 hash of every w-byte window, O(n), offset-invariant.
+
+    H[i] = sum_{j<w} buf[i+j] * B^j (mod 2^64), computed from the prefix
+    sums P[i] = sum_{j<i} buf[j] * B^j as (P[i+w]-P[i]) * B^{-i}.
+    """
+    n = buf.size
+    c = buf.astype(np.uint64)
+    powers = np.empty(n, dtype=np.uint64)
+    powers[0] = 1
+    if n > 1:
+        base = np.full(n - 1, np.uint64(_BASE), dtype=np.uint64)
+        np.multiply.accumulate(base, out=powers[1:])
+    inv = np.empty(n - w + 1, dtype=np.uint64)
+    inv[0] = 1
+    if inv.size > 1:
+        binv = np.full(inv.size - 1, np.uint64(_BASE_INV), dtype=np.uint64)
+        np.multiply.accumulate(binv, out=inv[1:])
+    prefix = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(c * powers, out=prefix[1:])  # wraps mod 2^64 (uint64)
+    return (prefix[w:] - prefix[: n - w + 1]) * inv
+
+
+def _sliding_min(h: np.ndarray, s: int) -> np.ndarray:
+    """Min of every s-length window of h — O(n) block prefix/suffix mins."""
+    n = h.size
+    if n <= s:
+        return np.array([h.min()], dtype=h.dtype)
+    pad = (-n) % s
+    hp = np.concatenate([h, np.full(pad, np.iinfo(np.uint64).max, dtype=h.dtype)])
+    blocks = hp.reshape(-1, s)
+    pref = np.minimum.accumulate(blocks, axis=1).ravel()
+    suff = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    out_n = n - s + 1
+    idx = np.arange(out_n)
+    return np.minimum(suff[idx], pref[idx + s - 1])
+
+
+def substring_fingerprints(content: str, min_len: int, w: int = _FP_WINDOW) -> np.ndarray:
+    """Winnowed fingerprints: two docs sharing a substring of length >=
+    min_len are guaranteed to share at least one fingerprint."""
     raw = content.encode("utf-8", errors="surrogatepass")
     buf = np.frombuffer(raw, dtype=np.uint8)
-    if buf.size < window:
+    if buf.size < w:
         return np.array([], dtype=np.uint64)
-    starts = np.arange(0, buf.size - window + 1, stride)
-    # hash each window: positional dot with power weights (chunked)
-    powers = _power_table(window)
-    out = np.empty(starts.size, dtype=np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(buf, window)
-    step = 1 << 12
-    for s in range(0, starts.size, step):
-        idx = starts[s : s + step]
-        out[s : s + len(idx)] = (win[idx].astype(np.uint64) * powers).sum(
-            axis=1, dtype=np.uint64
-        )
-    return np.unique(_splitmix64(out))
+    h = _splitmix64(_rolling_window_hashes(buf, w))
+    s = max(1, min_len - w + 1)
+    return np.unique(_sliding_min(h, s))
 
 
 def make_fingerprint_udf(cfg: DedupConfig = DEFAULT_CONFIG):
-    window = cfg.suffix_min_len // 2
-    stride = max(1, window // 2)
+    min_len = cfg.suffix_min_len
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<bigint>")
     def _fp(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda c: substring_fingerprints(c or "", window, stride).view(np.int64)
+            lambda c: substring_fingerprints(c or "", min_len).view(np.int64)
         )
 
     return _fp

@@ -46,10 +46,11 @@ def validation_verdict(content: Column, cfg: DedupConfig = DEFAULT_CONFIG) -> Co
     Mirrors the reference's per-row verdict shape
     (src/routes/email.rs:22-33 ``EmailValidationResult``).
     """
-    trimmed = F.trim(content)  # reference trims before validating (routes/email.rs:193)
+    # reference trims before validating (routes/email.rs:193); note Spark's
+    # trim() strips only spaces, so whitespace-only detection uses a regex
     return (
         F.when(
-            content.isNull() | (F.octet_length(trimmed) == 0),
+            content.isNull() | content.rlike("^\\s*$"),
             _verdict_struct(F.lit("EMPTY"), F.lit("content is empty or whitespace-only")),
         )
         .when(

@@ -37,6 +37,6 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame,
         joined.withColumn(
             "jaccard_est", jaccard_estimate(F.col("sig_a"), F.col("sig_b"), cfg.num_hashes)
         )
-        .where(F.col("jaccard_est") >= F.lit(cfg.jaccard_threshold))
+        .where(F.col("jaccard_est") >= F.lit(cfg.jaccard_threshold - cfg.verify_margin))
         .select("a", "b", "jaccard_est")
     )

@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+from email_sanitizer_api_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def cfg() -> DedupConfig:
+    # small size cap so the corpus's oversize rows actually trip TOO_LARGE
+    c = DedupConfig(max_content_bytes=100_000)
+    c.validate()
+    return c
+
+
+@pytest.fixture(scope="session")
+def corpus_pdf() -> pd.DataFrame:
+    return synthesize_code_files(CorpusSpec(n_base=80, invalid_rows=6, seed=42))
+
+
+@pytest.fixture(scope="session")
+def corpus_df(spark, corpus_pdf):
+    return spark.createDataFrame(corpus_pdf)
+
+
+# ---------------------------------------------------------------------------
+# brute-force oracles (pure pandas / python — independent of the engine)
+# ---------------------------------------------------------------------------
+
+def normalize_oracle(s: str) -> str:
+    import re
+    import unicodedata
+    s = re.sub(r"\r\n?", "\n", s)
+    s = re.sub(r"[ \t]+\n", "\n", s)
+    s = re.sub(r"[ \t\n]+$", "", s)
+    return unicodedata.normalize("NFC", s)
+
+
+def shingle_set(content: str, k: int) -> set[bytes]:
+    raw = content.encode("utf-8", errors="surrogatepass")
+    if len(raw) < k:
+        return {raw} if raw else set()
+    return {raw[i : i + k] for i in range(len(raw) - k + 1)}
+
+
+def true_jaccard(a: str, b: str, k: int) -> float:
+    sa, sb = shingle_set(a, k), shingle_set(b, k)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        self.parent.setdefault(x, x)
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller label wins (matches engine min-label CC)
+            lo, hi = min(ra, rb), max(ra, rb)
+            self.parent[hi] = lo
+
+    def components(self) -> dict:
+        return {x: self.find(x) for x in list(self.parent)}

@@ -1,0 +1,71 @@
+"""S9 connected components vs union-find oracle; permutation invariance."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.operators.cluster import connected_components
+from tests.conftest import UnionFind
+
+
+def _random_edges(seed: int, n_nodes: int, n_edges: int) -> list[tuple[str, str]]:
+    rng = random.Random(seed)
+    nodes = [f"n{i:04d}" for i in range(n_nodes)]
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 60, 40), (2, 100, 120), (3, 30, 5)])
+def test_matches_union_find(spark, seed, n_nodes, n_edges):
+    edges = _random_edges(seed, n_nodes, n_edges)
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    want = uf.components()
+
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, DedupConfig()).collect()
+    }
+    # same partition of nodes AND same canonical min-label ids
+    assert got == want
+
+
+def test_chain_converges(spark):
+    """A long path graph stresses iteration count (diameter = n-1)."""
+    n = 40
+    edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = connected_components(df, DedupConfig(cc_max_iterations=64)).collect()
+    assert {r["cluster_id"] for r in got} == {"c000"}
+    assert len(got) == n
+
+
+def test_singletons_kept(spark):
+    edges = [("a", "b")]
+    verts = spark.createDataFrame([("a",), ("b",), ("z",)], "id string")
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(df, DedupConfig(), vertices=verts).collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_permutation_invariant(spark):
+    edges = _random_edges(7, 50, 60)
+    df1 = spark.createDataFrame(edges, "a string, b string")
+    shuffled = list(edges)
+    random.Random(0).shuffle(shuffled)
+    # also flip direction of half the edges
+    flipped = [(b, a) if i % 2 else (a, b) for i, (a, b) in enumerate(shuffled)]
+    df2 = spark.createDataFrame(flipped, "a string, b string")
+    g1 = {r["id"]: r["cluster_id"] for r in connected_components(df1, DedupConfig()).collect()}
+    g2 = {r["id"]: r["cluster_id"] for r in connected_components(df2, DedupConfig()).collect()}
+    assert g1 == g2

@@ -1,0 +1,69 @@
+"""S3 exact dedup — sha256 per-row invariant + group collapse vs pandas oracle."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.exact import exact_dedup, with_sha
+from email_sanitizer_api_spark.operators.normalize import normalize_content
+
+
+def _prepared(spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    return with_sha(normalize_content(df))
+
+
+def test_sha256_per_row_invariant(spark, corpus_pdf):
+    """F.sha2 hex == hashlib.sha256 hex for every row (BASELINE.json
+    per-row invariant: content sha256 equality vs the reference)."""
+    got = (
+        _prepared(spark, corpus_pdf)
+        .select("repo", "path", "content", "raw_sha256")
+        .toPandas()
+    )
+    want = got["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    assert (got["raw_sha256"] == want).all()
+
+
+def test_exact_groups_match_pandas_oracle(spark, corpus_pdf):
+    prepared = _prepared(spark, corpus_pdf)
+    reps, membership = exact_dedup(prepared)
+    mem = membership.toPandas()
+
+    from tests.conftest import normalize_oracle
+    oracle = corpus_pdf.copy()
+    oracle["sha"] = oracle["content"].map(
+        lambda c: hashlib.sha256(normalize_oracle(c).encode()).hexdigest())
+    oracle_sizes = oracle.groupby("sha").size()
+
+    got_sizes = mem.groupby("content_sha256").size()
+    assert got_sizes.to_dict() == oracle_sizes.to_dict()
+
+    # representatives: deterministic min (repo, path, commit)
+    r = reps.toPandas().set_index("content_sha256")
+    oracle_rep = (
+        oracle.sort_values(["repo", "path", "commit"]).groupby("sha").first()
+    )
+    for sha, row in oracle_rep.iterrows():
+        assert r.loc[sha, "repo"] == row["repo"]
+        assert r.loc[sha, "path"] == row["path"]
+    # group_size matches
+    assert r["group_size"].astype(int).to_dict() == oracle_sizes.to_dict()
+
+
+def test_norm_probes_collapse(spark, corpus_pdf):
+    """CRLF / trailing-ws variants share the sha of their base file."""
+    prepared = _prepared(spark, corpus_pdf)
+    mem = prepared.select("path", "content_sha256").toPandas()
+    probes = mem[mem["path"].str.startswith("probe/")]
+    assert len(probes) > 0
+    non_probe = mem[~mem["path"].str.startswith("probe/")]
+    # every CRLF/trailing-ws probe (p_0, p_1, ... alternating variants 0,1)
+    # collapses onto some other file's sha; NFD probes prepend a line so
+    # they are near-dups, not exact
+    crlf_ws = probes[probes["path"].str.extract(r"p_(\d+)")[0].astype(int) % 3 != 2]
+    for sha in crlf_ws["content_sha256"]:
+        assert sha in set(non_probe["content_sha256"]), "probe did not collapse"

@@ -1,0 +1,108 @@
+"""S4/S5/S8 — MinHash/LSH recall vs the brute-force Jaccard oracle.
+
+BASELINE.json: dup-pair recall >= 0.99 at the configured shingle/signature
+config. Oracle = exact Jaccard over char k-gram shingle sets computed in
+pure Python (independent of the engine's numpy hashing).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.operators.exact import exact_dedup, with_sha
+from email_sanitizer_api_spark.operators.lsh import lsh_candidate_pairs
+from email_sanitizer_api_spark.operators.normalize import normalize_content
+from email_sanitizer_api_spark.operators.signatures import (
+    add_signatures,
+    minhash_from_shingles,
+    shingle_hashes,
+    _hash_families,
+)
+from email_sanitizer_api_spark.operators.verify import verify_pairs
+from tests.conftest import normalize_oracle, true_jaccard
+
+
+@pytest.fixture(scope="module")
+def sigs_and_oracle(spark, corpus_pdf, cfg):
+    df = spark.createDataFrame(corpus_pdf)
+    prepared = with_sha(normalize_content(df)).where(
+        F.octet_length("content") <= cfg.max_content_bytes
+    ).where(F.octet_length(F.trim("content")) > 0)
+    reps, _ = exact_dedup(prepared)
+    sigs = add_signatures(reps, cfg).select(
+        "content_sha256", "lang", "content_norm", "minhash", "simhash"
+    ).cache()
+    rows = sigs.select("content_sha256", "content_norm").collect()
+    contents = {r["content_sha256"]: r["content_norm"] for r in rows}
+    # brute-force oracle over all distinct-content pairs
+    oracle_pairs = {}
+    for a, b in itertools.combinations(sorted(contents), 2):
+        j = true_jaccard(contents[a], contents[b], cfg.shingle_k)
+        if j >= 0.5:
+            oracle_pairs[(a, b)] = j
+    return sigs, contents, oracle_pairs
+
+
+def test_minhash_estimates_true_jaccard():
+    """Unit: |est - true| small for a controlled pair."""
+    cfg = DedupConfig()
+    a, b = _hash_families(cfg.num_hashes, cfg.seed)
+    base = "\n".join(f"line {i} of some synthetic content body" for i in range(200))
+    variant = base.replace("line 7 ", "LINE 7x ").replace("line 150 ", "edited ")
+    sa = shingle_hashes(base, cfg.shingle_k)
+    sb = shingle_hashes(variant, cfg.shingle_k)
+    siga = minhash_from_shingles(sa, a, b)
+    sigb = minhash_from_shingles(sb, a, b)
+    est = float(np.mean(siga == sigb))
+    true = true_jaccard(base, variant, cfg.shingle_k)
+    assert abs(est - true) < 0.12, (est, true)
+
+
+def test_identical_content_identical_signature():
+    cfg = DedupConfig()
+    a, b = _hash_families(cfg.num_hashes, cfg.seed)
+    s = "def foo():\n    return 42\n" * 20
+    sig1 = minhash_from_shingles(shingle_hashes(s, cfg.shingle_k), a, b)
+    sig2 = minhash_from_shingles(shingle_hashes(s, cfg.shingle_k), a, b)
+    assert (sig1 == sig2).all()
+
+
+def test_lsh_recall_vs_oracle(sigs_and_oracle, cfg):
+    """Every oracle pair with true J >= tau must be found (recall >= 0.99);
+    exact-J>=tau pairs that also pass verification co-cluster."""
+    sigs, contents, oracle_pairs = sigs_and_oracle
+    dup_pairs = {p for p, j in oracle_pairs.items() if j >= cfg.jaccard_threshold}
+    assert len(dup_pairs) >= 5, "corpus must plant near-dups above tau"
+
+    cand = lsh_candidate_pairs(sigs, cfg)
+    verified = verify_pairs(cand, sigs, cfg)
+    got = {(r["a"], r["b"]) for r in verified.select("a", "b").collect()}
+
+    missed = dup_pairs - got
+    recall = 1 - len(missed) / len(dup_pairs)
+    assert recall >= 0.99, f"recall {recall}: missed {list(missed)[:5]}"
+
+
+def test_verify_rejects_low_jaccard(sigs_and_oracle, cfg):
+    """Pairs well below tau (true J < tau - 2*margin) must not survive."""
+    sigs, contents, oracle_pairs = sigs_and_oracle
+    cand = lsh_candidate_pairs(sigs, cfg)
+    verified = verify_pairs(cand, sigs, cfg)
+    got = {(r["a"], r["b"]) for r in verified.select("a", "b").collect()}
+    floor = cfg.jaccard_threshold - 2 * cfg.verify_margin
+    for a, b in got:
+        j = true_jaccard(contents[a], contents[b], cfg.shingle_k)
+        assert j >= floor - 0.05, f"accepted pair with true J={j}"
+
+
+def test_candidate_volume_bounded(sigs_and_oracle, cfg):
+    """LSH must not degenerate to all-pairs: candidates << n^2/2."""
+    sigs, contents, _ = sigs_and_oracle
+    n = len(contents)
+    n_cand = lsh_candidate_pairs(sigs, cfg).count()
+    assert n_cand < 0.2 * n * (n - 1) / 2, (n_cand, n)

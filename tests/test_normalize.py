@@ -1,0 +1,55 @@
+"""S2 normalize — CRLF/trailing-ws/NFC canonicalization, idempotence."""
+
+from __future__ import annotations
+
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.normalize import normalize_content
+from tests.conftest import normalize_oracle
+
+CASES = [
+    "def f():\n    return 1\n",
+    "line1\r\nline2\r\nline3",          # CRLF
+    "line1\rline2",                      # lone CR
+    "trailing   \nspaces\t\t\nok",       # trailing ws per line
+    "tail newlines\n\n\n",
+    "café nfc",
+    "café nfd",                    # NFD é → must equal NFC form
+    "mixed\r\n  trailing \r\ncafé\n\n",
+    "",
+]
+
+
+def _norm(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "id int, content string")
+    rows = normalize_content(df).select("id", "content_norm").collect()
+    return [r["content_norm"] for r in sorted(rows, key=lambda r: r["id"])]
+
+
+def test_matches_oracle(spark):
+    got = _norm(spark, CASES)
+    want = [normalize_oracle(c) for c in CASES]
+    assert got == want
+
+
+def test_nfd_nfc_collapse(spark):
+    nfc = "café"
+    nfd = unicodedata.normalize("NFD", nfc)
+    assert nfc != nfd
+    a, b = _norm(spark, [nfc, nfd])
+    assert a == b == nfc
+
+
+def test_idempotent(spark):
+    once = _norm(spark, CASES)
+    twice = _norm(spark, once)
+    assert once == twice
+
+
+def test_crlf_variant_same_bytes(spark):
+    body = "a\nb\nc\n"
+    a, b = _norm(spark, [body, body.replace("\n", "\r\n")])
+    assert a == b

@@ -1,0 +1,124 @@
+"""End-to-end pipeline + checkpoint/resume semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+from email_sanitizer_api_spark.pipeline import run_pipeline
+from email_sanitizer_api_spark.tableio import TableIO
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus_df, cfg):
+    return run_pipeline(spark, corpus_df, cfg)
+
+
+def test_invalid_rows_not_clustered(result, corpus_pdf, cfg):
+    fc = result.files_clustered.toPandas()
+    clustered_paths = set(fc["path"])
+    assert not any(p.startswith("bad/") for p in clustered_paths)
+    # but they are accounted for in validated
+    bad = result.validated.where(~F.col("verdict.is_valid")).count()
+    assert bad >= 1
+
+
+def test_exact_dups_co_cluster(result):
+    fc = result.files_clustered.toPandas()
+    copies = fc[fc["path"].str.startswith("copy/")]
+    originals = fc[fc["path"].str.startswith("src/")]
+    assert len(copies) > 0
+    by_sha = fc.groupby("content_sha256")["cluster_id"].nunique()
+    assert (by_sha == 1).all(), "same content must mean same cluster"
+    # each copy shares a cluster with its original
+    orig_clusters = set(originals["cluster_id"])
+    for _, row in copies.iterrows():
+        assert row["cluster_id"] in orig_clusters
+
+
+def test_vendored_subtree_clusters(result, corpus_pdf):
+    fc = result.files_clustered.toPandas()
+    vend = fc[fc["path"].str.startswith("vendor/lib/")]
+    n_repos_vendored = corpus_pdf[corpus_pdf["path"].str.startswith("vendor/lib/")]["repo"].nunique()
+    # every vendored file v_j clusters across all repos that vendor it
+    for path, grp in vend.groupby("path"):
+        assert grp["cluster_id"].nunique() == 1
+        assert len(grp) == n_repos_vendored
+
+
+def test_one_keeper_per_cluster(result):
+    fc = result.files_clustered.toPandas()
+    keepers = fc[fc["is_keeper"]].groupby("cluster_id").size()
+    assert (keepers == 1).all()
+    assert set(fc[fc["is_keeper"]]["cluster_id"]) == set(fc["cluster_id"])
+
+
+def test_keeper_is_lexicographic_min(result):
+    fc = result.files_clustered.toPandas()
+    for cid, grp in fc.groupby("cluster_id"):
+        srt = grp.sort_values(["repo", "path", "commit"]).iloc[0]
+        keeper = grp[grp["is_keeper"]].iloc[0]
+        assert (srt["repo"], srt["path"]) == (keeper["repo"], keeper["path"])
+
+
+def test_cluster_summary_consistent(result):
+    fc = result.files_clustered.toPandas()
+    cs = result.clusters.toPandas().set_index("cluster_id")
+    sizes = fc.groupby("cluster_id").size()
+    assert cs["n_files"].astype(int).to_dict() == sizes.to_dict()
+
+
+def test_checkpoint_resume(spark, tmp_path, cfg):
+    """Second run over the same warehouse reuses Completed stages and
+    produces byte-identical cluster assignments (SURVEY.md §5.2 item 6)."""
+    pdf = synthesize_code_files(CorpusSpec(n_base=40, invalid_rows=3, seed=7))
+    df = spark.createDataFrame(pdf)
+    wh = str(tmp_path / "wh")
+
+    io1 = TableIO(spark, wh, run_id="run1")
+    r1 = run_pipeline(spark, df, cfg, io=io1)
+    out1 = r1.files_clustered.toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+    # resume: all stages Completed → no recompute, same results
+    io2 = TableIO(spark, wh, run_id="run2")
+    r2 = run_pipeline(spark, df, cfg, io=io2)
+    out2 = r2.files_clustered.toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert out1.equals(out2)
+
+    manifest = io2.manifest_rows()
+    stages_run2 = [m for m in manifest if m["run_id"] == "run2" and m["stage"] != "_config"]
+    assert not any(m["status"] == "Processing" for m in stages_run2), \
+        "resume must not recompute Completed stages"
+
+    # Failed-stage semantics (reference O4): mark one stage Failed → only
+    # it (and downstream-missing tables) recompute
+    io3 = TableIO(spark, wh, run_id="run3")
+    io3._append_manifest({"run_id": "run3", "stage": "s9_clusters",
+                          "status": "Failed", "ts": 0})
+    r3 = run_pipeline(spark, df, cfg, io=io3)
+    out3 = r3.files_clustered.toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert out1.equals(out3)
+    recomputed = [m["stage"] for m in io3.manifest_rows()
+                  if m["run_id"] == "run3" and m["status"] == "Completed"
+                  and m["stage"] not in ("_config",)]
+    assert "s9_clusters" in recomputed
+
+
+def test_manifest_lineage_and_metrics(spark, tmp_path, cfg):
+    pdf = synthesize_code_files(CorpusSpec(n_base=20, invalid_rows=2, seed=9))
+    df = spark.createDataFrame(pdf)
+    io = TableIO(spark, str(tmp_path / "wh2"))
+    run_pipeline(spark, df, cfg, io=io)
+    rows = io.manifest_rows()
+    completed = [m for m in rows if m["status"] == "Completed" and m["stage"] != "_config"]
+    assert completed
+    for m in completed:
+        assert "lineage" in m and sum(m["lineage"].values()) == m["metrics"]["rows"]
+        assert m["wall_s"] >= 0
+    cfg_rows = [m for m in rows if m["stage"] == "_config"]
+    assert cfg_rows and cfg_rows[0]["config"]["num_hashes"] == cfg.num_hashes

@@ -1,0 +1,138 @@
+"""Property-based invariants (SURVEY.md §5.2 item 4) + skew behavior (item 5).
+
+Full-pipeline hypothesis runs are too slow per-example, so properties are
+exercised at the operator level with deterministic seeds, plus targeted
+whole-pipeline properties on small corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.operators.signatures import (
+    _hash_families,
+    minhash_from_shingles,
+    shingle_hashes,
+    simhash_from_shingles,
+)
+from email_sanitizer_api_spark.operators.suffix import substring_fingerprints
+from tests.conftest import true_jaccard
+
+CFG = DedupConfig()
+A, B = _hash_families(CFG.num_hashes, CFG.seed)
+
+text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    min_size=0, max_size=400,
+)
+
+
+@given(text)
+@settings(max_examples=60, deadline=None)
+def test_signature_deterministic(s):
+    sh1 = shingle_hashes(s, CFG.shingle_k)
+    sh2 = shingle_hashes(s, CFG.shingle_k)
+    assert np.array_equal(sh1, sh2)
+    assert np.array_equal(minhash_from_shingles(sh1, A, B),
+                          minhash_from_shingles(sh2, A, B))
+    assert simhash_from_shingles(sh1) == simhash_from_shingles(sh2)
+
+
+@given(text, text)
+@settings(max_examples=40, deadline=None)
+def test_minhash_estimate_within_bounds(s1, s2):
+    """Estimate is in [0,1]; equals 1 iff shingle sets equal (w.h.p.);
+    concentrates near true J for non-trivial inputs."""
+    sh1, sh2 = shingle_hashes(s1, CFG.shingle_k), shingle_hashes(s2, CFG.shingle_k)
+    sig1 = minhash_from_shingles(sh1, A, B)
+    sig2 = minhash_from_shingles(sh2, A, B)
+    est = float(np.mean(sig1 == sig2))
+    if np.array_equal(sh1, sh2):
+        assert est == 1.0
+    j = true_jaccard(s1, s2, CFG.shingle_k)
+    if min(sh1.size, sh2.size) >= 50:
+        assert abs(est - j) < 0.35  # 128 hashes → loose but sound bound
+
+
+@given(st.text(alphabet="ab\n", min_size=0, max_size=3000))
+@settings(max_examples=30, deadline=None)
+def test_fingerprints_subset_invariance(s):
+    """A doc always shares all fingerprints with itself + determinism."""
+    f1 = substring_fingerprints(s, CFG.suffix_min_len)
+    f2 = substring_fingerprints(s, CFG.suffix_min_len)
+    assert np.array_equal(f1, f2)
+
+
+def test_planting_exact_copy_always_pairs(spark, cfg):
+    """Recall 1.0 floor for exact dups: adding a copy of any row lands it
+    in the same cluster (duplicating a row never decreases cluster size)."""
+    import pandas as pd
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+    from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+
+    pdf = synthesize_code_files(CorpusSpec(n_base=25, invalid_rows=0, seed=11))
+    target = pdf.iloc[3]
+    clone = target.copy()
+    clone["repo"], clone["path"] = "zz/clone-repo", "clone/of_3.py"
+    pdf2 = pd.concat([pdf, clone.to_frame().T], ignore_index=True)
+
+    r1 = run_pipeline(spark, spark.createDataFrame(pdf), cfg)
+    r2 = run_pipeline(spark, spark.createDataFrame(pdf2), cfg)
+    fc1 = r1.files_clustered.toPandas()
+    fc2 = r2.files_clustered.toPandas()
+
+    t1 = fc1[(fc1["repo"] == target["repo"]) & (fc1["path"] == target["path"])].iloc[0]
+    t2 = fc2[(fc2["repo"] == target["repo"]) & (fc2["path"] == target["path"])].iloc[0]
+    c2 = fc2[(fc2["repo"] == "zz/clone-repo")].iloc[0]
+    assert c2["cluster_id"] == t2["cluster_id"]
+    size1 = (fc1["cluster_id"] == t1["cluster_id"]).sum()
+    size2 = (fc2["cluster_id"] == t2["cluster_id"]).sum()
+    assert size2 >= size1 + 1
+
+
+def test_input_permutation_invariant_clusters(spark, cfg):
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+    from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+
+    pdf = synthesize_code_files(CorpusSpec(n_base=25, invalid_rows=2, seed=13))
+    shuffled = pdf.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    r1 = run_pipeline(spark, spark.createDataFrame(pdf), cfg)
+    r2 = run_pipeline(spark, spark.createDataFrame(shuffled), cfg)
+    a = r1.files_clustered.toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    b = r2.files_clustered.toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert a[["repo", "path", "cluster_id", "is_keeper"]].equals(
+        b[["repo", "path", "cluster_id", "is_keeper"]])
+
+
+def test_hot_band_skew_star_pairing(spark, cfg):
+    """30% of files share a license header (FIXTURES.md hot-band case):
+    pair generation must not go quadratic — star strategy engages, and
+    total candidate pairs stay near-linear in corpus size."""
+    import pandas as pd
+    from email_sanitizer_api_spark.corpus import LICENSE_HEADER
+    from email_sanitizer_api_spark.operators.exact import with_sha
+    from email_sanitizer_api_spark.operators.normalize import normalize_content
+    from email_sanitizer_api_spark.operators.signatures import add_signatures
+    from email_sanitizer_api_spark.operators.lsh import lsh_candidate_pairs
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(300):
+        body = "\n".join(
+            f"fn_{i}_{j} = val_{int(rng.integers(0, 1e6))}" for j in range(40))
+        if i < 90:  # 30% share the identical header
+            body = LICENSE_HEADER + "\n" + body
+        rows.append(("r/r", f"f_{i}.py", "c" * 40, "python", body))
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    df = with_sha(normalize_content(spark.createDataFrame(pdf)))
+    # distinct contents (no exact dups here) — small allpairs cap to force
+    # the star path on any hot band
+    small_cap_cfg = DedupConfig(max_bucket_allpairs=8)
+    sigs = add_signatures(df.withColumnRenamed("content_sha256", "content_sha256"),
+                          small_cap_cfg)
+    pairs = lsh_candidate_pairs(sigs, small_cap_cfg)
+    n_pairs = pairs.count()
+    assert n_pairs < 10 * 300, f"candidate blowup: {n_pairs}"

@@ -1,0 +1,110 @@
+"""S6 SimHash + S7 substring-duplicate paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.operators.signatures import (
+    shingle_hashes,
+    simhash_from_shingles,
+)
+from email_sanitizer_api_spark.operators.simhash import simhash_candidate_pairs
+from email_sanitizer_api_spark.operators.suffix import (
+    substring_fingerprints,
+    suffix_candidate_pairs,
+    suffix_array_spans,
+)
+
+CFG = DedupConfig()
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_simhash_identical_zero_distance():
+    s = "int main() { return 0; }\n" * 30
+    h1 = simhash_from_shingles(shingle_hashes(s, CFG.shingle_k))
+    h2 = simhash_from_shingles(shingle_hashes(s, CFG.shingle_k))
+    assert h1 == h2
+
+
+def test_simhash_small_edit_small_distance():
+    base = "\n".join(f"statement_{i} = value_{i} + offset_{i};" for i in range(300))
+    tweaked = base.replace("statement_5 ", "statementX_5 ")
+    h1 = simhash_from_shingles(shingle_hashes(base, CFG.shingle_k))
+    h2 = simhash_from_shingles(shingle_hashes(tweaked, CFG.shingle_k))
+    assert _hamming(h1, h2) <= CFG.simhash_max_hamming
+
+
+def test_simhash_different_content_large_distance():
+    a = "\n".join(f"alpha_{i} beta_{i}" for i in range(200))
+    b = "\n".join(f"gamma_{j} delta_{j*7}" for j in range(180))
+    ha = simhash_from_shingles(shingle_hashes(a, CFG.shingle_k))
+    hb = simhash_from_shingles(shingle_hashes(b, CFG.shingle_k))
+    assert _hamming(ha, hb) > 10
+
+
+def test_simhash_pairs_end_to_end(spark):
+    base = "\n".join(f"line_{i} = compute({i});" for i in range(400))
+    rows = [
+        ("idA", base),
+        ("idB", base.replace("line_3 ", "line_3x ")),   # tiny edit
+        ("idC", "\n".join(f"other_{i}" for i in range(300))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "content_sha256 string, content_norm string")
+    from email_sanitizer_api_spark.operators.signatures import add_signatures
+    sigs = add_signatures(df, CFG)
+    pairs = {(r["a"], r["b"]) for r in simhash_candidate_pairs(sigs, CFG).collect()}
+    assert ("idA", "idB") in pairs
+    assert ("idA", "idC") not in pairs and ("idB", "idC") not in pairs
+
+
+def test_fingerprints_detect_shared_substring_any_offset():
+    """Winnowing guarantee: shared span >= min_len found at ANY offsets."""
+    shared = "".join(f"shared_line_{i} = {i * 17};\n" for i in range(120))
+    assert len(shared) >= CFG.suffix_min_len
+    a = "prefix_a\n" + shared + "suffix_a\n" * 50
+    b = ("different prefix lengths matter!\n" * 7) + shared + "suffix_b\n" * 80
+    fa = set(substring_fingerprints(a, CFG.suffix_min_len).tolist())
+    fb = set(substring_fingerprints(b, CFG.suffix_min_len).tolist())
+    assert fa & fb
+
+
+def test_fingerprints_no_false_share():
+    a = "\n".join(f"unique_a_{i}" for i in range(500))
+    b = "\n".join(f"unique_b_{i}" for i in range(500))
+    fa = set(substring_fingerprints(a, CFG.suffix_min_len).tolist())
+    fb = set(substring_fingerprints(b, CFG.suffix_min_len).tolist())
+    assert not (fa & fb)
+
+
+def test_suffix_pairs_end_to_end(spark):
+    embedded = "\n".join(f"vendored_line_{i} = {i};" for i in range(200))  # ~4KB
+    rows = [
+        ("idA", "// host file A\n" + embedded + "\n// trailer A\n" +
+         "\n".join(f"a_{i}" for i in range(100))),
+        ("idB", "// host file B (different)\n" + embedded + "\n" +
+         "\n".join(f"b_{i}" for i in range(150))),
+        ("idC", "\n".join(f"unrelated_{i}" for i in range(400))),
+    ]
+    df = spark.createDataFrame(rows, "content_sha256 string, content_norm string")
+    pairs = {(r["a"], r["b"]) for r in suffix_candidate_pairs(df, CFG).collect()}
+    assert ("idA", "idB") in pairs
+    assert not any("idC" in p for p in pairs)
+
+
+def test_suffix_array_spans_exact(spark):
+    embedded = "X = compute_everything(); " * 120  # ~3KB shared span
+    rows = [
+        ("g", "idA", "aaa\n" + embedded + "tail_a"),
+        ("g", "idB", "bbbbbb\n" + embedded + "tail_b_longer"),
+        ("g", "idC", "no shared content here at all " * 100),
+    ]
+    df = spark.createDataFrame(rows, "grp string, content_sha256 string, content_norm string")
+    got = {(r["a"], r["b"]) for r in
+           suffix_array_spans(df, ["grp"], DedupConfig(suffix_min_len=1024)).collect()}
+    assert got == {("idA", "idB")}

@@ -1,0 +1,82 @@
+"""S1 validate — golden verdict vectors + first-failure ordering.
+
+Shape ported from the reference's syntax corpus (src/handlers/validation/
+syntax.rs:156-278; syntax_test.rs length-boundary pattern 63/64/65) per
+FIXTURES.md §3.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.operators.validate import (
+    validate_content,
+    split_valid,
+    verdict_counts,
+)
+
+CAP = 1000
+CFG = DedupConfig(max_content_bytes=CAP)
+
+# (input, expect_valid, expect_code) — boundary probes at cap-1/cap/cap+1
+GOLDEN = [
+    ("def f():\n    return 1\n", True, None),
+    ("x" * (CAP - 1), True, None),
+    ("x" * CAP, True, None),                      # exactly at cap: valid
+    ("x" * (CAP + 1), False, "TOO_LARGE"),        # one over: invalid
+    ("", False, "EMPTY"),
+    ("   \n\t  ", False, "EMPTY"),
+    (None, False, "EMPTY"),
+    ("ELF\x00binary\x00", False, "BINARY_CONTENT"),
+    ("café = 1  # unicode ok\n", True, None),
+    # multi-byte chars: cap is octets, not chars (é is 2 bytes)
+    ("é" * (CAP // 2), True, None),
+    ("é" * (CAP // 2 + 1), False, "TOO_LARGE"),
+    # first-failure ordering: empty beats everything; NUL in oversize → TOO_LARGE first
+    ("x" * (CAP + 1) + "\x00", False, "TOO_LARGE"),
+]
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _, _) in enumerate(GOLDEN)], "id int, content string"
+    )
+    out = validate_content(df, CFG).select("id", "verdict").collect()
+    return {r["id"]: r["verdict"] for r in out}
+
+
+def test_golden_vectors(verdicts):
+    for i, (content, expect_valid, expect_code) in enumerate(GOLDEN):
+        v = verdicts[i]
+        assert v["is_valid"] == expect_valid, (i, content and content[:30], v)
+        if expect_valid:
+            assert v["status"] == "VALID"
+            assert v["error"] is None
+        else:
+            assert v["status"] is None
+            assert v["error"]["code"] == expect_code, (i, v)
+            assert v["error"]["message"]
+
+
+def test_split_and_counts(spark):
+    df = spark.createDataFrame([(c,) for c, _, _ in GOLDEN if c is not None],
+                               "content string")
+    validated = validate_content(df, CFG)
+    valid, invalid = split_valid(validated)
+    n_valid = sum(1 for c, ok, _ in GOLDEN if c is not None and ok)
+    n_invalid = sum(1 for c, ok, _ in GOLDEN if c is not None and not ok)
+    assert valid.count() == n_valid
+    assert invalid.count() == n_invalid
+    counts = verdict_counts(validated).collect()[0]
+    assert counts["valid_count"] == n_valid
+    assert counts["invalid_count"] == n_invalid
+
+
+def test_verdict_is_single_projection(spark):
+    """The whole cascade is one CASE expression — no joins/shuffles."""
+    df = spark.createDataFrame([("abc",)], "content string")
+    plan = validate_content(df, CFG)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
