@@ -1,38 +1,629 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-dup dedup pipeline on the sf0.001
+``documents`` table (mapped onto the engine's code_files schema).
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL. Column
+names/types are aligned pairwise (the driver hash-compares values after
+sorting columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.functions.text import (
+    BPE_PATTERN,
+    bpe_token_count_expr,
+    bpe_token_count_sql,
+    fingerprint_expr,
+    fingerprint_sql,
+    lang_id_expr,
+    lang_id_sql,
+    token_count_expr,
+    token_count_sql,
+)
+from email_sanitizer_api_spark.functions.similarity import (
+    cosine_topk,
+    token_jaccard_expr,
+)
+
+DOC_SIZE_CAP = 300  # bytes — chosen so the sf tables exercise TOO_LARGE
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_code_files(docs: DataFrame) -> DataFrame:
+    """Map documents(doc_id, text, lang, source, ...) onto the engine's
+    code_files(repo, path, commit, lang, content) input schema."""
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validate→normalize→exact→near-dup→cluster→prune run."""
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    cfg = DedupConfig()
+    res = run_pipeline(spark, _docs_as_code_files(docs), cfg)
+    return res.files_clustered.select(
+        "repo", "path", "content_sha256", "cluster_id", "is_keeper"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_conditional_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).cast("long").alias("high_qty_count"),
+        F.sum(F.when(F.col("l_quantity") <= 25, 1).otherwise(0)).cast("long").alias("low_qty_count"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
+
+
+_SQL_CONDITIONAL_COUNTS = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_qty_count,
+       CAST(sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS low_qty_count,
+       count(*) AS total_count
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_semi_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    asian_nations = (
+        nation.join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                    nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey")
+    )
+    return cust.join(F.broadcast(asian_nations),
+                     cust.c_nationkey == asian_nations.n_nationkey,
+                     "left_semi").select("c_custkey", "c_name", "c_nationkey")
+
+
+_SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_nationkey IN (
+    SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+        SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+"""
+
+
+def _q_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    blocklist = nation.where(F.col("n_name").startswith("A")).select("n_nationkey")
+    return cust.join(F.broadcast(blocklist),
+                     cust.c_nationkey == blocklist.n_nationkey,
+                     "left_anti").select("c_custkey", "c_name", "c_nationkey")
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_nationkey NOT IN (
+    SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
+"""
+
+
+def _q_exact_dedup_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("content_sha256")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("rep_doc_id"),
+    )
+
+
+_SQL_EXACT_DEDUP_DOCS = """
+SELECT sha256(text) AS content_sha256, count(*) AS n_docs,
+       min(doc_id) AS rep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def _q_dedup_keeper_window(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.sha2("text", 256).alias("content_sha256"))
+    )
+
+
+_SQL_DEDUP_KEEPER_WINDOW = """
+SELECT doc_id, sha256(text) AS content_sha256 FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM documents) t WHERE rn = 1
+"""
+
+
+def _q_dedup_collapse_metrics(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct(F.sha2("text", 256)).alias("distinct_contents"),
+        (F.count(F.lit(1)) - F.countDistinct(F.sha2("text", 256))).alias("collapsed_rows"),
+    )
+
+
+_SQL_DEDUP_COLLAPSE_METRICS = """
+SELECT count(*) AS total_rows,
+       count(DISTINCT sha256(text)) AS distinct_contents,
+       count(*) - count(DISTINCT sha256(text)) AS collapsed_rows
+FROM documents
+"""
+
+
+def _q_candidate_pair_selfjoin(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("a"))
+    b = o.select(F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("b"))
+    return (
+        a.join(b, "custkey").where(F.col("a") < F.col("b"))
+        .groupBy("custkey").agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_SQL_CANDIDATE_PAIR_SELFJOIN = """
+SELECT a.o_custkey AS custkey, count(*) AS n_pairs
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+GROUP BY 1
+"""
+
+
+def _q_union_pair_sets(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("a"), F.col("n_regionkey").alias("rk"))
+    b = n.select(F.col("n_nationkey").alias("b"), F.col("n_regionkey").alias("rk"))
+    same_region = a.join(b, "rk").where(F.col("a") < F.col("b")).select("a", "b")
+    adjacent = n.select(
+        F.col("n_nationkey").alias("a"), (F.col("n_nationkey") + 1).alias("b")
+    ).where(F.col("b") <= 24)
+    return same_region.unionByName(adjacent).distinct()
+
+
+_SQL_UNION_PAIR_SETS = """
+SELECT a.n_nationkey AS a, b.n_nationkey AS b
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+UNION
+SELECT n_nationkey AS a, n_nationkey + 1 AS b FROM nation
+WHERE n_nationkey + 1 <= 24
+"""
+
+
+def _q_window_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rank")
+    )
+
+
+_SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rank FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders) t WHERE rank <= 3
+"""
+
+
+def _q_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_validate_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    code = (
+        F.when(F.col("text").isNull() | F.col("text").rlike("^\\s*$"), F.lit("EMPTY"))
+        .when(F.octet_length("text") > DOC_SIZE_CAP, F.lit("TOO_LARGE"))
+        .otherwise(F.lit("VALID"))
+    )
+    return docs.select("doc_id", code.alias("verdict_code"))
+
+
+_SQL_VALIDATE_DOCUMENTS = f"""
+SELECT doc_id,
+       CASE WHEN text IS NULL OR regexp_matches(text, '^\\s*$') THEN 'EMPTY'
+            WHEN strlen(text) > {DOC_SIZE_CAP} THEN 'TOO_LARGE'
+            ELSE 'VALID' END AS verdict_code
+FROM documents
+"""
+
+
+def _q_validate_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    is_valid = (~(F.col("text").isNull() | F.col("text").rlike("^\\s*$"))
+                & (F.octet_length("text") <= DOC_SIZE_CAP))
+    return docs.agg(
+        F.sum(F.when(is_valid, 1).otherwise(0)).cast("long").alias("valid_count"),
+        F.sum(F.when(is_valid, 0).otherwise(1)).cast("long").alias("invalid_count"),
+    )
+
+
+_SQL_VALIDATE_COUNTS = f"""
+SELECT CAST(sum(CASE WHEN NOT (text IS NULL OR regexp_matches(text, '^\\s*$'))
+                      AND strlen(text) <= {DOC_SIZE_CAP}
+                THEN 1 ELSE 0 END) AS BIGINT) AS valid_count,
+       CAST(sum(CASE WHEN NOT (text IS NULL OR regexp_matches(text, '^\\s*$'))
+                      AND strlen(text) <= {DOC_SIZE_CAP}
+                THEN 0 ELSE 1 END) AS BIGINT) AS invalid_count
+FROM documents
+"""
+
+
+def _q_normalize_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    canon = F.lower(F.regexp_replace(F.trim("text"), "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("norm_md5"),
+        F.length(canon).cast("long").alias("norm_len"),
+    )
+
+
+_SQL_NORMALIZE_DOCUMENTS = """
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_md5,
+       CAST(length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents
+"""
+
+
+def _q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("ws_tokens"),
+        bpe_token_count_expr(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+_SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       {token_count_sql('text')} AS ws_tokens,
+       {bpe_token_count_sql('text')} AS bpe_tokens
+FROM documents
+"""
+
+
+def _q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+_SQL_LANG_ID = f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents"
+
+
+def _q_quality_scores(spark, sf_dir):
+    from email_sanitizer_api_spark.functions.text import quality_score_cols
+    docs = _t(spark, sf_dir, "documents")
+    cols = quality_score_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+_SQL_QUALITY_SCORES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars_d,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST({token_count_sql('text')} AS DOUBLE) AS n_tokens_d,
+         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|is|to|in)\\b')) AS DOUBLE) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars_d, n_tokens_d,
+         CASE WHEN n_chars_d > 0 THEN n_chars_d ELSE CAST(1.0 AS DOUBLE) END AS safe,
+         CASE WHEN n_tokens_d > 0 THEN n_tokens_d ELSE CAST(1.0 AS DOUBLE) END AS tok_safe,
+         n_alpha, n_punct, n_stop
+  FROM t)
+SELECT doc_id,
+       CAST(n_chars_d AS BIGINT) AS n_chars,
+       CAST(n_tokens_d AS BIGINT) AS n_tokens,
+       CAST(floor(n_alpha / safe * 10000.0 + 0.5) AS BIGINT) AS alpha_ratio_q,
+       CAST(floor(n_punct / safe * 10000.0 + 0.5) AS BIGINT) AS punct_ratio_q,
+       CAST(floor(n_stop / tok_safe * 10000.0 + 0.5) AS BIGINT) AS stop_ratio_q,
+       CAST(floor(safe / tok_safe * 10000.0 + 0.5) AS BIGINT) AS avg_token_len_q,
+       CAST(floor((CAST(0.4 AS DOUBLE) * (n_alpha / safe)
+           + CAST(0.3 AS DOUBLE) * least(n_stop / tok_safe * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+           + CAST(0.3 AS DOUBLE) * least(n_tokens_d / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+           * 10000.0 + 0.5) AS BIGINT) AS quality_score_q
+FROM r
+"""
+
+
+def _q_fingerprint_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint_expr(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SQL_FINGERPRINT_GROUPS = f"""
+SELECT {fingerprint_sql('text')} AS fingerprint, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def _q_token_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.array_distinct(F.split(F.lower(F.trim("text")), "\\s+")).alias("toks"),
+    )
+    a = toks.select(F.col("doc_id").alias("a"), F.col("lang").alias("lang"),
+                    F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("b"), F.col("lang").alias("lang"),
+                    F.col("toks").alias("tb"))
+    return (
+        a.join(b, "lang").where(F.col("a") < F.col("b"))
+        .withColumn("jaccard", F.round(token_jaccard_expr(F.col("ta"), F.col("tb")), 5))
+        .where(F.col("jaccard") >= 0.8)
+        .select("a", "b", "jaccard")
+    )
+
+
+_SQL_TOKEN_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 5) AS jaccard
+FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 5) >= 0.8
+"""
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5)
+
+
+_SQL_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+  FROM q JOIN e ON e.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_embedding_norms(spark, sf_dir):
+    from email_sanitizer_api_spark.functions.similarity import _as_double, norm_expr
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(norm_expr(_as_double(F.col("embedding"))), 5).alias("l2_norm"),
+    )
+
+
+_SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 5) AS l2_norm
+FROM embeddings
+"""
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    from email_sanitizer_api_spark.functions.multimodal import extract_media_meta
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("media"),
+    )
+    return extract_media_meta(media).select("media_id", "n_bytes", "sha256")
+
+
+_SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+# --- engine-only (rows-only checks: no SQL equivalent) ----------------------
+
+def _q_minhash_near_dup_pairs(spark, sf_dir):
+    from email_sanitizer_api_spark.operators.exact import exact_dedup, with_sha
+    from email_sanitizer_api_spark.operators.lsh import lsh_candidate_pairs
+    from email_sanitizer_api_spark.operators.normalize import normalize_content
+    from email_sanitizer_api_spark.operators.signatures import add_signatures
+    from email_sanitizer_api_spark.operators.verify import verify_pairs
+    cfg = DedupConfig(jaccard_threshold=0.5, verify_margin=0.05)
+    docs = _docs_as_code_files(_t(spark, sf_dir, "documents"))
+    prepared = with_sha(normalize_content(docs))
+    reps, _ = exact_dedup(prepared)
+    sigs = add_signatures(reps, cfg)
+    pairs = lsh_candidate_pairs(sigs, cfg)
+    return verify_pairs(pairs, sigs, cfg).select(
+        "a", "b", F.round("jaccard_est", 5).alias("jaccard_est"))
+
+
+def _q_simhash_signatures(spark, sf_dir):
+    from email_sanitizer_api_spark.operators.normalize import normalize_content
+    from email_sanitizer_api_spark.operators.signatures import add_signatures
+    cfg = DedupConfig()
+    docs = _docs_as_code_files(_t(spark, sf_dir, "documents"))
+    prepared = normalize_content(docs)
+    sigs = add_signatures(
+        prepared.withColumn("content_sha256", F.sha2("content_norm", 256)), cfg)
+    return sigs.select(F.col("path").alias("doc_path"), "simhash")
+
+
+def _q_connected_components_docs(spark, sf_dir):
+    from email_sanitizer_api_spark.operators.cluster import connected_components
+    cfg = DedupConfig()
+    pairs = _q_minhash_near_dup_pairs(spark, sf_dir).select("a", "b")
+    return connected_components(pairs, cfg).select(
+        F.col("id").alias("content_sha256"), "cluster_id")
+
+
+def _q_dedup_pipeline_full(spark, sf_dir):
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+    docs = _docs_as_code_files(_t(spark, sf_dir, "documents"))
+    res = run_pipeline(spark, docs, DedupConfig())
+    return res.clusters
+
+
+def _q_cosine_topk_lsh(spark, sf_dir):
+    from email_sanitizer_api_spark.functions.similarity import cosine_topk_lsh
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_lsh(emb, queries, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational surface (SURVEY.md §2.2-2.6)
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "conditional_counts_by_flag": _q_conditional_counts,
+        "bcast_semi_join_customers_in_region": _q_semi_join,
+        "bcast_anti_join_blocklist": _q_anti_join,
+        "candidate_pair_selfjoin": _q_candidate_pair_selfjoin,
+        "union_pair_sets": _q_union_pair_sets,
+        "window_topk_orders_per_cust": _q_window_topk,
+        "events_hourly_agg": _q_events_hourly,
+        # validate / normalize / dedup (S1-S3)
+        "validate_documents": _q_validate_documents,
+        "validate_counts": _q_validate_counts,
+        "normalize_documents": _q_normalize_documents,
+        "exact_dedup_documents": _q_exact_dedup_docs,
+        "dedup_keeper_window": _q_dedup_keeper_window,
+        "dedup_collapse_metrics": _q_dedup_collapse_metrics,
+        # text analysis
+        "token_count_documents": _q_token_counts,
+        "lang_id_documents": _q_lang_id,
+        "quality_score_documents": _q_quality_scores,
+        "doc_fingerprint_groups": _q_fingerprint_groups,
+        "token_jaccard_pairs": _q_token_jaccard_pairs,
+        # similarity search
+        "cosine_topk_embeddings": _q_cosine_topk,
+        "embedding_norms": _q_embedding_norms,
+        # multimodal plumbing
+        "multimodal_media_meta": _q_multimodal_meta,
+        # engine-only (rows-only correctness checks)
+        "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
+        "simhash_signatures": _q_simhash_signatures,
+        "connected_components_docs": _q_connected_components_docs,
+        "dedup_pipeline_full": _q_dedup_pipeline_full,
+        "cosine_topk_lsh": _q_cosine_topk_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
+        "conditional_counts_by_flag": _SQL_CONDITIONAL_COUNTS,
+        "bcast_semi_join_customers_in_region": _SQL_SEMI_JOIN,
+        "bcast_anti_join_blocklist": _SQL_ANTI_JOIN,
+        "candidate_pair_selfjoin": _SQL_CANDIDATE_PAIR_SELFJOIN,
+        "union_pair_sets": _SQL_UNION_PAIR_SETS,
+        "window_topk_orders_per_cust": _SQL_WINDOW_TOPK,
+        "events_hourly_agg": _SQL_EVENTS_HOURLY,
+        "validate_documents": _SQL_VALIDATE_DOCUMENTS,
+        "validate_counts": _SQL_VALIDATE_COUNTS,
+        "normalize_documents": _SQL_NORMALIZE_DOCUMENTS,
+        "exact_dedup_documents": _SQL_EXACT_DEDUP_DOCS,
+        "dedup_keeper_window": _SQL_DEDUP_KEEPER_WINDOW,
+        "dedup_collapse_metrics": _SQL_DEDUP_COLLAPSE_METRICS,
+        "token_count_documents": _SQL_TOKEN_COUNTS,
+        "lang_id_documents": _SQL_LANG_ID,
+        "quality_score_documents": _SQL_QUALITY_SCORES,
+        "doc_fingerprint_groups": _SQL_FINGERPRINT_GROUPS,
+        "token_jaccard_pairs": _SQL_TOKEN_JACCARD_PAIRS,
+        "cosine_topk_embeddings": _SQL_COSINE_TOPK,
+        "embedding_norms": _SQL_EMBEDDING_NORMS,
+        "multimodal_media_meta": _SQL_MULTIMODAL_META,
+        # minhash_near_dup_pairs / simhash_signatures /
+        # connected_components_docs / dedup_pipeline_full / cosine_topk_lsh:
+        # intentionally omitted — not SQL-expressible (driver rows-only check)
+    }

@@ -1,0 +1,23 @@
+from email_sanitizer_api_spark.functions.text import (
+    token_count_expr,
+    bpe_token_count_expr,
+    lang_id_expr,
+    quality_score_cols,
+    fingerprint_expr,
+)
+from email_sanitizer_api_spark.functions.similarity import (
+    cosine_similarity_expr,
+    token_jaccard_expr,
+    cosine_topk,
+)
+
+__all__ = [
+    "token_count_expr",
+    "bpe_token_count_expr",
+    "lang_id_expr",
+    "quality_score_cols",
+    "fingerprint_expr",
+    "cosine_similarity_expr",
+    "token_jaccard_expr",
+    "cosine_topk",
+]

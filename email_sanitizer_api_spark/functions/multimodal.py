@@ -1,0 +1,87 @@
+"""Multimodal columns: opaque binary media + typed metadata over mapInPandas.
+
+Images/audio/video ride as ``binary`` columns with a typed metadata struct.
+The decode/feature-extract step is a **stub** in this container (no
+image/audio libs installed — see ``decode_image``), but the Spark-side
+plumbing is real and tested: schema contract, Arrow batch iteration,
+partition-preserving mapInPandas, deterministic fake features so tests can
+assert exact values.
+
+Pattern: ``df.mapInPandas(make_media_extractor(...), schema)`` — batches
+stream through Arrow, the UDF is iterator-of-DataFrames so per-executor
+setup (model load, in real life) happens once per worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_id long, n_bytes long, sha256 string, media_type string, "
+    "width int, height int, features array<float>"
+)
+
+
+def decode_image(data: bytes) -> "np.ndarray":
+    """Real decode would use PIL/cv2 — not installed in this container."""
+    raise NotImplementedError(
+        "image decoding requires PIL/cv2 which are not available here; "
+        "use fake_decode for deterministic test features"
+    )
+
+
+def fake_decode(data: bytes, n_features: int = 8) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in: (width, height, features) derived from the
+    content hash — stable across runs, partitions, and machines."""
+    digest = hashlib.sha256(data).digest()
+    width = 16 + digest[0] % 240
+    height = 16 + digest[1] % 240
+    feats = (np.frombuffer(digest[: n_features * 2], dtype=np.uint16)
+             .astype(np.float32) / 65535.0)
+    return width, height, feats
+
+
+def make_media_extractor(media_col: str = "media", id_col: str = "media_id",
+                         media_type: str = "image", n_features: int = 8,
+                         use_fake_decode: bool = True):
+    """Returns the mapInPandas function producing MEDIA_META_SCHEMA rows."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-worker setup happens here exactly once (e.g. model load)
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_bytes": [], "sha256": [], "media_type": [],
+                "width": [], "height": [], "features": [],
+            }
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
+                raw = bytes(data) if data is not None else b""
+                if use_fake_decode:
+                    w, h, feats = fake_decode(raw, n_features)
+                else:  # pragma: no cover - real decode path
+                    img = decode_image(raw)
+                    h, w = img.shape[:2]
+                    feats = img.mean(axis=(0, 1)).astype(np.float32)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(raw))
+                out["sha256"].append(hashlib.sha256(raw).hexdigest())
+                out["media_type"].append(media_type)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    return extract
+
+
+def extract_media_meta(df: DataFrame, media_col: str = "media",
+                       id_col: str = "media_id", **kw) -> DataFrame:
+    return df.mapInPandas(
+        make_media_extractor(media_col=media_col, id_col=id_col, **kw),
+        schema=MEDIA_META_SCHEMA,
+    )

@@ -1,0 +1,119 @@
+"""Similarity search over embeddings + token-set similarity.
+
+Brute-force cosine top-k is the correctness baseline: a broadcast
+cross-join with the dot product as pure column math
+(``aggregate(zip_with(a, b, *), sum)``) — JVM-side, no Python. The scale
+path (``cosine_topk_lsh``) buckets vectors by random-hyperplane signs
+(SimHash for vectors) so each query only scans its own bucket family —
+the candidate join shrinks from |Q|x|N| to |Q|x|bucket|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(v: Column) -> Column:
+    return F.sqrt(dot_expr(v, v))
+
+
+def cosine_similarity_expr(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def token_jaccard_expr(tokens_a: Column, tokens_b: Column) -> Column:
+    inter = F.size(F.array_intersect(tokens_a, tokens_b)).cast("double")
+    union = F.size(F.array_union(tokens_a, tokens_b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    ``queries`` is expected to be small → Spark broadcasts it; the big side
+    streams through one whole-stage-codegen projection. Deterministic
+    tie-break by neighbor id.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    n = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(F.col(vec_col)).alias("nv"))
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity_expr(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 5).alias("cosine"))
+    )
+
+
+def hyperplane_signatures(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def vector_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id (bit per plane sign) — pure column math."""
+    bits = [
+        F.when(dot_expr(_as_double(vec), F.array(*[F.lit(float(x)) for x in p])) >= 0,
+               F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int,
+                    n_planes: int = 6, seed: int = DEFAULT_CONFIG.seed,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket (plus all 1-bit-flip neighbor buckets for recall), then exact
+    cosine rank within candidates. The join is an equi-join on bucket —
+    shuffle-partitionable, no cross join."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplane_signatures(dim, n_planes, seed)
+    n = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("nv"),
+                          vector_bucket_expr(F.col(vec_col), planes).alias("bucket"))
+    qb = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"),
+                        vector_bucket_expr(F.col(vec_col), planes).alias("b0"))
+    # probe own bucket + every 1-bit flip (multi-probe LSH)
+    probes = F.array(F.col("b0"), *[
+        F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+    ])
+    q = qb.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    scored = (
+        n.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity_expr(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 5).alias("cosine"))
+    )

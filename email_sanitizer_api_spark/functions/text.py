@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen — no Python):
+language-ID (marker-word heuristic), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting. Each has an exactly-equivalent ANSI-SQL form used as the
+DuckDB oracle in ``__spark_entry__.py`` — the Spark expression and the SQL
+are maintained as a pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# marker words per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, str] = {
+    "en": "\\b(the|a|of|and|is)\\b",
+    "de": "\\b(der|die|das|und|ist)\\b",
+    "fr": "\\b(le|la|les|et|est)\\b",
+    "es": "\\b(el|los|las|y|es)\\b",
+}
+
+STOPWORDS_PATTERN = "\\b(the|a|of|and|is|to|in)\\b"
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, "\\s+"))
+    ).cast("long")
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """BPE-ish pre-tokenization count (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))).cast("long")
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Heuristic language id: argmax of marker-word counts, 'und' when no
+    marker fires. Deterministic tie-break by the fixed language order."""
+    lowered = F.lower(text)
+    counts = {lang: F.regexp_count(lowered, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    # CASE semantics: first matching WHEN wins → earlier language in the
+    # fixed LANG_MARKERS order wins ties (same order as the SQL oracle)
+    result = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        result = result.when(counts[lang] == best, F.lit(lang))
+    return result.otherwise(F.lit("und"))
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Quality heuristics as named columns (all double, rounded for
+    cross-engine comparability)."""
+    n_chars = F.length(text).cast("double")
+    safe = F.when(n_chars > 0, n_chars).otherwise(F.lit(1.0))
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?'\"()]", "")).cast("double")
+    n_tokens = token_count_expr(text).cast("double")
+    n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORDS_PATTERN)).cast("double")
+    tok_safe = F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1.0))
+    alpha_ratio = n_alpha / safe
+    punct_ratio = n_punct / safe
+    stop_ratio = n_stop / tok_safe
+    avg_token_len = safe / tok_safe
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    )
+    # quantize with pure fp ops (floor(x*1e4+0.5)) — bit-identical across
+    # engines given identical input doubles, unlike decimal round() whose
+    # half-boundary behavior differs between Spark and DuckDB
+    q = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "alpha_ratio_q": q(alpha_ratio),
+        "punct_ratio_q": q(punct_ratio),
+        "stop_ratio_q": q(stop_ratio),
+        "avg_token_len_q": q(avg_token_len),
+        "quality_score_q": q(score),
+    }
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of the whitespace-collapsed,
+    lowercased text (md5 chosen over xxhash64 so the DuckDB oracle can
+    reproduce it bit-for-bit)."""
+    canon = F.lower(F.regexp_replace(F.trim(text), "\\s+", " "))
+    return F.md5(canon)
+
+
+# --- matching ANSI-SQL fragments (DuckDB oracle side) -----------------------
+
+def token_count_sql(col: str) -> str:
+    return (f"CAST(CASE WHEN trim({col}) = '' THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END AS BIGINT)")
+
+
+def bpe_token_count_sql(col: str) -> str:
+    return f"CAST(len(regexp_extract_all({col}, '{BPE_PATTERN}')) AS BIGINT)"
+
+
+def lang_id_sql(col: str) -> str:
+    cnt = {l: f"len(regexp_extract_all(lower({col}), '{p}'))"
+           for l, p in LANG_MARKERS.items()}
+    greatest = f"greatest({', '.join(cnt.values())})"
+    whens = " ".join(
+        f"WHEN {cnt[l]} = {greatest} THEN '{l}'" for l in LANG_MARKERS
+    )
+    return f"CASE WHEN {greatest} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+def fingerprint_sql(col: str) -> str:
+    return f"md5(lower(regexp_replace(trim({col}), '\\s+', ' ', 'g')))"
