@@ -30,6 +30,7 @@ from email_sanitizer_api_spark.functions.text import (
 from email_sanitizer_api_spark.functions.similarity import (
     cosine_topk,
     token_jaccard_expr,
+    token_set_similarity_join,
 )
 
 DOC_SIZE_CAP = 300  # bytes — chosen so the sf tables exercise TOO_LARGE
@@ -423,21 +424,19 @@ FROM documents GROUP BY 1
 
 
 def _q_token_jaccard_pairs(spark, sf_dir):
+    """Exact Jaccard>=0.8 pairs via prefix-filtered similarity join — same
+    result set as the oracle's brute-force O(n^2) join, but candidates come
+    from an equi-join on rarest-first prefix tokens (scale path)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang",
         F.array_distinct(F.split(F.lower(F.trim("text")), "\\s+")).alias("toks"),
     )
-    a = toks.select(F.col("doc_id").alias("a"), F.col("lang").alias("lang"),
-                    F.col("toks").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("b"), F.col("lang").alias("lang"),
-                    F.col("toks").alias("tb"))
-    return (
-        a.join(b, "lang").where(F.col("a") < F.col("b"))
-        .withColumn("jaccard", F.round(token_jaccard_expr(F.col("ta"), F.col("tb")), 5))
-        .where(F.col("jaccard") >= 0.8)
-        .select("a", "b", "jaccard")
+    pairs = token_set_similarity_join(
+        toks, threshold=0.8, id_col="doc_id", tokens_col="toks",
+        partition_cols=("lang",),
     )
+    return pairs.select("a", "b", F.round("jaccard", 5).alias("jaccard"))
 
 
 _SQL_TOKEN_JACCARD_PAIRS = """
@@ -522,7 +521,10 @@ def _q_minhash_near_dup_pairs(spark, sf_dir):
     docs = _docs_as_code_files(_t(spark, sf_dir, "documents"))
     prepared = with_sha(normalize_content(docs))
     reps, _ = exact_dedup(prepared)
-    sigs = add_signatures(reps, cfg)
+    # persist eagerly: sigs fans out into the LSH self-join (2 sides) and
+    # the two verify lookups — unpersisted, the signature UDF would run 4x
+    sigs = add_signatures(reps, cfg).persist()
+    sigs.count()
     pairs = lsh_candidate_pairs(sigs, cfg)
     return verify_pairs(pairs, sigs, cfg).select(
         "a", "b", F.round("jaccard_est", 5).alias("jaccard_est"))

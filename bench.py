@@ -1,0 +1,97 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers the engine's core surface: the flagship
+validate→normalize→exact→minhash/LSH→simhash→verify→cluster→prune dedup
+pipeline over ``documents`` (the north-rule workload, reported also as
+files/sec), plus representative relational queries (agg, joins, window,
+similarity search).
+
+Extra (non-contract) keys: ``files_per_sec`` for the dedup pipeline and
+``cpus`` for the parallelism level, so scaling runs at two parallelism
+levels (see tools/bench_scaling.py) are self-describing.
+
+Each query is forced end-to-end with a ``noop``-format write — full
+computation on executors, no driver collect bottleneck.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> int:
+    """Execute the full plan without materializing rows on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from email_sanitizer_api_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    headline = [
+        "dedup_pipeline_full",                  # flagship: full pipeline
+        "minhash_near_dup_pairs",               # S4+S5+S8 path in isolation
+        "exact_dedup_documents",                # S3 exact collapse
+        "simhash_signatures",                   # S6 signature path
+        "tpch_q1_pricing_summary",              # scan+agg throughput
+        "bcast_semi_join_customers_in_region",  # broadcast dim joins
+        "window_topk_orders_per_cust",          # window/top-k
+        "cosine_topk_embeddings",               # similarity brute-force
+        "token_jaccard_pairs",                  # n-gram jaccard near-dup
+    ]
+    headline = [q for q in headline if q in queries]
+
+    # number of input files the flagship pipeline processes (for files/sec)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # warm-up: JVM/codegen/Arrow paths (cheapest headline query)
+    force(queries["exact_dedup_documents"](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        force(queries[name](spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    dedup_sec = per_query.get("dedup_pipeline_full", 0.0)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": cpus,
+        "dedup_files": n_docs,
+        "files_per_sec": round(n_docs / dedup_sec, 1) if dedup_sec else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

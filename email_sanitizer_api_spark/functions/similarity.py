@@ -41,6 +41,66 @@ def token_jaccard_expr(tokens_a: Column, tokens_b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
 
 
+def token_set_similarity_join(
+    toks: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    tokens_col: str = "toks",
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact all-pairs token-set Jaccard join at ``>= threshold`` without a
+    cross join, via frequency-ordered prefix filtering (AllPairs/PPJoin).
+
+    Prefix-filtering principle: order all tokens globally by (document
+    frequency, token); for a set T the "prefix" is its first
+    ``|T| - ceil(t*|T|) + 1`` tokens in that order. If J(A,B) >= t then
+    |A∩B| >= t*max(|A|,|B|), so the globally-smallest shared token sits
+    inside BOTH prefixes — an equi-join on prefix tokens finds every
+    qualifying pair; an exact Jaccard verify then removes false positives.
+    Result is identical to the brute-force join, but candidates scale with
+    true near-dups instead of |N|²; rarest-first ordering keeps prefix-token
+    buckets small (no hot-token skew).
+    """
+    pc = list(partition_cols)
+    # base fans out 3x (explode, verify-left, verify-right) and cand 2x —
+    # cut the lineage so tokenization and candidate generation run once
+    base = toks.select(
+        *pc, F.col(id_col).alias("_id"), F.col(tokens_col).alias("_toks")
+    ).persist()
+    base.count()
+
+    ex = base.select(*pc, "_id", F.size("_toks").alias("_sz"),
+                     F.explode("_toks").alias("_tok"))
+    freq = ex.groupBy(*pc, "_tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(*pc, "_id").orderBy("_df", "_tok")
+    plen = (F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+    prefix = (
+        ex.join(freq, pc + ["_tok"])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= plen)
+        .select(*pc, "_id", "_tok")
+    )
+
+    l = prefix.select(*pc, "_tok", F.col("_id").alias("a"))
+    r = prefix.select(*pc, "_tok", F.col("_id").alias("b"))
+    cand = (
+        l.join(r, pc + ["_tok"])
+        .where(F.col("a") < F.col("b"))
+        .select(*pc, "a", "b")
+        .dropDuplicates(["a", "b"])
+    ).persist()
+    cand.count()
+
+    ta = base.select(*pc, F.col("_id").alias("a"), F.col("_toks").alias("_ta"))
+    tb = base.select(F.col("_id").alias("b"), F.col("_toks").alias("_tb"))
+    return (
+        cand.join(ta, pc + ["a"]).join(tb, "b")
+        .withColumn("jaccard", token_jaccard_expr(F.col("_ta"), F.col("_tb")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.

@@ -50,8 +50,14 @@ def pairs_from_buckets(nodes: DataFrame, bucket_cols: list[str],
     nodes: DataFrame with ``id`` + bucket columns. Returns distinct
     (a, b, strategy) with a < b.
     """
+    # the self-join below references `tagged` from four branches (small l/r,
+    # hot membership, hot reps) whose plans differ by alias — Catalyst can't
+    # reuse the exchange across them, so without an eager persist the
+    # nodes→counts→join subtree executes once per branch (lazy persist
+    # doesn't help: concurrent branches of one job race past the cache)
     counts = nodes.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n")).where("n > 1")
-    tagged = nodes.join(counts, bucket_cols)
+    tagged = nodes.join(counts, bucket_cols).persist()
+    tagged.count()
 
     small = tagged.where(F.col("n") <= allpairs_cap).drop("n")
     hot = tagged.where(F.col("n") > allpairs_cap).drop("n")

@@ -58,7 +58,25 @@ def run_pipeline(
 
     def ckpt(name: str, compute) -> DataFrame:
         if io is None:
-            return compute()
+            # no checkpoint store: persist each stage boundary instead —
+            # the plan fans out (sigs feed LSH, SimHash, suffix, verify and
+            # the CC vertex set), so without a cut here Spark re-executes
+            # the signature UDF once per branch. Materialize eagerly:
+            # a lazy persist referenced by several branches of one job gets
+            # computed concurrently by each branch before the cache fills.
+            # MEMORY_AND_DISK is the in-process analog of the TableIO
+            # checkpoint table (which is eager by construction — it writes).
+            import os
+            import time as _time
+
+            from pyspark.storagelevel import StorageLevel
+            t0 = _time.perf_counter()
+            df = compute().persist(StorageLevel.MEMORY_AND_DISK)
+            n = df.count()
+            if os.environ.get("SPARK_GRAFT_DEBUG"):
+                print(f"[stage {name}] {_time.perf_counter() - t0:.1f}s rows={n}",
+                      flush=True)
+            return df
         return io.stage(name, compute)
 
     # S1 validate (verdicts for every row; invalid rows never proceed)
