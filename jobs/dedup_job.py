@@ -1,0 +1,110 @@
+"""spark-submit entrypoint for the full dedup pipeline.
+
+Ships as a thin driver script; the engine rides along via ``--py-files``:
+
+    cd /root/repo && python tools/make_pyfiles.py /tmp/engine.zip
+    spark-submit --master <cluster> --py-files /tmp/engine.zip \
+        jobs/dedup_job.py \
+        --input  /data/code_files            # parquet dir or Iceberg table \
+        --warehouse /data/dedup_warehouse    # per-stage checkpoints + manifest \
+        --output /data/dedup_clusters        # final clustered table \
+        --run-id nightly-2026-08-16          # resumable id \
+        --set jaccard_threshold=0.7 --set num_hashes=128
+
+Resumability: every stage checkpoints through TableIO; rerunning the same
+command after a failure reuses Completed stages and recomputes the rest
+(the reference's job-queue Pending/Processing/Completed/Failed semantics,
+src/job_queue.rs:16-22, and its don't-cache-transient-errors rule,
+src/graphql/email.rs:151-159).
+
+On a real cluster pass an Iceberg table name as ``--input`` with
+``--input-format iceberg`` (needs the Iceberg runtime jar + catalog conf on
+the submit command); this sandbox exercises the parquet path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_overrides(pairs: list[str]) -> dict:
+    out = {}
+    for p in pairs:
+        k, _, v = p.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects key=value, got {p!r}")
+        out[k] = v
+    return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="near-dup dedup pipeline")
+    ap.add_argument("--input", required=True,
+                    help="parquet directory or Iceberg table of code_files")
+    ap.add_argument("--input-format", choices=["parquet", "iceberg"],
+                    default="parquet")
+    ap.add_argument("--warehouse", required=True,
+                    help="checkpoint warehouse directory")
+    ap.add_argument("--output", required=True,
+                    help="final clustered-files table path (parquet dir)")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--no-resume", action="store_true",
+                    help="ignore existing Completed checkpoints")
+    ap.add_argument("--no-simhash", action="store_true")
+    ap.add_argument("--no-suffix", action="store_true")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    metavar="KEY=VALUE", help="DedupConfig field override")
+    args = ap.parse_args(argv)
+
+    # imports after arg parsing so --help works without the zip
+    from pyspark.sql import SparkSession
+
+    from email_sanitizer_api_spark.config import DedupConfig
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+    from email_sanitizer_api_spark.tableio import TableIO
+
+    # spark-submit provides master/conf; getOrCreate attaches to it.
+    spark = SparkSession.builder.appName("dedup-pipeline").getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    overrides = parse_overrides(args.overrides)
+    base = DedupConfig()
+    typed = {}
+    for k, v in overrides.items():
+        cur = getattr(base, k)  # raises on unknown key — fail fast
+        typed[k] = type(cur)(v)
+    cfg = DedupConfig(**typed) if typed else base
+    cfg.validate()
+
+    if args.input_format == "iceberg":
+        files = spark.read.table(args.input)
+    else:
+        files = spark.read.parquet(args.input)
+
+    io = TableIO(spark, args.warehouse,
+                 **({"run_id": args.run_id} if args.run_id else {}),
+                 resume=not args.no_resume)
+    res = run_pipeline(
+        spark, files, cfg, io=io,
+        enable_simhash=not args.no_simhash,
+        enable_suffix=not args.no_suffix,
+    )
+    res.files_clustered.write.mode("overwrite").parquet(args.output)
+
+    summary = {
+        "run_id": io.run_id,
+        "input": args.input,
+        "output": args.output,
+        "files": res.files_clustered.count(),
+        "clusters": res.clusters.count(),
+        "stages": [r["stage"] for r in io.manifest_rows()
+                   if r.get("status") == "Completed"],
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Scaling-efficiency benchmark: the same dedup job at N vs 4N cores.
+
+The north rule requires throughput scaling efficiency >= 0.8 between N and
+4N executors. No real cluster exists in this sandbox, so (per driver
+instruction) we run the identical job at two parallelism levels —
+``local[8]`` and ``local[32]`` — on the same input and report throughput at
+both plus ``efficiency = (T_N / T_4N) / 4``.
+
+Input: a deterministically synthesized code corpus (seeded; FIXTURES.md §1
+recipe) sized so parallel work (validate/normalize/signature UDFs, hash
+joins) dominates fixed driver overhead. Each measurement is the minimum of
+``--repeats`` runs in fresh JVM subprocesses (this host has noisy
+neighbors; min-of-k is the standard defence).
+
+Usage:
+    python tools/bench_scaling.py [--n-base 12000] [--repeats 2]
+        [--cpus 8 32] [--out BENCH_SCALING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def corpus_path(n_base: int, lines_lo: int, lines_hi: int, seed: int) -> str:
+    return f"/tmp/scaling_corpus_b{n_base}_l{lines_lo}-{lines_hi}_s{seed}.parquet"
+
+
+def ensure_corpus(n_base: int, lines_lo: int, lines_hi: int, seed: int) -> str:
+    path = corpus_path(n_base, lines_lo, lines_hi, seed)
+    if os.path.exists(path):
+        return path
+    from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+
+    spec = CorpusSpec(
+        n_base=n_base,
+        n_repos=max(20, n_base // 50),
+        lines_lo=lines_lo,
+        lines_hi=lines_hi,
+        seed=seed,
+    )
+    t0 = time.time()
+    pdf = synthesize_code_files(spec)
+    pdf.to_parquet(path, index=False)
+    print(f"[corpus] {len(pdf)} rows, {pdf.content.str.len().sum()/1e6:.0f} MB "
+          f"chars -> {path} in {time.time()-t0:.0f}s", file=sys.stderr)
+    return path
+
+
+def one_run(parquet: str, cpus: int) -> dict:
+    """Run the full dedup pipeline once in a fresh JVM; return timing JSON."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--_child",
+         parquet, str(cpus)],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        raise RuntimeError(
+            f"child failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def child(parquet: str, cpus: int) -> None:
+    from email_sanitizer_api_spark.config import DedupConfig
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+    from email_sanitizer_api_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()  # JVM/scheduler warm-up outside the timer
+
+    files = spark.read.parquet(parquet)
+    n = files.count()
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, files, DedupConfig())
+    res.files_clustered.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({"cpus": cpus, "elapsed_sec": round(elapsed, 2),
+                      "files": n,
+                      "files_per_sec": round(n / elapsed, 1)}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--_child":
+        child(sys.argv[2], int(sys.argv[3]))
+        return
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-base", type=int, default=12000)
+    ap.add_argument("--lines-lo", type=int, default=150)
+    ap.add_argument("--lines-hi", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
+    args = ap.parse_args()
+
+    parquet = ensure_corpus(args.n_base, args.lines_lo, args.lines_hi, args.seed)
+
+    results: dict[int, dict] = {}
+    for cpus in args.cpus:
+        runs = []
+        for r in range(args.repeats):
+            res = one_run(parquet, cpus)
+            print(f"[run] cpus={cpus} repeat={r}: {res['elapsed_sec']}s "
+                  f"({res['files_per_sec']} files/s)", file=sys.stderr)
+            runs.append(res)
+        best = min(runs, key=lambda x: x["elapsed_sec"])
+        best["all_runs_sec"] = [x["elapsed_sec"] for x in runs]
+        results[cpus] = best
+
+    n_lo, n_hi = args.cpus
+    t_lo, t_hi = results[n_lo]["elapsed_sec"], results[n_hi]["elapsed_sec"]
+    speedup = t_lo / t_hi
+    ideal = n_hi / n_lo
+    efficiency = speedup / ideal
+    summary = {
+        "metric": "dedup_scaling_efficiency",
+        "input_files": results[n_hi]["files"],
+        "corpus": parquet,
+        "low": results[n_lo],
+        "high": results[n_hi],
+        "speedup": round(speedup, 3),
+        "ideal_speedup": ideal,
+        "efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "meets_target": efficiency >= 0.8,
+    }
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""Build the --py-files zip for spark-submit.
+
+Usage: python tools/make_pyfiles.py [/tmp/engine.zip]
+
+Zips the ``email_sanitizer_api_spark`` package (sources only) so executors
+can import it: ``spark-submit --py-files /tmp/engine.zip jobs/dedup_job.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out: str) -> str:
+    pkg = os.path.join(REPO, "email_sanitizer_api_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, names in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for name in sorted(names):
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(root, name)
+                z.write(full, os.path.relpath(full, REPO))
+    return out
+
+
+if __name__ == "__main__":
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/engine.zip"
+    print(build(dest))
