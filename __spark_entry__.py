@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 
 from email_sanitizer_api_spark.config import DedupConfig
 from email_sanitizer_api_spark.functions.text import (
-    BPE_PATTERN,
     bpe_token_count_expr,
     bpe_token_count_sql,
     fingerprint_expr,
@@ -29,7 +28,6 @@ from email_sanitizer_api_spark.functions.text import (
 )
 from email_sanitizer_api_spark.functions.similarity import (
     cosine_topk,
-    token_jaccard_expr,
     token_set_similarity_join,
 )
 
@@ -244,6 +242,54 @@ FROM nation a JOIN nation b
 UNION
 SELECT n_nationkey AS a, n_nationkey + 1 AS b FROM nation
 WHERE n_nationkey + 1 <= 24
+"""
+
+
+def _q_intersect_except_custs(spark, sf_dir):
+    """Set ops (SURVEY.md §2.6): customers with orders in BOTH 1995 and
+    1996 (intersect), minus any with a 1997 order (except)."""
+    o = _t(spark, sf_dir, "orders")
+    def yr(y):
+        return o.where(F.year("o_orderdate") == y).select(
+            F.col("o_custkey").alias("custkey")).distinct()
+    return yr(1995).intersect(yr(1996)).exceptAll(yr(1997)).distinct()
+
+
+_SQL_INTERSECT_EXCEPT = """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def _q_embedding_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup family): exact all-pairs
+    cosine >= threshold. This is the correctness baseline the oracle can
+    check; the approximate scale path is cosine_topk_lsh (hyperplane-LSH
+    bucketed, rows-only check)."""
+    from email_sanitizer_api_spark.functions.similarity import (
+        _as_double, cosine_similarity_expr)
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), _as_double(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), _as_double(F.col("embedding")).alias("vb"))
+    return (
+        a.crossJoin(b).where(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine_similarity_expr(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= 0.35)
+        .select("a", "b", F.round("cos", 5).alias("cosine"))
+    )
+
+
+_SQL_EMBEDDING_COSINE_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
 """
 
 
@@ -572,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcast_anti_join_blocklist": _q_anti_join,
         "candidate_pair_selfjoin": _q_candidate_pair_selfjoin,
         "union_pair_sets": _q_union_pair_sets,
+        "intersect_except_custs": _q_intersect_except_custs,
         "window_topk_orders_per_cust": _q_window_topk,
         "events_hourly_agg": _q_events_hourly,
         # validate / normalize / dedup (S1-S3)
@@ -590,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk_embeddings": _q_cosine_topk,
         "embedding_norms": _q_embedding_norms,
+        "embedding_cosine_near_dup": _q_embedding_cosine_near_dup,
         # multimodal plumbing
         "multimodal_media_meta": _q_multimodal_meta,
         # engine-only (rows-only correctness checks)
@@ -609,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "bcast_anti_join_blocklist": _SQL_ANTI_JOIN,
         "candidate_pair_selfjoin": _SQL_CANDIDATE_PAIR_SELFJOIN,
         "union_pair_sets": _SQL_UNION_PAIR_SETS,
+        "intersect_except_custs": _SQL_INTERSECT_EXCEPT,
         "window_topk_orders_per_cust": _SQL_WINDOW_TOPK,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
         "validate_documents": _SQL_VALIDATE_DOCUMENTS,
@@ -624,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "token_jaccard_pairs": _SQL_TOKEN_JACCARD_PAIRS,
         "cosine_topk_embeddings": _SQL_COSINE_TOPK,
         "embedding_norms": _SQL_EMBEDDING_NORMS,
+        "embedding_cosine_near_dup": _SQL_EMBEDDING_COSINE_NEAR_DUP,
         "multimodal_media_meta": _SQL_MULTIMODAL_META,
         # minhash_near_dup_pairs / simhash_signatures /
         # connected_components_docs / dedup_pipeline_full / cosine_topk_lsh:

@@ -13,8 +13,8 @@ disposable.rs:45). Engine analog over file content:
 
 Idempotent: normalize(normalize(x)) == normalize(x) (tested).
 Steps 1-3 are pure Column expressions inside codegen; only NFC leaves the
-JVM, in Arrow batches, and is skipped entirely for pure-ASCII rows via a
-cheap native guard (the common case for source code pays zero Python cost).
+JVM, in Arrow batches (see normalize_expr for why NFC runs unconditionally
+rather than behind an is-ASCII guard).
 """
 
 from __future__ import annotations
@@ -38,9 +38,14 @@ def normalize_expr(content: Column) -> Column:
     c = F.regexp_replace(content, "\r\n?", "\n")      # CRLF / lone CR → LF
     c = F.regexp_replace(c, "[ \t]+(\n)", "$1")        # trailing ws per line
     c = F.regexp_replace(c, "[ \t\n]+$", "")           # trailing blank tail
-    # ASCII fast path: NFC is identity on ASCII; only ship non-ASCII rows
-    # through the pandas UDF (rlike guard evaluates JVM-side).
-    return F.when(c.rlike("^[\\x00-\\x7F]*$"), c).otherwise(_nfc(c))
+    # NFC unconditionally. A when(ascii, c).otherwise(_nfc(c)) guard looks
+    # cheaper but is 3x SLOWER: Catalyst extracts the UDF into its own
+    # ArrowEvalPython node and inlines the regex chain into the condition,
+    # the then-branch AND the UDF input — the chain runs up to 3x per row
+    # (measured 27.9s vs 9.2s on a 220MB corpus at local[32]). Unconditional
+    # NFC evaluates the chain once; pandas' NFC is near-free on ASCII
+    # (quick-check path: 0.1s for 220MB).
+    return _nfc(c)
 
 
 def normalize_content(df: DataFrame, content_col: str = "content",

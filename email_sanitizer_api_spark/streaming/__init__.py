@@ -1,0 +1,5 @@
+from email_sanitizer_api_spark.streaming.incremental import (  # noqa: F401
+    CODE_FILES_DDL,
+    prepared_stream,
+    run_incremental_ingest,
+)

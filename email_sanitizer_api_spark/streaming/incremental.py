@@ -1,0 +1,65 @@
+"""Incremental ingest via Structured Streaming (availableNow trigger).
+
+The reference has no true streams (GraphQL subscriptions are
+EmptySubscription, reference src/graphql/schema.rs:18; the Redis job queue
+is discrete async batch, src/job_queue.rs:87-106) — SURVEY.md §2.9. What it
+*does* have is incremental, resumable intake: jobs arrive over time, each
+processed exactly once, progress tracked by status keys. The Spark-native
+restatement is an ``availableNow`` streaming ingest:
+
+    new code_files land in a directory/table
+      → readStream (declared schema, no inference)
+      → validate → normalize → sha  (map-only transforms, streaming-safe)
+      → append to the prepared staging table, exactly-once via the
+        streaming checkpoint (source offsets = the job queue;
+        checkpointLocation = the job-status store)
+
+Each invocation drains everything currently available and stops — the
+streaming analog of the reference worker's drain loop (src/worker.rs:34-58).
+The heavy near-dup/clustering stages stay batch (they are iterative /
+all-pairs by nature): run ``run_pipeline`` over the staging table on
+whatever cadence suits; its TableIO checkpoints make that re-run cheap.
+
+No watermarks/windows are needed: the pipeline's transforms up to S3 are
+stateless projections, so late data is simply processed when it arrives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+from email_sanitizer_api_spark.operators.exact import with_sha
+from email_sanitizer_api_spark.operators.normalize import normalize_content
+from email_sanitizer_api_spark.operators.validate import split_valid, validate_content
+
+#: input schema is declared, never inferred (streaming requires this anyway)
+CODE_FILES_DDL = ("repo string, path string, commit string, "
+                  "lang string, content string")
+
+
+def prepared_stream(spark: SparkSession, input_dir: str,
+                    cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Streaming DataFrame of validated+normalized+hashed rows."""
+    src = spark.readStream.schema(CODE_FILES_DDL).parquet(input_dir)
+    validated = validate_content(src, cfg)
+    valid, _invalid = split_valid(validated)
+    return with_sha(normalize_content(valid.drop("verdict")))
+
+
+def run_incremental_ingest(spark: SparkSession, input_dir: str,
+                           staging_dir: str, checkpoint_dir: str,
+                           cfg: DedupConfig = DEFAULT_CONFIG) -> None:
+    """Drain all currently-available input into the staging table, exactly
+    once, then return. Re-invoking after new files arrive processes only
+    the new files (offsets live in ``checkpoint_dir``)."""
+    q = (
+        prepared_stream(spark, input_dir, cfg)
+        .writeStream.format("parquet")
+        .option("path", staging_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
