@@ -24,6 +24,12 @@ class DedupConfig:
     shingle_k: int = 5          # character k-grams over normalized content
     num_hashes: int = 128       # signature width
     seed: int = 42              # hash-family seed (determinism)
+    # "oph" = one-permutation hashing + rotation densification: one pass
+    # over the shingles (O(n) vs O(num_hashes*n)), same unbiased estimator
+    # and near-identical variance (signatures.py oph_from_shingles) —
+    # ~100x less signature CPU. "multiply_shift" = classic per-family
+    # minwise hashing, kept for cross-checking the estimator.
+    minhash_scheme: str = "oph"
 
     # --- LSH banding (S5) ---
     # recall math (the reason for 32x4, not 16x8): candidate-collision
@@ -74,6 +80,10 @@ class DedupConfig:
     arrow_batch_rows: int = 2_000
 
     def validate(self) -> None:
+        if self.minhash_scheme not in ("oph", "multiply_shift"):
+            raise ValueError(f"unknown minhash_scheme {self.minhash_scheme!r}")
+        if self.minhash_scheme == "oph" and self.num_hashes & (self.num_hashes - 1):
+            raise ValueError("num_hashes must be a power of two for OPH")
         if self.num_bands * self.rows_per_band != self.num_hashes:
             raise ValueError(
                 f"num_bands*rows_per_band ({self.num_bands}*{self.rows_per_band}) "

@@ -109,14 +109,18 @@ def main() -> None:
 
     parquet = ensure_corpus(args.n_base, args.lines_lo, args.lines_hi, args.seed)
 
-    results: dict[int, dict] = {}
-    for cpus in args.cpus:
-        runs = []
-        for r in range(args.repeats):
+    # interleave the two levels (lo, hi, lo, hi, ...) so slow drift in
+    # host contention (shared machine) hits both levels equally; min-of-k
+    # then filters the transient spikes.
+    runs_by_cpus: dict[int, list] = {c: [] for c in args.cpus}
+    for r in range(args.repeats):
+        for cpus in args.cpus:
             res = one_run(parquet, cpus)
             print(f"[run] cpus={cpus} repeat={r}: {res['elapsed_sec']}s "
                   f"({res['files_per_sec']} files/s)", file=sys.stderr)
-            runs.append(res)
+            runs_by_cpus[cpus].append(res)
+    results: dict[int, dict] = {}
+    for cpus, runs in runs_by_cpus.items():
         best = min(runs, key=lambda x: x["elapsed_sec"])
         best["all_runs_sec"] = [x["elapsed_sec"] for x in runs]
         results[cpus] = best
