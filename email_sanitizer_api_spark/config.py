@@ -74,6 +74,11 @@ class DedupConfig:
     # --- clustering (S9) ---
     cc_max_iterations: int = 50
     cc_checkpoint_every: int = 5
+    # adaptive small-graph path: edge sets up to this size are clustered
+    # with exact driver-side union-find (one collect + one broadcast join)
+    # instead of the O(diameter) shuffle-iteration loop. 5M string edges
+    # ~= a few hundred MB on the driver — safe; raise/lower per driver RAM.
+    cc_driver_max_edges: int = 5_000_000
 
     # --- execution ---
     shuffle_partitions: int = 64

@@ -23,10 +23,61 @@ from pyspark.sql import functions as F
 from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
 
 
+def _driver_union_find(edges_pdf) -> dict[str, str]:
+    """Exact path-compressed union-find; cluster id = min label (string
+    order) of the component — identical to the join-loop fixpoint."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges_pdf["a"], edges_pdf["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by label order so the root is always the min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                          vertices: DataFrame | None = None) -> DataFrame:
     """edges(a, b) → (id, cluster_id); singletons (vertices without edges)
-    keep cluster_id == id when ``vertices`` (single column ``id``) given."""
+    keep cluster_id == id when ``vertices`` (single column ``id``) given.
+
+    Adaptive execution: near-dup edge sets are usually tiny relative to the
+    corpus (dups are the exception, and exact-dedup already collapsed the
+    common case), so when the edge count is at most
+    ``cc_driver_max_edges`` the component computation runs as exact
+    union-find on the driver — one collect + one broadcast join instead of
+    O(diameter) shuffle iterations (which were the pipeline's largest
+    serial cost). Bigger graphs take the distributed min-label-propagation
+    loop below; both produce the identical min-label fixpoint.
+    """
+    edges = edges.select("a", "b").dropDuplicates(["a", "b"]).localCheckpoint()
+    n_edges = edges.count()
+    if n_edges <= cfg.cc_driver_max_edges:
+        spark = edges.sparkSession
+        if n_edges == 0:
+            if vertices is None:
+                return spark.createDataFrame([], "id string, cluster_id string")
+            return vertices.select("id", F.col("id").alias("cluster_id"))
+        mapping = _driver_union_find(edges.toPandas())
+        labels = spark.createDataFrame(
+            list(mapping.items()), "id string, cluster_id string")
+        if vertices is not None:
+            labels = (
+                vertices.select("id")
+                .join(F.broadcast(labels), "id", "left")
+                .withColumn("cluster_id", F.coalesce("cluster_id", "id"))
+            )
+        return labels
+
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))

@@ -50,13 +50,19 @@ def pairs_from_buckets(nodes: DataFrame, bucket_cols: list[str],
     nodes: DataFrame with ``id`` + bucket columns. Returns distinct
     (a, b, strategy) with a < b.
     """
-    # the self-join below references `tagged` from four branches (small l/r,
-    # hot membership, hot reps) whose plans differ by alias — Catalyst can't
-    # reuse the exchange across them, so without an eager persist the
-    # nodes→counts→join subtree executes once per branch (lazy persist
-    # doesn't help: concurrent branches of one job race past the cache)
-    counts = nodes.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n")).where("n > 1")
-    tagged = nodes.join(counts, bucket_cols).persist()
+    # bucket sizes via a window over the bucket key: ONE shuffle, versus the
+    # equivalent groupBy+rejoin's two. The self-join below references
+    # `tagged` from four branches (small l/r, hot membership, hot reps)
+    # whose plans differ by alias — Catalyst can't reuse the exchange across
+    # them, so persist eagerly (a lazy persist doesn't help: concurrent
+    # branches of one job race past the unfilled cache).
+    from pyspark.sql import Window
+    w = Window.partitionBy(*bucket_cols)
+    tagged = (
+        nodes.withColumn("n", F.count(F.lit(1)).over(w))
+        .where("n > 1")
+        .persist()
+    )
     tagged.count()
 
     small = tagged.where(F.col("n") <= allpairs_cap).drop("n")

@@ -56,6 +56,15 @@ def run_pipeline(
     if io is not None:
         io.log_config(cfg.to_dict())
 
+    # Input parallelism guard: the stages up to the first shuffle (validate,
+    # normalize, sha) inherit the scan's split count. A small or
+    # single-row-group input (one unsplittable parquet file) would serialize
+    # them onto one task no matter how many cores exist. Real corpora have
+    # thousands of splits and skip this; tiny inputs pay one cheap shuffle.
+    target = spark.sparkContext.defaultParallelism
+    if files.rdd.getNumPartitions() < target:
+        files = files.repartition(target)
+
     def ckpt(name: str, compute) -> DataFrame:
         if io is None:
             # no checkpoint store: persist each stage boundary instead —

@@ -22,8 +22,10 @@ def _random_edges(seed: int, n_nodes: int, n_edges: int) -> list[tuple[str, str]
     return sorted(edges)
 
 
+@pytest.mark.parametrize("max_edges", [5_000_000, 0],
+                         ids=["driver-union-find", "distributed-loop"])
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 60, 40), (2, 100, 120), (3, 30, 5)])
-def test_matches_union_find(spark, seed, n_nodes, n_edges):
+def test_matches_union_find(spark, seed, n_nodes, n_edges, max_edges):
     edges = _random_edges(seed, n_nodes, n_edges)
     uf = UnionFind()
     for a, b in edges:
@@ -33,7 +35,8 @@ def test_matches_union_find(spark, seed, n_nodes, n_edges):
     df = spark.createDataFrame(edges, "a string, b string")
     got = {
         r["id"]: r["cluster_id"]
-        for r in connected_components(df, DedupConfig()).collect()
+        for r in connected_components(
+            df, DedupConfig(cc_driver_max_edges=max_edges)).collect()
     }
     # same partition of nodes AND same canonical min-label ids
     assert got == want
@@ -44,18 +47,31 @@ def test_chain_converges(spark):
     n = 40
     edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(n - 1)]
     df = spark.createDataFrame(edges, "a string, b string")
-    got = connected_components(df, DedupConfig(cc_max_iterations=64)).collect()
+    # force the distributed loop: a path graph is its worst case (diameter)
+    got = connected_components(
+        df, DedupConfig(cc_max_iterations=64, cc_driver_max_edges=0)).collect()
     assert {r["cluster_id"] for r in got} == {"c000"}
     assert len(got) == n
 
 
-def test_singletons_kept(spark):
+@pytest.mark.parametrize("max_edges", [5_000_000, 0],
+                         ids=["driver-union-find", "distributed-loop"])
+def test_singletons_kept(spark, max_edges):
     edges = [("a", "b")]
     verts = spark.createDataFrame([("a",), ("b",), ("z",)], "id string")
     df = spark.createDataFrame(edges, "a string, b string")
+    cfg = DedupConfig(cc_driver_max_edges=max_edges)
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(df, cfg, vertices=verts).collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_empty_edges_with_vertices(spark):
+    verts = spark.createDataFrame([("a",), ("b",)], "id string")
+    df = spark.createDataFrame([], "a string, b string")
     got = {r["id"]: r["cluster_id"]
            for r in connected_components(df, DedupConfig(), vertices=verts).collect()}
-    assert got == {"a": "a", "b": "a", "z": "z"}
+    assert got == {"a": "a", "b": "b"}
 
 
 def test_permutation_invariant(spark):

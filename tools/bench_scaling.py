@@ -31,12 +31,17 @@ sys.path.insert(0, REPO)
 
 
 def corpus_path(n_base: int, lines_lo: int, lines_hi: int, seed: int) -> str:
-    return f"/tmp/scaling_corpus_b{n_base}_l{lines_lo}-{lines_hi}_s{seed}.parquet"
+    return f"/tmp/scaling_corpus_b{n_base}_l{lines_lo}-{lines_hi}_s{seed}_multi"
 
 
-def ensure_corpus(n_base: int, lines_lo: int, lines_hi: int, seed: int) -> str:
+def ensure_corpus(n_base: int, lines_lo: int, lines_hi: int, seed: int,
+                  n_files: int = 64) -> str:
+    """Corpus as a DIRECTORY of parquet files — a single pandas-written
+    file is one row group, i.e. one scan split, which would serialize the
+    pre-shuffle stages onto one task and invalidate the scaling comparison.
+    Real corpora are many-split; the bench input must be too."""
     path = corpus_path(n_base, lines_lo, lines_hi, seed)
-    if os.path.exists(path):
+    if os.path.isdir(path) and os.listdir(path):
         return path
     from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
 
@@ -49,9 +54,14 @@ def ensure_corpus(n_base: int, lines_lo: int, lines_hi: int, seed: int) -> str:
     )
     t0 = time.time()
     pdf = synthesize_code_files(spec)
-    pdf.to_parquet(path, index=False)
+    os.makedirs(path, exist_ok=True)
+    chunk = (len(pdf) + n_files - 1) // n_files
+    for i in range(0, len(pdf), chunk):
+        pdf.iloc[i:i + chunk].to_parquet(
+            os.path.join(path, f"part-{i // chunk:04d}.parquet"), index=False)
     print(f"[corpus] {len(pdf)} rows, {pdf.content.str.len().sum()/1e6:.0f} MB "
-          f"chars -> {path} in {time.time()-t0:.0f}s", file=sys.stderr)
+          f"chars -> {path} ({n_files} files) in {time.time()-t0:.0f}s",
+          file=sys.stderr)
     return path
 
 
