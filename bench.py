@@ -71,11 +71,18 @@ def main() -> None:
     # warm-up: JVM/codegen/Arrow paths (cheapest headline query)
     force(queries["exact_dedup_documents"](spark, sf_dir))
 
+    # best-of-2 per query: this VM shares a host (identical jobs vary 3-6x
+    # between contended and quiet windows); min-of-k recovers the machine-
+    # limited number the same way the scaling harness does.
     per_query: dict[str, float] = {}
     for name in headline:
-        t0 = time.perf_counter()
-        force(queries[name](spark, sf_dir))
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()  # drop persists from the prior run
+            t0 = time.perf_counter()
+            force(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
     dedup_sec = per_query.get("dedup_pipeline_full", 0.0)
