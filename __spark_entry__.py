@@ -602,6 +602,22 @@ def _q_dedup_pipeline_full(spark, sf_dir):
     return res.clusters
 
 
+def _q_suffix_array_spans(spark, sf_dir):
+    """Exact per-bucket suffix-array shared-substring pairs (S7 exact path,
+    SURVEY.md §4): applyInPandas builds a suffix array over each lang
+    bucket's concatenated text and reports pairs sharing >= min_len bytes.
+    Not SQL-expressible (rows-only check)."""
+    from email_sanitizer_api_spark.operators.suffix import suffix_array_spans
+    docs = _t(spark, sf_dir, "documents")
+    reps = docs.select(
+        "lang",
+        F.sha2("text", 256).alias("content_sha256"),
+        F.col("text").alias("content_norm"),
+    ).dropDuplicates(["content_sha256"])
+    cfg = DedupConfig(suffix_min_len=200)
+    return suffix_array_spans(reps, ["lang"], cfg)
+
+
 def _q_cosine_topk_lsh(spark, sf_dir):
     from email_sanitizer_api_spark.functions.similarity import cosine_topk_lsh
     emb = _t(spark, sf_dir, "embeddings")
@@ -646,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_docs": _q_connected_components_docs,
         "dedup_pipeline_full": _q_dedup_pipeline_full,
         "cosine_topk_lsh": _q_cosine_topk_lsh,
+        "suffix_array_spans": _q_suffix_array_spans,
     }
 
 
@@ -676,6 +693,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_near_dup": _SQL_EMBEDDING_COSINE_NEAR_DUP,
         "multimodal_media_meta": _SQL_MULTIMODAL_META,
         # minhash_near_dup_pairs / simhash_signatures /
-        # connected_components_docs / dedup_pipeline_full / cosine_topk_lsh:
+        # connected_components_docs / dedup_pipeline_full / cosine_topk_lsh /
+        # suffix_array_spans:
         # intentionally omitted — not SQL-expressible (driver rows-only check)
     }

@@ -42,6 +42,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Iceberg is config, not code (SURVEY.md §7.0): when the runtime jar is
+    # on the classpath (spark-submit --packages org.apache.iceberg:...),
+    # point SPARK_GRAFT_ICEBERG_WAREHOUSE at the warehouse and tables
+    # resolve through the catalog; without the jar these configs are inert
+    # and TableIO's parquet-directory fallback is used.
+    iceberg_wh = os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE")
+    if iceberg_wh:
+        builder = (
+            builder
+            .config("spark.sql.catalog.dedup",
+                    "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.dedup.type", "hadoop")
+            .config("spark.sql.catalog.dedup.warehouse", iceberg_wh)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
