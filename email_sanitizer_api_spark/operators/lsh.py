@@ -13,6 +13,17 @@ vendored files — the north_rule's named skew case):
   for buckets whose members truly are near-dups (hot buckets are, by
   construction: they share the banded signature rows). AQE skew-join
   handles residual imbalance at runtime.
+- hotter buckets additionally get a **salted cross-pass**: members are
+  deterministically salted into ~cap-sized sub-chunks
+  (``xxhash64(id, bucket_key) % ceil(n/cap)``) and all-paired within each
+  chunk. Star alone can lose whole groups when one hot bucket contains
+  several verify-distinct near-dup groups and the same min-id rep wins in
+  every band (every star edge to the rep fails verification for the other
+  groups). The salt includes the bucket key, so each band chunks the same
+  hot membership differently — across ``num_bands`` independent chunkings
+  an intra-group pair is found with probability ~1-(1-cap/n)^bands. Cost
+  is O(n * cap/2) pairs per hot bucket — linear in n, constant-bounded
+  per member.
 
 Dropped nothing silently: pair counts per strategy are observable via the
 returned DataFrame's ``strategy`` column.
@@ -44,7 +55,7 @@ def band_keys(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
 
 
 def pairs_from_buckets(nodes: DataFrame, bucket_cols: list[str],
-                       allpairs_cap: int) -> DataFrame:
+                       allpairs_cap: int, salted_pass: bool = True) -> DataFrame:
     """Generic skew-aware pairing of rows sharing a bucket.
 
     nodes: DataFrame with ``id`` + bucket columns. Returns distinct
@@ -87,11 +98,35 @@ def pairs_from_buckets(nodes: DataFrame, bucket_cols: list[str],
         )
     )
 
-    return small_pairs.unionByName(hot_pairs).dropDuplicates(["a", "b"])
+    out = small_pairs.unionByName(hot_pairs)
+
+    if salted_pass:
+        # salted cross-pass over hot buckets (module docstring): chunk ids
+        # into ~cap-sized groups, all-pairs within a chunk. The salt hashes
+        # the bucket key too, so different bands chunk the same membership
+        # differently.
+        salted = tagged.where(F.col("n") > allpairs_cap).withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64("id", *bucket_cols),
+                F.greatest(F.ceil(F.col("n") / F.lit(allpairs_cap)), F.lit(1)),
+            ),
+        ).drop("n")
+        sl = salted.select(*bucket_cols, "salt", F.col("id").alias("a"))
+        sr = salted.select(*bucket_cols, "salt", F.col("id").alias("b"))
+        salted_pairs = (
+            sl.join(sr, [*bucket_cols, "salt"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", F.lit("salted").alias("strategy"))
+        )
+        out = out.unionByName(salted_pairs)
+
+    return out.dropDuplicates(["a", "b"])
 
 
 def lsh_candidate_pairs(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                         id_col: str = "content_sha256") -> DataFrame:
     """Distinct candidate (a, b) id pairs from LSH band collisions."""
     nodes = band_keys(sigs, cfg, id_col)
-    return pairs_from_buckets(nodes, ["band", "key"], cfg.max_bucket_allpairs)
+    return pairs_from_buckets(nodes, ["band", "key"], cfg.max_bucket_allpairs,
+                              salted_pass=cfg.hot_bucket_salted_pass)

@@ -115,7 +115,8 @@ def suffix_candidate_pairs(reps: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         .select("id", F.explode("fps").alias("key"))
         .dropDuplicates(["id", "key"])
     )
-    return pairs_from_buckets(nodes, ["key"], cfg.max_bucket_allpairs)
+    return pairs_from_buckets(nodes, ["key"], cfg.max_bucket_allpairs,
+                              salted_pass=cfg.hot_bucket_salted_pass)
 
 
 # ---------------------------------------------------------------------------

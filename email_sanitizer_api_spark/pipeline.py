@@ -1,6 +1,6 @@
 """End-to-end dedup pipeline: validate → normalize → exact → near-dup → cluster → prune.
 
-Stage graph (SURVEY.md §7.1), every stage a checkpointed DataFrame transform:
+Stage graph (SURVEY.md §7.1):
 
     code_files ─ S1 validate ─ S2 normalize ─ S3 exact(sha256 collapse)
         └─ invalid rows split off (counted, kept in `validated`)
@@ -12,12 +12,39 @@ Near-dup stages run on *distinct content representatives only* (exact
 collapse first — reference optimization O3), so repeated license headers /
 vendored files cost one signature each. Cluster ids propagate back to every
 file through the exact-membership table.
+
+Two execution modes:
+
+- ``io`` given (TableIO checkpoint store): EVERY stage is written to the
+  warehouse and the run is resumable per stage with lineage + metrics —
+  the north-rule checkpoint contract. The extra materializations are the
+  price of resume, and at real scale each stage is minutes of work so the
+  write cost is marginal.
+- ``io=None`` (one-shot / bench): only genuine fan-out boundaries are cut
+  eagerly — ``normalized`` (read by the reps groupBy, the membership
+  projection and the invariant checks), ``signatures`` (read by LSH,
+  SimHash, suffix, verify and the CC vertex set) and the returned
+  ``files_clustered``. Everything consumed exactly once stays LAZY, so
+  Catalyst fuses it into its consumer and the whole candidate-pair union
+  (LSH join + SimHash join + fingerprint join + verify) materializes in
+  ONE job — the connected-components input checkpoint. This matters
+  because the pair/verify/cluster tail runs on MB-scale intermediates
+  where per-job scheduling + exchange latency dominates task time; fewer
+  jobs is directly less serial tail (measured: the tail was what capped
+  N→4N scaling efficiency at small corpus sizes).
+
+Eager cuts must be persist+count: a lazy ``.persist()`` referenced by
+several branches of ONE job does not prevent recompute — the branches race
+past the unfilled cache.
 """
 
 from __future__ import annotations
 
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +71,10 @@ class PipelineResult:
     io: TableIO | None
 
 
+def _debug() -> bool:
+    return bool(os.environ.get("SPARK_GRAFT_DEBUG"))
+
+
 def run_pipeline(
     spark: SparkSession,
     files: DataFrame,
@@ -65,81 +96,90 @@ def run_pipeline(
     if files.rdd.getNumPartitions() < target:
         files = files.repartition(target)
 
-    def ckpt(name: str, compute) -> DataFrame:
-        if io is None:
-            # no checkpoint store: persist each stage boundary instead —
-            # the plan fans out (sigs feed LSH, SimHash, suffix, verify and
-            # the CC vertex set), so without a cut here Spark re-executes
-            # the signature UDF once per branch. Materialize eagerly:
-            # a lazy persist referenced by several branches of one job gets
-            # computed concurrently by each branch before the cache fills.
-            # MEMORY_AND_DISK is the in-process analog of the TableIO
-            # checkpoint table (which is eager by construction — it writes).
-            import os
-            import time as _time
+    if io is not None:
+        # checkpoint-store mode: every stage written + resumable
+        stage: Callable[[str, Callable[[], DataFrame]], DataFrame] = io.stage
+        cut = io.stage
+    else:
+        def stage(name: str, compute: Callable[[], DataFrame]) -> DataFrame:
+            # consumed exactly once downstream — leave lazy, Catalyst fuses
+            return compute()
 
+        def cut(name: str, compute: Callable[[], DataFrame]) -> DataFrame:
+            # fan-out boundary — materialize eagerly (see module docstring)
             from pyspark.storagelevel import StorageLevel
-            t0 = _time.perf_counter()
+
+            t0 = time.perf_counter()
             df = compute().persist(StorageLevel.MEMORY_AND_DISK)
             n = df.count()
-            if os.environ.get("SPARK_GRAFT_DEBUG"):
-                print(f"[stage {name}] {_time.perf_counter() - t0:.1f}s rows={n}",
+            if _debug():
+                print(f"[cut {name}] {time.perf_counter() - t0:.1f}s rows={n}",
                       flush=True)
             return df
-        return io.stage(name, compute)
 
-    # S1 validate (verdicts for every row; invalid rows never proceed)
-    validated = ckpt("s1_validated", lambda: validate_content(files, cfg))
+    # S1 validate (verdicts for every row; invalid rows never proceed).
+    # Lazy in one-shot mode: it fuses into the normalize scan below, so
+    # validate+normalize+sha is a single map pass over the corpus bytes.
+    validated = stage("s1_validated", lambda: validate_content(files, cfg))
     valid, _invalid = split_valid(validated)
 
-    # S2 normalize + S3 exact-dup keys
-    normalized = ckpt(
+    # S2 normalize + S3 exact-dup keys — fan-out: reps groupBy + membership
+    normalized = cut(
         "s2_normalized",
         lambda: with_sha(normalize_content(valid.drop("verdict"))),
     )
-    reps_mem = ckpt("s3_exact_reps", lambda: exact_dedup(normalized)[0])
-    membership = ckpt("s3_membership", lambda: exact_dedup(normalized)[1])
+    reps_mem = stage("s3_exact_reps", lambda: exact_dedup(normalized)[0])
+    membership = stage("s3_membership", lambda: exact_dedup(normalized)[1])
 
-    # S4/S6 signatures on distinct content only
-    sigs = ckpt("s4_signatures", lambda: add_signatures(reps_mem, cfg).select(
+    # S4/S6 signatures on distinct content only — 5-way fan-out
+    sigs = cut("s4_signatures", lambda: add_signatures(reps_mem, cfg).select(
         "content_sha256", "lang", "content_norm", "minhash", "simhash"))
 
     # S5 LSH candidates → S8 verify (Jaccard estimate >= tau)
-    def _verified():
+    def _verified() -> DataFrame:
         cand = lsh_candidate_pairs(sigs, cfg)
-        return verify_pairs(cand, sigs, cfg)
-    verified = ckpt("s5_verified_pairs", _verified)
+        return verify_pairs(cand, sigs, cfg).select("a", "b")
 
-    edge_sets = [verified.select("a", "b")]
-
+    generators: dict[str, Callable[[], DataFrame]] = {"s5_verified_pairs": _verified}
     if enable_simhash:
-        simhash_pairs = ckpt(
-            "s6_simhash_pairs",
-            lambda: simhash_candidate_pairs(sigs, cfg).select("a", "b"),
-        )
-        edge_sets.append(simhash_pairs.select("a", "b"))
-
+        generators["s6_simhash_pairs"] = (
+            lambda: simhash_candidate_pairs(sigs, cfg).select("a", "b"))
     if enable_suffix:
-        suffix_pairs = ckpt(
-            "s7_suffix_pairs",
-            lambda: suffix_candidate_pairs(sigs, cfg).select("a", "b"),
-        )
-        edge_sets.append(suffix_pairs.select("a", "b"))
+        generators["s7_suffix_pairs"] = (
+            lambda: suffix_candidate_pairs(sigs, cfg).select("a", "b"))
 
-    # union of pair sets (SURVEY.md §2.6)
-    edges = edge_sets[0]
+    if io is not None:
+        edge_sets = [stage(name, thunk) for name, thunk in generators.items()]
+    else:
+        # Generator *construction* is itself eager (the bucket-size window
+        # count inside pairs_from_buckets), so build the enabled generators
+        # from separate threads — the scheduler overlaps their bucket-count
+        # jobs instead of running them back-to-back. The pair joins they
+        # return stay lazy until the CC edge checkpoint executes them all
+        # in one job.
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=len(generators)) as ex:
+            futures = {name: ex.submit(thunk) for name, thunk in generators.items()}
+            edge_sets = [f.result() for f in futures.values()]
+        if _debug():
+            print(f"[gen s5/s6/s7 buckets] {time.perf_counter() - t0:.1f}s",
+                  flush=True)
+
+    # union of pair sets (SURVEY.md §2.6); dedup happens inside CC
+    edges = edge_sets[0].select("a", "b")
     for e in edge_sets[1:]:
-        edges = edges.unionByName(e)
-    edges = edges.dropDuplicates(["a", "b"])
+        edges = edges.unionByName(e.select("a", "b"))
 
-    # S9 connected components over distinct-content nodes
+    # S9 connected components over distinct-content nodes. CC checkpoints
+    # its input edges first thing, which (one-shot mode) is the single job
+    # that runs the LSH/SimHash/fingerprint joins + verify + union.
     vertices = sigs.select(F.col("content_sha256").alias("id"))
-    clusters_sha = ckpt(
+    clusters_sha = stage(
         "s9_clusters", lambda: connected_components(edges, cfg, vertices=vertices)
     )
 
     # propagate sha-level cluster ids to every file via exact membership
-    def _files_clustered():
+    def _files_clustered() -> DataFrame:
         fc = (
             membership.join(
                 clusters_sha.withColumnRenamed("id", "content_sha256"),
@@ -149,9 +189,10 @@ def run_pipeline(
             .withColumn("cluster_id", F.coalesce("cluster_id", "content_sha256"))
         )
         return prune_keepers(fc)
-    files_clustered = ckpt("s10_files_clustered", _files_clustered)
 
-    clusters = ckpt("s10_clusters", lambda: cluster_summary(files_clustered))
+    files_clustered = cut("s10_files_clustered", _files_clustered)
+
+    clusters = stage("s10_clusters", lambda: cluster_summary(files_clustered))
 
     return PipelineResult(
         files_clustered=files_clustered,

@@ -136,3 +136,44 @@ def test_hot_band_skew_star_pairing(spark, cfg):
     pairs = lsh_candidate_pairs(sigs, small_cap_cfg)
     n_pairs = pairs.count()
     assert n_pairs < 10 * 300, f"candidate blowup: {n_pairs}"
+
+
+def test_hot_bucket_salted_cross_pass(spark):
+    """Hot buckets get a bounded salted all-pairs cross-pass in addition to
+    star pairing: linear pair count, full member coverage, and per-band
+    salts chunk the same membership differently (so multiple bands recover
+    pairs a single star pass would lose)."""
+    import pandas as pd
+    from email_sanitizer_api_spark.operators.lsh import pairs_from_buckets
+
+    ids = [f"id_{i:03d}" for i in range(100)]
+    cap = 10
+
+    one_band = spark.createDataFrame(
+        pd.DataFrame({"id": ids, "band": 0, "key": 7}))
+    pairs = pairs_from_buckets(one_band, ["band", "key"], cap).toPandas()
+
+    # every member appears in at least one pair (star guarantees this)
+    assert set(pairs.a) | set(pairs.b) == set(ids)
+    # salted chunks engaged, and total stays linear-ish: star (n-1) +
+    # intra-chunk all-pairs (< n*cap/2 in expectation, allow 2x slack)
+    assert (pairs.strategy == "salted").any()
+    assert len(pairs) <= 100 * cap
+
+    # salted_pass=False → star-only behavior (old semantics)
+    off = pairs_from_buckets(one_band, ["band", "key"], cap,
+                             salted_pass=False).toPandas()
+    assert set(off.strategy) == {"star"}
+    assert len(off) == 99
+
+    # the salt includes the bucket key: the same 100 ids in 4 different
+    # bands produce 4 different chunkings, so the union of distinct pairs
+    # strictly grows — this is the recall mechanism for multi-group hot
+    # buckets where every band elects the same star rep.
+    four_bands = spark.createDataFrame(pd.DataFrame({
+        "id": ids * 4,
+        "band": [b for b in range(4) for _ in ids],
+        "key": 7,
+    }))
+    pairs4 = pairs_from_buckets(four_bands, ["band", "key"], cap).toPandas()
+    assert len(pairs4) > len(pairs)
