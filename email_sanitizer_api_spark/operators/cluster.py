@@ -68,8 +68,14 @@ def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                 return spark.createDataFrame([], "id string, cluster_id string")
             return vertices.select("id", F.col("id").alias("cluster_id"))
         mapping = _driver_union_find(edges.toPandas())
+        # pandas → Arrow path: createDataFrame from a plain Python list
+        # pickles row-by-row through Py4J, which at the 5M-edge driver-path
+        # ceiling is minutes of driver time; Arrow ships it in batches.
+        import pandas as pd
         labels = spark.createDataFrame(
-            list(mapping.items()), "id string, cluster_id string")
+            pd.DataFrame({"id": list(mapping.keys()),
+                          "cluster_id": list(mapping.values())}),
+            "id string, cluster_id string")
         if vertices is not None:
             labels = (
                 vertices.select("id")
