@@ -39,6 +39,21 @@ def parse_overrides(pairs: list[str]) -> dict:
     return out
 
 
+def coerce_overrides(base, overrides: dict) -> dict:
+    """String --set values → the config field's type. Unknown keys raise
+    (fail fast); bools parse explicitly because bool('false') is True."""
+    typed = {}
+    for k, v in overrides.items():
+        cur = getattr(base, k)
+        if isinstance(cur, bool):
+            if v.lower() not in ("true", "false", "1", "0"):
+                raise SystemExit(f"--set {k} expects true/false, got {v!r}")
+            typed[k] = v.lower() in ("true", "1")
+        else:
+            typed[k] = type(cur)(v)
+    return typed
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description="near-dup dedup pipeline")
     ap.add_argument("--input", required=True,
@@ -71,10 +86,7 @@ def main(argv: list[str] | None = None) -> None:
 
     overrides = parse_overrides(args.overrides)
     base = DedupConfig()
-    typed = {}
-    for k, v in overrides.items():
-        cur = getattr(base, k)  # raises on unknown key — fail fast
-        typed[k] = type(cur)(v)
+    typed = coerce_overrides(base, overrides)
     cfg = DedupConfig(**typed) if typed else base
     cfg.validate()
 

@@ -65,3 +65,32 @@ def test_spark_submit_end_to_end(tmp_path):
     new_processing = [r for r in rows2[n_rows_before:]
                       if r["status"] == "Processing"]
     assert new_processing == [], f"resume recomputed: {new_processing}"
+
+
+def test_coerce_overrides_types():
+    """--set values coerce to the config field's type; bools parse
+    true/false explicitly (bool('false') would be True)."""
+    from email_sanitizer_api_spark.config import DedupConfig
+    from jobs.dedup_job import coerce_overrides
+
+    base = DedupConfig()
+    typed = coerce_overrides(base, {
+        "jaccard_threshold": "0.8",
+        "num_hashes": "64",
+        "hot_bucket_salted_pass": "false",
+        "minhash_scheme": "oph",
+    })
+    assert typed == {
+        "jaccard_threshold": 0.8,
+        "num_hashes": 64,
+        "hot_bucket_salted_pass": False,
+        "minhash_scheme": "oph",
+    }
+    assert coerce_overrides(base, {"hot_bucket_salted_pass": "TRUE"}) == {
+        "hot_bucket_salted_pass": True}
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        coerce_overrides(base, {"hot_bucket_salted_pass": "yes"})
+    with _pytest.raises(AttributeError):
+        coerce_overrides(base, {"not_a_field": "1"})
