@@ -46,10 +46,12 @@ class DedupConfig:
     # preserves bucket connectivity without O(n^2) blowup on license-header
     # / vendored-file bands (north_rule's named skew case)
     max_bucket_allpairs: int = 64
-    # hot buckets also get a salted all-pairs cross-pass over ~cap-sized
-    # sub-chunks (per-band salt): recovers near-dup groups that star
-    # pairing alone would lose when one hot bucket holds several
-    # verify-distinct groups. O(n*cap/2) extra pairs per hot bucket.
+    # hot buckets also get a secondary-banding cross-pass: members are
+    # sub-bucketed by their key in the next band and paired within
+    # sub-buckets — recovers near-dup groups that star pairing alone would
+    # lose when one hot bucket holds several verify-distinct groups, at
+    # ~no cost for low-similarity collision piles (they spread across
+    # 2^64 secondary keys). See operators/lsh.py docstring.
     hot_bucket_salted_pass: bool = True
 
     # --- SimHash (S6) ---

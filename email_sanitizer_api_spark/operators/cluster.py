@@ -59,15 +59,26 @@ def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     serial cost). Bigger graphs take the distributed min-label-propagation
     loop below; both produce the identical min-label fixpoint.
     """
+    import os
+    import time as _time
+    _dbg = bool(os.environ.get("SPARK_GRAFT_DEBUG"))
+    t0 = _time.perf_counter()
     edges = edges.select("a", "b").dropDuplicates(["a", "b"]).localCheckpoint()
     n_edges = edges.count()
+    if _dbg:
+        print(f"[cc edges] {_time.perf_counter() - t0:.1f}s n_edges={n_edges}",
+              flush=True)
     if n_edges <= cfg.cc_driver_max_edges:
         spark = edges.sparkSession
         if n_edges == 0:
             if vertices is None:
                 return spark.createDataFrame([], "id string, cluster_id string")
             return vertices.select("id", F.col("id").alias("cluster_id"))
+        t1 = _time.perf_counter()
         mapping = _driver_union_find(edges.toPandas())
+        if _dbg:
+            print(f"[cc uf] {_time.perf_counter() - t1:.1f}s labels={len(mapping)}",
+                  flush=True)
         # pandas → Arrow path: createDataFrame from a plain Python list
         # pickles row-by-row through Py4J, which at the 5M-edge driver-path
         # ceiling is minutes of driver time; Arrow ships it in batches.

@@ -39,7 +39,8 @@ def simhash_candidate_pairs(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     """(a, b) pairs with Hamming(simhash_a, simhash_b) <= max_hamming."""
     nodes = simhash_chunks(sigs, cfg, id_col)
     cand = pairs_from_buckets(nodes, ["chunk", "key"], cfg.max_bucket_allpairs,
-                              salted_pass=cfg.hot_bucket_salted_pass)
+                              salted_pass=cfg.hot_bucket_salted_pass,
+                              n_dims=cfg.simhash_chunks)
     sim = sigs.select(F.col(id_col).alias("id"), "simhash")
     return (
         cand

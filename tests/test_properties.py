@@ -177,3 +177,40 @@ def test_hot_bucket_salted_cross_pass(spark):
     }))
     pairs4 = pairs_from_buckets(four_bands, ["band", "key"], cap).toPandas()
     assert len(pairs4) > len(pairs)
+
+
+def test_hot_bucket_secondary_banding(spark):
+    """With n_dims set, hot-bucket members are sub-bucketed by their key in
+    the NEXT band: two verify-distinct groups hiding in one hot band-0
+    bucket are recovered via their band-1 agreement, while members with no
+    band-1 agreement generate no cross-pass pairs."""
+    import pandas as pd
+    from email_sanitizer_api_spark.operators.lsh import pairs_from_buckets
+
+    n, cap, n_dims = 60, 10, 2
+    ids = [f"id_{i:03d}" for i in range(n)]
+    # band 0: everyone collides (hot bucket). band 1: group A = first 5,
+    # group B = next 5, everyone else unique keys.
+    def b1_key(i):
+        if i < 5:
+            return 1001
+        if i < 10:
+            return 1002
+        return 2000 + i
+    nodes = spark.createDataFrame(pd.DataFrame({
+        "id": ids * 2,
+        "band": [0] * n + [1] * n,
+        "key": [7] * n + [b1_key(i) for i in range(n)],
+    }))
+    pairs = pairs_from_buckets(nodes, ["band", "key"], cap,
+                               n_dims=n_dims).toPandas()
+    got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    # every intra-group pair present (10+10 pairs), whether via the band-1
+    # small bucket itself or the band-0 secondary-banding cross-pass
+    for lo, hi in ((0, 5), (5, 10)):
+        for i in range(lo, hi):
+            for j in range(i + 1, hi):
+                assert (f"id_{i:03d}", f"id_{j:03d}") in got
+    # the cross-pass stays bounded: no quadratic blowup from the hot bucket
+    # (star n-1, intra-group all-pairs, band-1 singletons contribute 0)
+    assert len(pairs) < 3 * n
