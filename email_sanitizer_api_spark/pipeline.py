@@ -158,8 +158,19 @@ def run_pipeline(
         # return stay lazy until the CC edge checkpoint executes them all
         # in one job.
         t0 = time.perf_counter()
+
+        def _timed(name: str, thunk: Callable[[], DataFrame]) -> Callable[[], DataFrame]:
+            def run() -> DataFrame:
+                t = time.perf_counter()
+                df = thunk()
+                if _debug():
+                    print(f"[gen {name}] {time.perf_counter() - t:.1f}s", flush=True)
+                return df
+            return run
+
         with ThreadPoolExecutor(max_workers=len(generators)) as ex:
-            futures = {name: ex.submit(thunk) for name, thunk in generators.items()}
+            futures = {name: ex.submit(_timed(name, thunk))
+                       for name, thunk in generators.items()}
             edge_sets = [f.result() for f in futures.values()]
         if _debug():
             print(f"[gen s5/s6/s7 buckets] {time.perf_counter() - t0:.1f}s",
