@@ -5,9 +5,15 @@ signatures is the fraction of equal components —
 ``size(filter(zip_with(sa, sb, =), x -> x)) / num_hashes`` — all inside
 whole-stage codegen; no Python touches the hot path.
 
-The two signature lookups are hash joins on the sha key; candidates are a
-small fraction of the corpus so these are cheap, and AQE turns them into
-broadcast joins when the candidate set is small enough.
+The two signature lookups are hash joins on the sha key. Verification is
+the pipeline's largest byte-mover (2 signature payloads per candidate
+pair), so the join ships a TRUNCATED signature: each 64-bit MinHash
+component reduced to its low 16 bits (``array<smallint>``, 256 B instead
+of ~1 KiB per row — 4x less shuffle). Equality of truncated components is
+what the estimator needs; truncation adds a false-equal probability of
+2^-16 per component, biasing the estimate by (1-J)*1.5e-5 — four orders
+of magnitude below ``verify_margin``. AQE turns the lookups into
+broadcast joins when the signature table is small enough.
 """
 
 from __future__ import annotations
@@ -23,11 +29,21 @@ def jaccard_estimate(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
     return (F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(num_hashes)).alias("jaccard_est")
 
 
+def _truncated(minhash: Column) -> Column:
+    """Low 16 bits of each component, shifted into smallint range
+    (ANSI-safe: value stays within [-32768, 32767] before the cast)."""
+    return F.transform(
+        minhash,
+        lambda x: (x.bitwiseAND(F.lit(0xFFFF)) - F.lit(32768)).cast("smallint"),
+    )
+
+
 def verify_pairs(pairs: DataFrame, sigs: DataFrame,
                  cfg: DedupConfig = DEFAULT_CONFIG,
                  id_col: str = "content_sha256") -> DataFrame:
     """Keep (a, b, jaccard_est) where estimate >= threshold."""
-    s = sigs.select(F.col(id_col).alias("id"), "minhash")
+    s = sigs.select(F.col(id_col).alias("id"),
+                    _truncated(F.col("minhash")).alias("minhash"))
     joined = (
         pairs.select("a", "b")
         .join(s.withColumnsRenamed({"id": "a", "minhash": "sig_a"}), "a")
