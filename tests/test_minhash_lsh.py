@@ -100,6 +100,39 @@ def test_verify_rejects_low_jaccard(sigs_and_oracle, cfg):
         assert j >= floor - 0.05, f"accepted pair with true J={j}"
 
 
+def test_truncated_verify_matches_full_estimator(sigs_and_oracle, cfg):
+    """verify_pairs ships 16-bit-truncated signatures (4x less shuffle).
+
+    Truncation can only create FALSE EQUALS (two different 64-bit
+    components sharing low 16 bits), never false unequals, so per pair
+    est_truncated - est_full ∈ {0, 1/H, 2/H, ...} with collision
+    probability 2^-16 per component — across this fixture's candidates a
+    couple of +1/H steps at most, and never a negative step."""
+    from email_sanitizer_api_spark.operators.verify import jaccard_estimate
+
+    sigs, _, _ = sigs_and_oracle
+    cand = lsh_candidate_pairs(sigs, cfg).select("a", "b").cache()
+
+    s = sigs.select(F.col("content_sha256").alias("id"), "minhash")
+    full = (
+        cand.join(s.withColumnsRenamed({"id": "a", "minhash": "sig_a"}), "a")
+        .join(s.withColumnsRenamed({"id": "b", "minhash": "sig_b"}), "b")
+        .select("a", "b",
+                jaccard_estimate(F.col("sig_a"), F.col("sig_b"), cfg.num_hashes))
+    )
+    full_est = {(r["a"], r["b"]): r["jaccard_est"] for r in full.collect()}
+    # verify_pairs filters to est >= tau - margin; compare on survivors
+    trunc = verify_pairs(cand, sigs, cfg)
+    step = 1.0 / cfg.num_hashes
+    n_bumped = 0
+    for r in trunc.collect():
+        diff = r["jaccard_est"] - full_est[(r["a"], r["b"])]
+        assert -1e-9 <= diff <= 2 * step + 1e-9, (r["a"], r["b"], diff)
+        n_bumped += diff > 1e-9
+    # collisions are 2^-16-rare: the overwhelming majority must be exact
+    assert n_bumped <= max(2, 0.01 * len(full_est)), n_bumped
+
+
 def test_candidate_volume_bounded(sigs_and_oracle, cfg):
     """LSH must not degenerate to all-pairs: candidates << n^2/2."""
     sigs, contents, _ = sigs_and_oracle
