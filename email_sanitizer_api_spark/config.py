@@ -54,6 +54,14 @@ class DedupConfig:
     # 2^64 secondary keys). See operators/lsh.py docstring.
     hot_bucket_salted_pass: bool = True
 
+    # --- incremental dedup (operators/incremental.py) ---
+    # stored-state bucket caps: per (band, key) keep at most
+    # ``max_bucket_allpairs`` member rows total, at most this many per
+    # secondary-band sub-bucket (one sub-bucket ~ one verify-distinct
+    # group, so a few representatives per group preserve connectivity for
+    # future batches without storing the whole hot pile)
+    incremental_bucket_reps: int = 8
+
     # --- SimHash (S6) ---
     simhash_bits: int = 64
     simhash_chunks: int = 4      # pigeonhole: hamming<=3 ⇒ one chunk equal

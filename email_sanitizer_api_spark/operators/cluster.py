@@ -88,11 +88,16 @@ def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                           "cluster_id": list(mapping.values())}),
             "id string, cluster_id string")
         if vertices is not None:
-            labels = (
+            # output = edge nodes ∪ vertices, matching the distributed
+            # path below (vertices only ADD singletons, never restrict:
+            # incremental dedup passes vertices=fresh shas while edges
+            # also carry old-cluster nodes whose relabels must survive)
+            singletons = (
                 vertices.select("id")
-                .join(F.broadcast(labels), "id", "left")
-                .withColumn("cluster_id", F.coalesce("cluster_id", "id"))
+                .join(F.broadcast(labels.select("id")), "id", "left_anti")
+                .withColumn("cluster_id", F.col("id"))
             )
+            labels = labels.unionByName(singletons)
         return labels
 
     sym = (

@@ -1,0 +1,269 @@
+"""Incremental dedup: fold a new batch into existing dedup state.
+
+At 10^12-file scale you cannot re-run the full pipeline every time a day's
+crawl lands. The reference's closest analog is its job queue + memo cache
+(results for already-seen inputs are returned from cache, reference
+src/job_queue.rs:87-106, src/handlers/validation/mod.rs memoization); the
+Spark-native restatement is *stateful incremental dedup*: persist the
+signature / LSH-bucket / cluster tables, and for each new batch touch only
+
+    O(batch)                       map work (validate/normalize/sha/sign)
+  + O(batch x bucket_cap)          candidate pairs vs stored buckets
+  + O(touched clusters)            connected-components + relabel
+
+never O(corpus). The stored state is:
+
+    sigs         (content_sha256, minhash, simhash)       append-only delta
+    buckets      (band, key, sec, id)                     append-only delta,
+                 capped per (band,key) at ``max_bucket_allpairs`` rows,
+                 per (band,key,sec) at ``incremental_bucket_reps`` — sec is
+                 the member's key in the NEXT band (secondary banding, same
+                 trick as the batch hot-bucket cross-pass in lsh.py): one
+                 sub-bucket ~ one verify-distinct group, so a few reps per
+                 group keep every group reachable by future batches while
+                 hot piles (license headers / vendored files — the
+                 north_rule skew case) stay O(cap), not O(members).
+    files        (repo, path, commit, content_sha256)     append-only delta
+    sha_clusters (content_sha256, cluster_id)             rewritten per batch
+
+Each batch writes a new version directory ``v{n}`` (its tables via TableIO,
+so every write carries the manifest + per-partition lineage + metrics of
+the checkpoint contract) and then flips a ``CURRENT`` pointer — the crash
+anywhere before the flip leaves v{n-1} intact, so re-running the batch is
+exactly-once at state granularity. On Iceberg this maps to append snapshots
+(deltas), MERGE INTO (sha_clusters), and periodic compaction (the read-side
+bucket cap below); the parquet-dir warehouse is the sandbox analog
+(tableio.py module docstring).
+
+Cluster labels stay globally consistent with the batch pipeline: batch CC
+produces the min-sha fixpoint, so an existing cluster_id IS the min sha of
+its members; a merged component's new label = min(new shas, old labels) =
+the min sha over all members — exactly what a full recompute would assign.
+A new doc bridging two existing clusters merges them (the remap is applied
+to the rewritten sha_clusters table).
+
+Scale notes: every join here is an equi-join on uniform hash keys (sha,
+(band,key)); the new-vs-stored bucket join probes with O(batch x bands)
+rows against the capped bucket table; verify ships truncated signatures
+(operators/verify.py). Within-batch candidates use the identical skew-aware
+``pairs_from_buckets`` as the batch path. The SimHash / suffix passes are
+batch-scoped refinements and are not re-run incrementally (run the full
+pipeline on whatever cadence those passes warrant).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+from email_sanitizer_api_spark.operators.cluster import connected_components
+from email_sanitizer_api_spark.operators.exact import exact_dedup, with_sha
+from email_sanitizer_api_spark.operators.lsh import band_keys, pairs_from_buckets
+from email_sanitizer_api_spark.operators.normalize import normalize_content
+from email_sanitizer_api_spark.operators.prune import prune_keepers
+from email_sanitizer_api_spark.operators.signatures import add_signatures
+from email_sanitizer_api_spark.operators.validate import split_valid, validate_content
+from email_sanitizer_api_spark.operators.verify import verify_pairs
+from email_sanitizer_api_spark.tableio import TableIO
+
+_SCHEMAS = {
+    "sigs": "content_sha256 string, minhash array<bigint>, simhash bigint",
+    "buckets": "band int, key bigint, sec bigint, id string",
+    "files": "repo string, path string, commit string, content_sha256 string",
+    "sha_clusters": "content_sha256 string, cluster_id string",
+}
+_DELTA_TABLES = ("sigs", "buckets", "files")   # read = union of all versions
+
+
+@dataclass
+class IncrementalResult:
+    files_clustered: DataFrame   # every file seen so far + cluster_id + is_keeper
+    state_version: int
+    metrics: dict[str, Any]
+
+
+class DedupState:
+    """Versioned parquet warehouse for incremental dedup state."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def version(self) -> int:
+        if not os.path.exists(self._pointer):
+            return 0
+        with open(self._pointer) as f:
+            return int(json.load(f)["version"])
+
+    def _table_paths(self, name: str, upto: int) -> list[str]:
+        if name in _DELTA_TABLES:
+            return [os.path.join(self.root, f"v{v}", name)
+                    for v in range(1, upto + 1)]
+        return [os.path.join(self.root, f"v{upto}", name)]
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        v = self.version() if version is None else version
+        if v == 0:
+            return self.spark.createDataFrame([], _SCHEMAS[name])
+        return self.spark.read.parquet(*self._table_paths(name, v))
+
+    def commit(self, version: int) -> None:
+        """Flip CURRENT after all v{version} tables are written — the
+        all-or-nothing snapshot boundary (Iceberg commit analog)."""
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._pointer)
+
+
+def _bucket_rows(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(band, key, sec, id) for every band of every signature — sec is the
+    id's key in the next band (stored so re-capping never needs rows that
+    an earlier cap dropped)."""
+    nb = cfg.num_bands
+    bk = band_keys(sigs, cfg)
+    nxt = bk.select(
+        "id", ((F.col("band") - 1 + nb) % nb).alias("band"),
+        F.col("key").alias("sec"),
+    )
+    return bk.join(nxt, ["id", "band"]).select("band", "key", "sec", "id")
+
+
+def _cap_buckets(rows: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Apply the storage caps: ``incremental_bucket_reps`` rows per
+    (band,key,sec) sub-bucket, ``max_bucket_allpairs`` per (band,key).
+    Deterministic (ordered by id) so re-runs pick identical reps."""
+    w_sub = Window.partitionBy("band", "key", "sec").orderBy("id")
+    w_all = Window.partitionBy("band", "key").orderBy("sec", "id")
+    return (
+        rows.withColumn("rn_sub", F.row_number().over(w_sub))
+        .where(F.col("rn_sub") <= cfg.incremental_bucket_reps)
+        .withColumn("rn_all", F.row_number().over(w_all))
+        .where(F.col("rn_all") <= cfg.max_bucket_allpairs)
+        .select("band", "key", "sec", "id")
+    )
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    new_files: DataFrame,
+    state_root: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> IncrementalResult:
+    """Fold ``new_files`` (repo, path, commit, lang, content) into the
+    dedup state at ``state_root``; returns cluster assignments for the
+    whole corpus-so-far. First call on an empty ``state_root`` bootstraps
+    (equivalent to the batch pipeline's MinHash/LSH path)."""
+    cfg.validate()
+    state = DedupState(spark, state_root)
+    v_cur = state.version()
+    v_next = v_cur + 1
+    io = TableIO(spark, os.path.join(state_root, f"v{v_next}"), resume=False)
+    io.log_config(cfg.to_dict())
+    metrics: dict[str, Any] = {"state_version": v_next}
+
+    # -- batch-local map work: validate -> normalize -> sha -> exact ------
+    valid, _ = split_valid(validate_content(new_files, cfg))
+    prepared = with_sha(normalize_content(valid.drop("verdict")))
+    reps, membership = exact_dedup(prepared)
+
+    st_sigs = state.read("sigs", v_cur)
+    # deltas accumulate ≤ cap rows per bucket per batch; re-cap at read so
+    # probe fan-out stays O(cap) regardless of batch count (on Iceberg this
+    # is periodic compaction instead of a per-read window)
+    st_buckets = _cap_buckets(state.read("buckets", v_cur), cfg)
+    st_clusters = state.read("sha_clusters", v_cur)
+
+    # content never seen before: sign it. Seen content joins its existing
+    # cluster through the (rewritten) sha_clusters table — zero work here.
+    fresh = reps.join(st_sigs.select("content_sha256"), "content_sha256",
+                      "left_anti")
+    sigs_new = io.write(
+        add_signatures(fresh, cfg).select("content_sha256", "minhash", "simhash"),
+        "sigs",
+    )
+    metrics["fresh_content"] = sigs_new.count()
+
+    # -- candidates: within-batch (skew-aware, same as batch path) plus
+    # new-vs-stored bucket probes (capped, so O(batch x cap)) -------------
+    bucket_rows = _bucket_rows(sigs_new, cfg)
+    new_nodes = bucket_rows.select("id", "band", "key")
+    within = pairs_from_buckets(
+        new_nodes, ["band", "key"], cfg.max_bucket_allpairs,
+        salted_pass=cfg.hot_bucket_salted_pass, n_dims=cfg.num_bands,
+    ).select("a", "b")
+    cross = (
+        new_nodes.join(st_buckets.select("band", "key",
+                                         F.col("id").alias("old_id")),
+                       ["band", "key"])
+        .where(F.col("id") != F.col("old_id"))
+        .select(F.least("id", "old_id").alias("a"),
+                F.greatest("id", "old_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    all_sigs = sigs_new.select("content_sha256", "minhash").unionByName(
+        st_sigs.select("content_sha256", "minhash"))
+    edges = verify_pairs(within.unionByName(cross), all_sigs, cfg).select("a", "b")
+
+    # -- contract old endpoints to their cluster labels, then CC ----------
+    # an old sha's label IS the min sha of its cluster, so components over
+    # (new shas + old labels) produce exactly the labels a full recompute
+    # would (module docstring).
+    old_labeled = (
+        edges.join(st_clusters.withColumnsRenamed(
+            {"content_sha256": "b", "cluster_id": "cb"}), "b", "left")
+        .withColumn("b2", F.coalesce("cb", "b"))
+        .join(st_clusters.withColumnsRenamed(
+            {"content_sha256": "a", "cluster_id": "ca"}), "a", "left")
+        .withColumn("a2", F.coalesce("ca", "a"))
+        .select(F.least("a2", "b2").alias("a"), F.greatest("a2", "b2").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    vertices = sigs_new.select(F.col("content_sha256").alias("id"))
+    cc = connected_components(old_labeled, cfg, vertices=vertices)
+
+    # -- relabel: merged old clusters + labels for fresh content ----------
+    remap = (
+        cc.withColumnRenamed("id", "old_cluster")
+        .join(st_clusters.select(F.col("cluster_id").alias("old_cluster"))
+              .distinct(), "old_cluster")
+        .where(F.col("old_cluster") != F.col("cluster_id"))
+    )
+    metrics["merged_old_clusters"] = remap.count()
+    st_updated = (
+        st_clusters.withColumnRenamed("cluster_id", "old_cluster")
+        .join(remap, "old_cluster", "left")
+        .select("content_sha256",
+                F.coalesce("cluster_id", "old_cluster").alias("cluster_id"))
+    )
+    fresh_clusters = cc.join(
+        vertices.withColumnRenamed("id", "content_sha256"),
+        cc["id"] == F.col("content_sha256")).select("content_sha256", "cluster_id")
+    sha_clusters = io.write(
+        st_updated.unionByName(fresh_clusters), "sha_clusters")
+
+    # -- state deltas ------------------------------------------------------
+    io.write(_cap_buckets(bucket_rows, cfg), "buckets")
+    files_new = io.write(
+        membership.select("repo", "path", "commit", "content_sha256"), "files")
+    metrics["new_files"] = files_new.count()
+    state.commit(v_next)
+
+    all_files = state.read("files", v_next)
+    files_clustered = prune_keepers(
+        all_files.join(sha_clusters, "content_sha256", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "content_sha256"))
+    )
+    return IncrementalResult(files_clustered, v_next, metrics)

@@ -1,0 +1,140 @@
+"""Incremental dedup (operators/incremental.py): batch-equivalence,
+exact-known routing, old-cluster merges via new bridges, and state
+versioning semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+from email_sanitizer_api_spark.operators.incremental import (
+    DedupState,
+    incremental_dedup,
+)
+from email_sanitizer_api_spark.pipeline import run_pipeline
+
+
+def _partition(files_clustered) -> set[frozenset]:
+    """Cluster partition of (repo, path) keys — label-independent."""
+    rows = files_clustered.select("repo", "path", "cluster_id").collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add((r["repo"], r["path"]))
+    return {frozenset(v) for v in by_cluster.values()}
+
+
+def _labels(files_clustered) -> dict:
+    return {(r["repo"], r["path"]): r["cluster_id"]
+            for r in files_clustered.select("repo", "path", "cluster_id").collect()}
+
+
+@pytest.fixture(scope="module")
+def inc_cfg() -> DedupConfig:
+    c = DedupConfig(max_content_bytes=100_000)
+    c.validate()
+    return c
+
+
+def test_two_batches_equal_full_batch(spark, tmp_path, inc_cfg):
+    """incremental(batch1) then incremental(batch2) must produce the same
+    cluster partition AND the same labels as one batch run over the union
+    (labels are the min-sha fixpoint in both paths)."""
+    pdf = synthesize_code_files(CorpusSpec(n_base=120, invalid_rows=4, seed=7))
+    full = spark.createDataFrame(pdf)
+    # deterministic split that separates many near-dup pairs across batches
+    b1 = spark.createDataFrame(pdf.iloc[::2])
+    b2 = spark.createDataFrame(pdf.iloc[1::2])
+
+    root = str(tmp_path / "state")
+    r1 = incremental_dedup(spark, b1, root, inc_cfg)
+    assert r1.state_version == 1
+    r2 = incremental_dedup(spark, b2, root, inc_cfg)
+    assert r2.state_version == 2
+
+    # batch path restricted to the MinHash/LSH family (incremental scope)
+    ref = run_pipeline(spark, full, inc_cfg,
+                       enable_simhash=False, enable_suffix=False)
+
+    assert _partition(r2.files_clustered) == _partition(ref.files_clustered)
+    assert _labels(r2.files_clustered) == _labels(ref.files_clustered)
+
+
+def test_known_content_joins_existing_cluster(spark, tmp_path, inc_cfg):
+    body = "\n".join(f"def fn_{i}(): return {i * 3}" for i in range(120))
+    b1 = spark.createDataFrame(
+        [("r1", "a.py", "c1", "python", body)],
+        "repo string, path string, commit string, lang string, content string")
+    b2 = spark.createDataFrame(
+        [("r2", "b.py", "c2", "python", body),          # exact re-seen content
+         ("r2", "new.py", "c2", "python", "x = 1\n" * 50)],  # genuinely new
+        "repo string, path string, commit string, lang string, content string")
+    root = str(tmp_path / "state")
+    incremental_dedup(spark, b1, root, inc_cfg)
+    r2 = incremental_dedup(spark, b2, root, inc_cfg)
+
+    assert r2.metrics["fresh_content"] == 1   # only new.py signed
+    labels = _labels(r2.files_clustered)
+    assert labels[("r1", "a.py")] == labels[("r2", "b.py")]
+    assert labels[("r2", "new.py")] != labels[("r1", "a.py")]
+
+
+def test_new_doc_bridges_and_merges_old_clusters(spark, tmp_path, inc_cfg):
+    """A and B (J≈0.5, separate clusters after batch 1) are both ≈0.71-
+    similar to M; folding M in must merge all three into one cluster and
+    remap the absorbed old cluster label."""
+    core = [f"shared core line {i} alpha{i * 7}" for i in range(120)]
+    ta = [f"tail-a only line {i} beta{i * 11}" for i in range(60)]
+    tb = [f"tail-b only line {i} gamma{i * 13}" for i in range(60)]
+    a = "\n".join(core + ta)
+    b = "\n".join(core + tb)
+    m = "\n".join(core + ta[:30] + tb[:30])
+
+    ddl = "repo string, path string, commit string, lang string, content string"
+    root = str(tmp_path / "state")
+    r1 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "a.py", "c", "python", a), ("r", "b.py", "c", "python", b)],
+        ddl), root, inc_cfg)
+    l1 = _labels(r1.files_clustered)
+    assert l1[("r", "a.py")] != l1[("r", "b.py")], "A,B must start separate"
+
+    r2 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "m.py", "c", "python", m)], ddl), root, inc_cfg)
+    l2 = _labels(r2.files_clustered)
+    assert (l2[("r", "a.py")] == l2[("r", "b.py")] == l2[("r", "m.py")])
+    assert r2.metrics["merged_old_clusters"] == 1
+    # merged label is the global min sha — what a full recompute assigns
+    assert l2[("r", "a.py")] == min(l1[("r", "a.py")], l1[("r", "b.py")])
+
+
+def test_reprocessing_same_batch_adds_no_content(spark, tmp_path, inc_cfg):
+    pdf = synthesize_code_files(CorpusSpec(n_base=40, invalid_rows=2, seed=11))
+    df = spark.createDataFrame(pdf)
+    root = str(tmp_path / "state")
+    r1 = incremental_dedup(spark, df, root, inc_cfg)
+    r2 = incremental_dedup(spark, df, root, inc_cfg)
+    assert r2.metrics["fresh_content"] == 0
+    assert r2.metrics["merged_old_clusters"] == 0
+    assert _partition(r2.files_clustered) == _partition(r1.files_clustered)
+
+
+def test_crash_before_commit_leaves_prior_version(spark, tmp_path, inc_cfg):
+    """The CURRENT pointer flips only after all tables land: a v2 directory
+    without the flip must be invisible (re-run redoes the batch)."""
+    ddl = "repo string, path string, commit string, lang string, content string"
+    root = str(tmp_path / "state")
+    df = spark.createDataFrame([("r", "x.py", "c", "python", "y = 2\n" * 40)], ddl)
+    incremental_dedup(spark, df, root, inc_cfg)
+    state = DedupState(spark, root)
+    assert state.version() == 1
+
+    # simulate a crash mid-batch-2: tables half-written, pointer not flipped
+    os.makedirs(os.path.join(root, "v2", "sigs"), exist_ok=True)
+    assert state.version() == 1
+    df2 = spark.createDataFrame([("r", "z.py", "c", "python", "w = 3\n" * 40)], ddl)
+    r2 = incremental_dedup(spark, df2, root, inc_cfg)   # overwrites v2 cleanly
+    assert r2.state_version == 2
+    assert {p for (_, p) in _labels(r2.files_clustered)} == {"x.py", "z.py"}
