@@ -618,6 +618,33 @@ def _q_suffix_array_spans(spark, sf_dir):
     return suffix_array_spans(reps, ["lang"], cfg)
 
 
+def _q_incremental_dedup_two_batches(spark, sf_dir):
+    """Stateful incremental dedup (operators/incremental.py): fold the
+    documents table in as two batches (doc_id parity split) against a
+    fresh versioned state dir; returns the final corpus-wide cluster
+    assignments. Equivalent to the one-shot MinHash/LSH pipeline over the
+    union (tests/test_incremental.py proves partition + label equality).
+    Stateful/multi-invocation — not SQL-expressible (rows-only check)."""
+    import shutil
+    import tempfile
+
+    from email_sanitizer_api_spark.operators.incremental import incremental_dedup
+
+    docs = _docs_as_code_files(_t(spark, sf_dir, "documents"))
+    b1 = docs.where(F.xxhash64("path") % 2 == 0)
+    b2 = docs.where(F.xxhash64("path") % 2 != 0)
+    root = tempfile.mkdtemp(prefix="inc_state_")
+    try:
+        incremental_dedup(spark, b1, root, DedupConfig())
+        res = incremental_dedup(spark, b2, root, DedupConfig())
+        out = res.files_clustered.select(
+            "repo", "path", "content_sha256", "cluster_id", "is_keeper")
+        out = out.localCheckpoint()  # materialize before the state dir dies
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _q_cosine_topk_lsh(spark, sf_dir):
     from email_sanitizer_api_spark.functions.similarity import cosine_topk_lsh
     emb = _t(spark, sf_dir, "embeddings")
@@ -663,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline_full": _q_dedup_pipeline_full,
         "cosine_topk_lsh": _q_cosine_topk_lsh,
         "suffix_array_spans": _q_suffix_array_spans,
+        "incremental_dedup_two_batches": _q_incremental_dedup_two_batches,
     }
 
 
@@ -694,6 +722,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_media_meta": _SQL_MULTIMODAL_META,
         # minhash_near_dup_pairs / simhash_signatures /
         # connected_components_docs / dedup_pipeline_full / cosine_topk_lsh /
-        # suffix_array_spans:
+        # suffix_array_spans / incremental_dedup_two_batches:
         # intentionally omitted — not SQL-expressible (driver rows-only check)
     }

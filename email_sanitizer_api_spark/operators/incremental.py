@@ -144,12 +144,33 @@ def _bucket_rows(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
 def _cap_buckets(rows: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Apply the storage caps: ``incremental_bucket_reps`` rows per
     (band,key,sec) sub-bucket, ``max_bucket_allpairs`` per (band,key).
-    Deterministic (ordered by id) so re-runs pick identical reps."""
+    Deterministic so re-runs pick identical reps.
+
+    The row_number windows sort each bucket on ONE task, so a pathological
+    pile (millions of batch rows sharing a (band,key) — e.g. one license
+    header over a giant batch) is first THINNED with a deterministic
+    hash-mod: a skew-free groupBy count (partial-aggregated, tiny output)
+    sizes each bucket, and members of oversized ones keep only
+    ``xxhash64(id) % ceil(n/(4·cap)) == 0`` rows (~4·cap survive in
+    expectation) before the windows run. Any ``reps`` members of a
+    sub-bucket are equally good representatives — all of them banded
+    together twice — so thinning trades nothing but which ids are kept."""
+    reps = cfg.incremental_bucket_reps
+    cap = cfg.max_bucket_allpairs
+    sizes = rows.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n_bkt"))
+    thinned = (
+        rows.join(sizes, ["band", "key"])
+        .where(
+            (F.col("n_bkt") <= 4 * cap)
+            | (F.pmod(F.xxhash64("id"), F.ceil(F.col("n_bkt") / (4 * cap))) == 0)
+        )
+        .drop("n_bkt")
+    )
     w_sub = Window.partitionBy("band", "key", "sec").orderBy("id")
     w_all = Window.partitionBy("band", "key").orderBy("sec", "id")
     return (
-        rows.withColumn("rn_sub", F.row_number().over(w_sub))
-        .where(F.col("rn_sub") <= cfg.incremental_bucket_reps)
+        thinned.withColumn("rn_sub", F.row_number().over(w_sub))
+        .where(F.col("rn_sub") <= reps)
         .withColumn("rn_all", F.row_number().over(w_all))
         .where(F.col("rn_all") <= cfg.max_bucket_allpairs)
         .select("band", "key", "sec", "id")
@@ -198,7 +219,11 @@ def incremental_dedup(
 
     # -- candidates: within-batch (skew-aware, same as batch path) plus
     # new-vs-stored bucket probes (capped, so O(batch x cap)) -------------
-    bucket_rows = _bucket_rows(sigs_new, cfg)
+    # fan-out boundary (within-batch pairing, cross probes, state delta):
+    # eager persist — a lazy persist referenced by concurrent branches of
+    # one job does not prevent recompute (pipeline.py module docstring)
+    bucket_rows = _bucket_rows(sigs_new, cfg).persist()
+    bucket_rows.count()
     new_nodes = bucket_rows.select("id", "band", "key")
     within = pairs_from_buckets(
         new_nodes, ["band", "key"], cfg.max_bucket_allpairs,
@@ -256,6 +281,7 @@ def incremental_dedup(
 
     # -- state deltas ------------------------------------------------------
     io.write(_cap_buckets(bucket_rows, cfg), "buckets")
+    bucket_rows.unpersist()
     files_new = io.write(
         membership.select("repo", "path", "commit", "content_sha256"), "files")
     metrics["new_files"] = files_new.count()

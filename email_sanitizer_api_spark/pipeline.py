@@ -129,11 +129,17 @@ def run_pipeline(
         lambda: with_sha(normalize_content(valid.drop("verdict"))),
     )
     reps_mem = stage("s3_exact_reps", lambda: exact_dedup(normalized)[0])
-    membership = stage("s3_membership", lambda: exact_dedup(normalized)[1])
+    # membership is tiny (ids + sha, no text) but is consumed only by the
+    # FINAL propagate join — cut it eagerly so `normalized` (the full
+    # corpus text, the largest persisted relation) can be freed before the
+    # memory-hungry candidate stages instead of pinning storage all run
+    membership = cut("s3_membership", lambda: exact_dedup(normalized)[1])
 
     # S4/S6 signatures on distinct content only — 5-way fan-out
     sigs = cut("s4_signatures", lambda: add_signatures(reps_mem, cfg).select(
         "content_sha256", "lang", "content_norm", "minhash", "simhash"))
+    if io is None:
+        normalized.unpersist()  # text lives on only as sigs.content_norm reps
 
     # S5 LSH candidates → S8 verify (Jaccard estimate >= tau)
     def _verified() -> DataFrame:

@@ -20,6 +20,12 @@ src/graphql/email.rs:151-159).
 On a real cluster pass an Iceberg table name as ``--input`` with
 ``--input-format iceberg`` (needs the Iceberg runtime jar + catalog conf on
 the submit command); this sandbox exercises the parquet path.
+
+Incremental mode (``--incremental --state-dir /data/dedup_state``): treats
+``--input`` as one NEW batch (a day's crawl) and folds it into the
+versioned dedup state in O(batch) work instead of re-running the pipeline
+over the corpus (operators/incremental.py). ``--warehouse`` is unused in
+this mode — per-batch tables + manifests live under the state versions.
 """
 
 from __future__ import annotations
@@ -60,8 +66,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="parquet directory or Iceberg table of code_files")
     ap.add_argument("--input-format", choices=["parquet", "iceberg"],
                     default="parquet")
-    ap.add_argument("--warehouse", required=True,
-                    help="checkpoint warehouse directory")
+    ap.add_argument("--warehouse",
+                    help="checkpoint warehouse directory (batch mode)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="fold --input as a new batch into --state-dir")
+    ap.add_argument("--state-dir",
+                    help="versioned dedup state root (incremental mode)")
     ap.add_argument("--output", required=True,
                     help="final clustered-files table path (parquet dir)")
     ap.add_argument("--run-id", default=None)
@@ -95,6 +105,25 @@ def main(argv: list[str] | None = None) -> None:
     else:
         files = spark.read.parquet(args.input)
 
+    if args.incremental:
+        if not args.state_dir:
+            raise SystemExit("--incremental requires --state-dir")
+        from email_sanitizer_api_spark.operators.incremental import incremental_dedup
+
+        res = incremental_dedup(spark, files, args.state_dir, cfg)
+        res.files_clustered.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "mode": "incremental",
+            "state_version": res.state_version,
+            "input": args.input,
+            "output": args.output,
+            **res.metrics,
+        }))
+        spark.stop()
+        return
+
+    if not args.warehouse:
+        raise SystemExit("batch mode requires --warehouse")
     io = TableIO(spark, args.warehouse,
                  **({"run_id": args.run_id} if args.run_id else {}),
                  resume=not args.no_resume)

@@ -121,6 +121,36 @@ def test_reprocessing_same_batch_adds_no_content(spark, tmp_path, inc_cfg):
     assert _partition(r2.files_clustered) == _partition(r1.files_clustered)
 
 
+def test_cap_buckets_bounds_and_determinism(spark, inc_cfg):
+    """Storage caps hold even for a pathological hot pile (the thinning
+    pre-pass path), output is deterministic, and small buckets are kept
+    in full."""
+    from email_sanitizer_api_spark.operators.incremental import _cap_buckets
+
+    rows = (
+        # hot pile: 600 members sharing one (band,key,sec) → thinned + capped
+        [(0, 11, 5, f"hot{i:04d}") for i in range(600)]
+        # hot (band,key) spread over 40 sub-buckets of 15 → per-sub cap + total cap
+        + [(1, 22, 100 + s, f"spread{s:02d}_{i:02d}")
+           for s in range(40) for i in range(15)]
+        # small bucket: kept whole
+        + [(2, 33, 7, f"small{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "band int, key bigint, sec bigint, id string")
+    out1 = _cap_buckets(df, inc_cfg).collect()
+    out2 = _cap_buckets(df, inc_cfg).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+
+    import collections
+    per_sub = collections.Counter((r["band"], r["key"], r["sec"]) for r in out1)
+    per_bkt = collections.Counter((r["band"], r["key"]) for r in out1)
+    assert all(v <= inc_cfg.incremental_bucket_reps for v in per_sub.values())
+    assert all(v <= inc_cfg.max_bucket_allpairs for v in per_bkt.values())
+    assert per_bkt[(0, 11)] >= 1          # the hot pile keeps representatives
+    assert per_bkt[(2, 33)] == 5          # small bucket intact
+    assert per_bkt[(1, 22)] == inc_cfg.max_bucket_allpairs  # total cap binds
+
+
 def test_crash_before_commit_leaves_prior_version(spark, tmp_path, inc_cfg):
     """The CURRENT pointer flips only after all tables land: a v2 directory
     without the flip must be invisible (re-run redoes the batch)."""

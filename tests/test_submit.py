@@ -67,6 +67,49 @@ def test_spark_submit_end_to_end(tmp_path):
     assert new_processing == [], f"resume recomputed: {new_processing}"
 
 
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_incremental_two_batches(tmp_path):
+    """Two spark-submit invocations fold two batches into one state dir:
+    separate JVMs, state continuity via the versioned warehouse only."""
+    from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+
+    pdf = synthesize_code_files(CorpusSpec(n_base=40, n_repos=5, seed=3))
+    b1, b2 = str(tmp_path / "b1.parquet"), str(tmp_path / "b2.parquet")
+    pdf.iloc[::2].to_parquet(b1, index=False)
+    pdf.iloc[1::2].to_parquet(b2, index=False)
+    state = str(tmp_path / "state")
+    inc = lambda src: ("--incremental", "--state-dir", state, "--input", src)
+
+    zip_path = str(tmp_path / "engine.zip")
+    subprocess.run([sys.executable, os.path.join(REPO, "tools/make_pyfiles.py"),
+                    zip_path], check=True, capture_output=True)
+
+    def submit(src, out_name):
+        out = subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]",
+             "--conf", "spark.ui.enabled=false",
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--py-files", zip_path,
+             os.path.join(REPO, "jobs/dedup_job.py"),
+             *inc(src), "--output", str(tmp_path / out_name)],
+            capture_output=True, text=True, timeout=900, cwd=REPO)
+        assert out.returncode == 0, out.stderr[-3000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    s1 = submit(b1, "out1")
+    assert s1["state_version"] == 1 and s1["mode"] == "incremental"
+    s2 = submit(b2, "out2")
+    assert s2["state_version"] == 2
+    # new_files counts VALID rows only (the corpus plants invalid rows
+    # that the validate stage rejects before state ingestion)
+    assert 0 < s2["new_files"] <= len(pdf.iloc[1::2])
+    # final output covers the whole corpus-so-far, not just the batch
+    import pandas as pd
+    final = pd.read_parquet(str(tmp_path / "out2"))
+    assert len(final) == s1["new_files"] + s2["new_files"]
+    assert final["cluster_id"].notna().all()
+
+
 def test_coerce_overrides_types():
     """--set values coerce to the config field's type; bools parse
     true/false explicitly (bool('false') would be True)."""
