@@ -112,7 +112,10 @@ def main() -> None:
     ap.add_argument("--lines-lo", type=int, default=150)
     ap.add_argument("--lines-hi", type=int, default=500)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--repeats", type=int, default=2)
+    # the hi level needs 4 simultaneously free host cores, so it takes more
+    # samples to catch a clean window (measured: 4-core samples in one
+    # session spanned 289→1047 s; the min is the machine-limited number)
+    ap.add_argument("--repeats", type=int, default=4)
     ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
