@@ -54,7 +54,11 @@ def main() -> None:
     queries = entrymod.queries()
     headline = [
         "dedup_pipeline_full",                  # flagship: full pipeline
-        "minhash_near_dup_pairs",               # S4+S5+S8 path in isolation
+        # S4+S5+S8 production path in isolation (estimate verify — the same
+        # computation BENCH_r01 recorded under "minhash_near_dup_pairs";
+        # that name is now the oracle-checked exact-verify twin, which ships
+        # shingle sets and is priced for auditability, not throughput)
+        "minhash_near_dup_pairs_est",
         "exact_dedup_documents",                # S3 exact collapse
         "simhash_signatures",                   # S6 signature path
         "tpch_q1_pricing_summary",              # scan+agg throughput

@@ -85,15 +85,24 @@ class DedupConfig:
     # target (BASELINE.json) prices recall above precision.
     jaccard_threshold: float = 0.70
     verify_margin: float = 0.10
+    # "estimate": MinHash Jaccard estimate over truncated signatures — the
+    #   scale path (verify.py verify_pairs).
+    # "exact": candidates get a prefix-filter completeness backstop and are
+    #   confirmed with EXACT char-shingle-set Jaccard (operators/neardup.py)
+    #   — deterministic, equal to the brute-force pair set, hash-checkable
+    #   against a SQL oracle; costs content shuffle per candidate.
+    verify_mode: str = "estimate"
 
     # --- clustering (S9) ---
     cc_max_iterations: int = 50
     cc_checkpoint_every: int = 5
     # adaptive small-graph path: edge sets up to this size are clustered
     # with exact driver-side union-find (one collect + one broadcast join)
-    # instead of the O(diameter) shuffle-iteration loop. 5M string edges
-    # ~= a few hundred MB on the driver — safe; raise/lower per driver RAM.
-    cc_driver_max_edges: int = 5_000_000
+    # instead of the O(diameter) shuffle-iteration loop. Sized for a plain
+    # spark-submit driver (default 1g heap): 500k edges of 64-char sha ids
+    # is ~150-300 MB of pandas+dict on the driver. Raise per driver RAM
+    # (24g local driver handles 5M+), or lower for thin drivers.
+    cc_driver_max_edges: int = 500_000
 
     # --- execution ---
     shuffle_partitions: int = 64
@@ -102,6 +111,8 @@ class DedupConfig:
     def validate(self) -> None:
         if self.minhash_scheme not in ("oph", "multiply_shift"):
             raise ValueError(f"unknown minhash_scheme {self.minhash_scheme!r}")
+        if self.verify_mode not in ("estimate", "exact"):
+            raise ValueError(f"unknown verify_mode {self.verify_mode!r}")
         if self.minhash_scheme == "oph" and self.num_hashes & (self.num_hashes - 1):
             raise ValueError("num_hashes must be a power of two for OPH")
         if self.num_bands * self.rows_per_band != self.num_hashes:

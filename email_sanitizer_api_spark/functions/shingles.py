@@ -1,0 +1,61 @@
+"""Char k-gram shingle SETS as pure Column expressions (+ the DuckDB
+equivalent), powering the engine's EXACT-verify mode.
+
+The signature path (operators/signatures.py) hashes shingles inside a
+pandas UDF — fast, but only estimable. For the auditable exact mode
+(``DedupConfig.verify_mode == "exact"``) the engine needs the literal
+shingle sets so candidate pairs can be confirmed with exact set Jaccard;
+both the Spark expression and the DuckDB SQL below define the same set:
+
+    len(c) >= k : distinct k-char substrings of c
+    len(c) <  k : the singleton {c}   (mirrors signatures.shingle_hashes's
+                  whole-content fallback for short docs)
+
+Shingles here are over *characters*; signatures.py shingles over UTF-8
+bytes. For exact-verify vs its DuckDB oracle both sides use the same
+definition, so the choice only has to be consistent — chars keep the
+expression JVM-native (no encode round-trip).
+
+Reference precedent for golden-expected-output checking:
+manual-testing/rest/POST-emails_bulk_mixed.http:1-60.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def shingle_set_expr(c: Column, k: int) -> Column:
+    """Distinct char k-gram set of ``c`` — pure Column math (sequence +
+    transform + substring, all codegen'd; no Python)."""
+    n = F.length(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.substring(c, i, F.lit(k)),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(c))
+
+
+def shingle_set_sql(c: str, k: int) -> str:
+    """DuckDB SQL computing the identical shingle set."""
+    return (
+        f"CASE WHEN length({c}) >= {k} "
+        f"THEN list_distinct([substr({c}, i, {k}) "
+        f"for i in range(1, length({c}) - {k - 2})]) "
+        f"ELSE [{c}] END"
+    )
+
+
+def normalize_sql(c: str) -> str:
+    """DuckDB SQL reproducing operators/normalize.py's normalize_expr:
+    CRLF/CR → LF, strip trailing ws per line, strip trailing blank tail,
+    then Unicode NFC."""
+    nl = "chr(10)"
+    return (
+        "nfc_normalize("
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{c}, '\\r\\n?', {nl}, 'g'), "
+        f"'[ \\t]+' || {nl}, {nl}, 'g'), "
+        f"'[ \\t' || {nl} || ']+$', '', 'g'))"
+    )

@@ -41,33 +41,46 @@ def token_jaccard_expr(tokens_a: Column, tokens_b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
 
 
-def token_set_similarity_join(
+def prefix_filter_candidates(
     toks: DataFrame,
     threshold: float,
     id_col: str = "id",
     tokens_col: str = "toks",
     partition_cols: tuple[str, ...] = (),
+    cleanup: list | None = None,
 ) -> DataFrame:
-    """Exact all-pairs token-set Jaccard join at ``>= threshold`` without a
-    cross join, via frequency-ordered prefix filtering (AllPairs/PPJoin).
+    """COMPLETE candidate set for Jaccard >= threshold via frequency-ordered
+    prefix filtering (AllPairs/PPJoin): returns (a, b) containing EVERY pair
+    whose token-set Jaccard meets the threshold (plus false positives the
+    caller verifies away).
 
     Prefix-filtering principle: order all tokens globally by (document
     frequency, token); for a set T the "prefix" is its first
     ``|T| - ceil(t*|T|) + 1`` tokens in that order. If J(A,B) >= t then
     |A∩B| >= t*max(|A|,|B|), so the globally-smallest shared token sits
     inside BOTH prefixes — an equi-join on prefix tokens finds every
-    qualifying pair; an exact Jaccard verify then removes false positives.
-    Result is identical to the brute-force join, but candidates scale with
-    true near-dups instead of |N|²; rarest-first ordering keeps prefix-token
-    buckets small (no hot-token skew).
+    qualifying pair. Candidates additionally pass the PPJoin LENGTH filter:
+    J(A,B) >= t implies t*max(|A|,|B|) <= |A∩B| <= min(|A|,|B|), so pairs
+    whose sizes alone rule out the threshold are pruned before the (much
+    more expensive) verify join ships any token payload. Candidates scale
+    with true near-dups instead of |N|²; rarest-first ordering keeps
+    prefix-token buckets small (no hot-token skew).
+
+    Persisted intermediates are appended to ``cleanup`` (if given) for the
+    caller to unpersist once the result is materialized.
     """
     pc = list(partition_cols)
-    # base fans out 3x (explode, verify-left, verify-right) and cand 2x —
-    # cut the lineage so tokenization and candidate generation run once
+    # base fans out (explode feeds both the frequency agg and the prefix
+    # join) — cut the lineage so tokenization runs once. Skip when the
+    # caller already persisted the frame (token_set_similarity_join shares
+    # one persisted base between candidates and verify).
     base = toks.select(
-        *pc, F.col(id_col).alias("_id"), F.col(tokens_col).alias("_toks")
-    ).persist()
-    base.count()
+        *pc, F.col(id_col).alias("_id"), F.col(tokens_col).alias("_toks"))
+    if not toks.is_cached:
+        base = base.persist()
+        base.count()
+        if cleanup is not None:
+            cleanup.append(base)
 
     ex = base.select(*pc, "_id", F.size("_toks").alias("_sz"),
                      F.explode("_toks").alias("_tok"))
@@ -78,18 +91,55 @@ def token_set_similarity_join(
         ex.join(freq, pc + ["_tok"])
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= plen)
-        .select(*pc, "_id", "_tok")
+        .select(*pc, "_id", "_tok", "_sz")
     )
 
-    l = prefix.select(*pc, "_tok", F.col("_id").alias("a"))
-    r = prefix.select(*pc, "_tok", F.col("_id").alias("b"))
-    cand = (
+    l = prefix.select(*pc, "_tok", F.col("_id").alias("a"),
+                      F.col("_sz").alias("_sza"))
+    r = prefix.select(*pc, "_tok", F.col("_id").alias("b"),
+                      F.col("_sz").alias("_szb"))
+    return (
         l.join(r, pc + ["_tok"])
-        .where(F.col("a") < F.col("b"))
+        .where(
+            (F.col("a") < F.col("b"))
+            # length filter: ceil(t*max) <= min, else J < t regardless of overlap
+            & (F.ceil(F.lit(threshold) * F.greatest("_sza", "_szb"))
+               <= F.least("_sza", "_szb"))
+        )
         .select(*pc, "a", "b")
         .dropDuplicates(["a", "b"])
+    )
+
+
+def token_set_similarity_join(
+    toks: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    tokens_col: str = "toks",
+    partition_cols: tuple[str, ...] = (),
+    cleanup: list | None = None,
+) -> DataFrame:
+    """Exact all-pairs token-set Jaccard join at ``>= threshold`` without a
+    cross join: COMPLETE candidates from ``prefix_filter_candidates`` (see
+    there for the guarantee), then an exact Jaccard verify removes false
+    positives. Result is identical to the brute-force O(n²) join.
+    """
+    pc = list(partition_cols)
+    own_cleanup: list = []
+    # one persisted base shared by candidate generation AND the verify joins
+    base = toks.select(
+        *pc, F.col(id_col).alias("_id"), F.col(tokens_col).alias("_toks")
+    ).persist()
+    base.count()
+    own_cleanup.append(base)
+    cand = prefix_filter_candidates(
+        base, threshold, "_id", "_toks", partition_cols,
+        cleanup=own_cleanup,
     ).persist()
     cand.count()
+    own_cleanup.append(cand)
+    if cleanup is not None:
+        cleanup.extend(own_cleanup)
 
     ta = base.select(*pc, F.col("_id").alias("a"), F.col("_toks").alias("_ta"))
     tb = base.select(F.col("_id").alias("b"), F.col("_toks").alias("_tb"))
@@ -145,14 +195,30 @@ def vector_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def _vector_dim(embeddings: DataFrame, vec_col: str, dim: int | None) -> int | None:
+    """Vector dimensionality: caller-provided, else a guarded one-row probe
+    (plan-time driver touch; returns None on empty input instead of
+    crashing)."""
+    if dim is not None:
+        return dim
+    rows = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+    return rows[0]["d"] if rows else None
+
+
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int,
                     n_planes: int = 6, seed: int = DEFAULT_CONFIG.seed,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's hyperplane
     bucket (plus all 1-bit-flip neighbor buckets for recall), then exact
     cosine rank within candidates. The join is an equi-join on bucket —
-    shuffle-partitionable, no cross join."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    shuffle-partitionable, no cross join. Pass ``dim`` to avoid the
+    plan-time probe of the first row."""
+    dim = _vector_dim(embeddings, vec_col, dim)
+    if dim is None:  # empty input
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double")
     planes = hyperplane_signatures(dim, n_planes, seed)
     n = embeddings.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).alias("nv"),

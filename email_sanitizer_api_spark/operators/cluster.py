@@ -92,9 +92,12 @@ def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
             # path below (vertices only ADD singletons, never restrict:
             # incremental dedup passes vertices=fresh shas while edges
             # also carry old-cluster nodes whose relabels must survive)
+            # no explicit broadcast hint: labels can be up to 2x
+            # cc_driver_max_edges rows — let AQE pick the strategy from the
+            # actual size instead of forcing a driver-memory-sized broadcast
             singletons = (
                 vertices.select("id")
-                .join(F.broadcast(labels.select("id")), "id", "left_anti")
+                .join(labels.select("id"), "id", "left_anti")
                 .withColumn("cluster_id", F.col("id"))
             )
             labels = labels.unionByName(singletons)

@@ -46,8 +46,11 @@ def exact_dedup(df: DataFrame, sha_col: str = "content_sha256") -> tuple[DataFra
         .agg(
             F.min(F.struct("repo", "path", "commit")).alias("rep"),
             F.count(F.lit(1)).alias("group_size"),
-            F.first("lang").alias("lang"),
-            F.first("content_norm").alias("content_norm"),
+            # min, not first: identical content can carry different lang tags
+            # across files, and lang feeds downstream grouping (suffix pass) —
+            # first() would make the representative run-dependent
+            F.min("lang").alias("lang"),
+            F.first("content_norm").alias("content_norm"),  # identical by key
         )
         .select(
             sha_col,

@@ -224,10 +224,12 @@ def incremental_dedup(
     # one job does not prevent recompute (pipeline.py module docstring)
     bucket_rows = _bucket_rows(sigs_new, cfg).persist()
     bucket_rows.count()
+    pair_cleanup: list[DataFrame] = []
     new_nodes = bucket_rows.select("id", "band", "key")
     within = pairs_from_buckets(
         new_nodes, ["band", "key"], cfg.max_bucket_allpairs,
         salted_pass=cfg.hot_bucket_salted_pass, n_dims=cfg.num_bands,
+        cleanup=pair_cleanup,
     ).select("a", "b")
     cross = (
         new_nodes.join(st_buckets.select("band", "key",
@@ -258,6 +260,11 @@ def incremental_dedup(
     )
     vertices = sigs_new.select(F.col("content_sha256").alias("id"))
     cc = connected_components(old_labeled, cfg, vertices=vertices)
+    # CC checkpointed+counted its input edges — drop the pair-generation
+    # caches so repeated incremental batches don't accumulate persisted
+    # relations for the session lifetime
+    for df in pair_cleanup:
+        df.unpersist()
 
     # -- relabel: merged old clusters + labels for fresh content ----------
     remap = (
@@ -282,8 +289,18 @@ def incremental_dedup(
     # -- state deltas ------------------------------------------------------
     io.write(_cap_buckets(bucket_rows, cfg), "buckets")
     bucket_rows.unpersist()
+    # idempotent re-submission: a re-run batch (or a crawl containing
+    # already-committed (repo, path, commit) rows) must not duplicate
+    # membership rows or inflate new_files — anti-join against the stored
+    # files table, mirroring the left_anti pattern used for sigs (the
+    # reference memo-cache analog: already-seen inputs are served from
+    # state, src/routes/email.rs:81-117)
     files_new = io.write(
-        membership.select("repo", "path", "commit", "content_sha256"), "files")
+        membership.select("repo", "path", "commit", "content_sha256")
+        .dropDuplicates(["repo", "path", "commit"])
+        .join(state.read("files", v_cur).select("repo", "path", "commit"),
+              ["repo", "path", "commit"], "left_anti"),
+        "files")
     metrics["new_files"] = files_new.count()
     state.commit(v_next)
 

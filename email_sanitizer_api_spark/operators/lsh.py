@@ -59,13 +59,19 @@ def band_keys(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
 
 def pairs_from_buckets(nodes: DataFrame, bucket_cols: list[str],
                        allpairs_cap: int, salted_pass: bool = True,
-                       n_dims: int | None = None) -> DataFrame:
+                       n_dims: int | None = None,
+                       cleanup: list | None = None) -> DataFrame:
     """Generic skew-aware pairing of rows sharing a bucket.
 
     nodes: DataFrame with ``id`` + bucket columns. Returns distinct
     (a, b, strategy) with a < b. When the bucket space is two-level
     ``(dim, key)`` with ``dim`` in [0, n_dims), pass ``n_dims`` to enable
     secondary-banding sub-buckets for the hot-bucket cross-pass.
+
+    The eagerly-persisted bucket-size relation is appended to ``cleanup``
+    (if given) so the caller can unpersist it once the returned pairs are
+    materialized — a long-lived session running repeated invocations would
+    otherwise pin one cached relation per call until eviction churn.
     """
     # bucket sizes via a window over the bucket key: ONE shuffle, versus the
     # equivalent groupBy+rejoin's two. The self-join below references
@@ -81,6 +87,8 @@ def pairs_from_buckets(nodes: DataFrame, bucket_cols: list[str],
         .persist()
     )
     tagged.count()
+    if cleanup is not None:
+        cleanup.append(tagged)
 
     small = tagged.where(F.col("n") <= allpairs_cap).drop("n")
     hot = tagged.where(F.col("n") > allpairs_cap).drop("n")
@@ -163,9 +171,10 @@ def pairs_from_buckets(nodes: DataFrame, bucket_cols: list[str],
 
 
 def lsh_candidate_pairs(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
-                        id_col: str = "content_sha256") -> DataFrame:
+                        id_col: str = "content_sha256",
+                        cleanup: list | None = None) -> DataFrame:
     """Distinct candidate (a, b) id pairs from LSH band collisions."""
     nodes = band_keys(sigs, cfg, id_col)
     return pairs_from_buckets(nodes, ["band", "key"], cfg.max_bucket_allpairs,
                               salted_pass=cfg.hot_bucket_salted_pass,
-                              n_dims=cfg.num_bands)
+                              n_dims=cfg.num_bands, cleanup=cleanup)

@@ -1,0 +1,58 @@
+"""Exact-mode near-dup pair generation: LSH candidates + a completeness
+backstop, confirmed by exact shingle-set Jaccard.
+
+Motivation (SURVEY.md §7.4 / the driver's correctness gate): the MinHash
+estimate path (lsh.py + verify.py) is probabilistic twice over — banding
+may miss a borderline pair, and the estimate has variance. That is the
+right trade at 10^12 files, but it cannot be hash-compared against a
+brute-force oracle. Exact mode makes the pair set DETERMINISTIC:
+
+- candidates = LSH band collisions ∪ prefix-filter candidates
+  (functions/similarity.prefix_filter_candidates over the literal shingle
+  sets — COMPLETE by the AllPairs/PPJoin prefix guarantee: every pair with
+  true Jaccard >= t shares a prefix shingle)
+- verify = exact set Jaccard over char k-gram shingles (verify_pairs_exact)
+
+so the result equals the brute-force O(n²) join exactly, while the
+candidate volume stays near-linear. The LSH union contributes only
+already-covered or below-threshold pairs (verified away) — it is kept so
+the production candidate generator runs under the exact gate too, and so
+recall of LSH-alone vs the complete set is measurable (tests/RECALL.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+from email_sanitizer_api_spark.functions.shingles import shingle_set_expr
+from email_sanitizer_api_spark.functions.similarity import prefix_filter_candidates
+from email_sanitizer_api_spark.operators.lsh import lsh_candidate_pairs
+from email_sanitizer_api_spark.operators.verify import verify_pairs_exact
+
+
+def exact_near_dup_pairs(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+                         id_col: str = "content_sha256",
+                         content_col: str = "content_norm",
+                         with_backstop: bool = True,
+                         cleanup: list | None = None) -> DataFrame:
+    """(a, b, jaccard) with exact shingle-Jaccard >= cfg.jaccard_threshold.
+
+    ``with_backstop=True`` (default): result provably equals the
+    brute-force pair set. ``with_backstop=False``: LSH candidates only,
+    exactly verified — used to measure LSH recall against the complete set.
+    """
+    cand = lsh_candidate_pairs(sigs, cfg, id_col, cleanup=cleanup).select("a", "b")
+    if with_backstop:
+        sh = sigs.select(
+            F.col(id_col).alias("_id"),
+            shingle_set_expr(F.col(content_col), cfg.shingle_k).alias("_sh"),
+        ).persist()
+        sh.count()
+        if cleanup is not None:
+            cleanup.append(sh)
+        backstop = prefix_filter_candidates(
+            sh, cfg.jaccard_threshold, "_id", "_sh", cleanup=cleanup)
+        cand = cand.unionByName(backstop).dropDuplicates(["a", "b"])
+    return verify_pairs_exact(cand, sigs, cfg, id_col, content_col)

@@ -35,12 +35,13 @@ def simhash_chunks(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
 
 
 def simhash_candidate_pairs(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
-                            id_col: str = "content_sha256") -> DataFrame:
+                            id_col: str = "content_sha256",
+                            cleanup: list | None = None) -> DataFrame:
     """(a, b) pairs with Hamming(simhash_a, simhash_b) <= max_hamming."""
     nodes = simhash_chunks(sigs, cfg, id_col)
     cand = pairs_from_buckets(nodes, ["chunk", "key"], cfg.max_bucket_allpairs,
                               salted_pass=cfg.hot_bucket_salted_pass,
-                              n_dims=cfg.simhash_chunks)
+                              n_dims=cfg.simhash_chunks, cleanup=cleanup)
     sim = sigs.select(F.col(id_col).alias("id"), "simhash")
     return (
         cand

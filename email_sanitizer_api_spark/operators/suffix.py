@@ -107,7 +107,8 @@ def make_fingerprint_udf(cfg: DedupConfig = DEFAULT_CONFIG):
 
 def suffix_candidate_pairs(reps: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                            id_col: str = "content_sha256",
-                           content_col: str = "content_norm") -> DataFrame:
+                           content_col: str = "content_norm",
+                           cleanup: list | None = None) -> DataFrame:
     """(a, b) pairs of docs sharing at least one sampled substring fingerprint."""
     fp = make_fingerprint_udf(cfg)
     nodes = (
@@ -116,7 +117,8 @@ def suffix_candidate_pairs(reps: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         .dropDuplicates(["id", "key"])
     )
     return pairs_from_buckets(nodes, ["key"], cfg.max_bucket_allpairs,
-                              salted_pass=cfg.hot_bucket_salted_pass)
+                              salted_pass=cfg.hot_bucket_salted_pass,
+                              cleanup=cleanup)
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,40 @@ def _truncated(minhash: Column) -> Column:
     )
 
 
+def verify_pairs_exact(pairs: DataFrame, reps: DataFrame,
+                       cfg: DedupConfig = DEFAULT_CONFIG,
+                       id_col: str = "content_sha256",
+                       content_col: str = "content_norm") -> DataFrame:
+    """Keep (a, b, jaccard) where the EXACT char-shingle-set Jaccard meets
+    ``cfg.jaccard_threshold`` (no margin — the value is exact, not an
+    estimate).
+
+    This is the auditable counterpart of :func:`verify_pairs`: instead of
+    the MinHash estimate it joins each side's normalized content and
+    computes true set Jaccard over char ``cfg.shingle_k``-gram shingles
+    (functions/shingles.py — same definition as the DuckDB oracle), all in
+    pure Column math. It ships full content per candidate pair, so it costs
+    more shuffle than the truncated-signature estimate — use it where
+    auditability beats throughput (the driver's hash-exact correctness
+    gate), or at moderate scale.
+    """
+    from email_sanitizer_api_spark.functions.shingles import shingle_set_expr
+    from email_sanitizer_api_spark.functions.similarity import token_jaccard_expr
+
+    sh = reps.select(F.col(id_col).alias("id"),
+                     shingle_set_expr(F.col(content_col), cfg.shingle_k).alias("sh"))
+    joined = (
+        pairs.select("a", "b")
+        .join(sh.withColumnsRenamed({"id": "a", "sh": "sh_a"}), "a")
+        .join(sh.withColumnsRenamed({"id": "b", "sh": "sh_b"}), "b")
+    )
+    return (
+        joined.withColumn("jaccard", token_jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
 def verify_pairs(pairs: DataFrame, sigs: DataFrame,
                  cfg: DedupConfig = DEFAULT_CONFIG,
                  id_col: str = "content_sha256") -> DataFrame:

@@ -141,18 +141,30 @@ def run_pipeline(
     if io is None:
         normalized.unpersist()  # text lives on only as sigs.content_norm reps
 
-    # S5 LSH candidates → S8 verify (Jaccard estimate >= tau)
+    # S5 LSH candidates → S8 verify (Jaccard estimate >= tau). Persisted
+    # intermediates from the pair generators land in `gen_cleanup` and are
+    # unpersisted after CC materializes the edge union — a long-lived
+    # session would otherwise accumulate cached relations per run.
+    gen_cleanup: list[DataFrame] = []
+
     def _verified() -> DataFrame:
-        cand = lsh_candidate_pairs(sigs, cfg)
+        if cfg.verify_mode == "exact":
+            from email_sanitizer_api_spark.operators.neardup import (
+                exact_near_dup_pairs)
+            return exact_near_dup_pairs(
+                sigs, cfg, cleanup=gen_cleanup).select("a", "b")
+        cand = lsh_candidate_pairs(sigs, cfg, cleanup=gen_cleanup)
         return verify_pairs(cand, sigs, cfg).select("a", "b")
 
     generators: dict[str, Callable[[], DataFrame]] = {"s5_verified_pairs": _verified}
     if enable_simhash:
         generators["s6_simhash_pairs"] = (
-            lambda: simhash_candidate_pairs(sigs, cfg).select("a", "b"))
+            lambda: simhash_candidate_pairs(sigs, cfg, cleanup=gen_cleanup)
+            .select("a", "b"))
     if enable_suffix:
         generators["s7_suffix_pairs"] = (
-            lambda: suffix_candidate_pairs(sigs, cfg).select("a", "b"))
+            lambda: suffix_candidate_pairs(sigs, cfg, cleanup=gen_cleanup)
+            .select("a", "b"))
 
     if io is not None:
         edge_sets = [stage(name, thunk) for name, thunk in generators.items()]
@@ -194,6 +206,10 @@ def run_pipeline(
     clusters_sha = stage(
         "s9_clusters", lambda: connected_components(edges, cfg, vertices=vertices)
     )
+    # connected_components checkpointed + counted its input edges above, so
+    # the generators' persisted intermediates are no longer referenced
+    for df in gen_cleanup:
+        df.unpersist()
 
     # propagate sha-level cluster ids to every file via exact membership
     def _files_clustered() -> DataFrame:
