@@ -714,20 +714,40 @@ FROM fc
 """
 
 
+_SUFFIX_SPAN_LEN = 200  # chosen so the sf tables (docs <= ~600B) exercise spans
+
+
 def _q_suffix_array_spans(spark, sf_dir):
     """Exact per-bucket suffix-array shared-substring pairs (S7 exact path,
     SURVEY.md §4): applyInPandas builds a suffix array over each lang
-    bucket's concatenated text and reports pairs sharing >= min_len bytes.
-    Not SQL-expressible (rows-only check)."""
+    bucket's concatenated text and reports ALL pairs sharing >= min_len
+    bytes. The oracle reproduces the set by brute force: two docs share a
+    >= L-byte span iff they share some exactly-L-byte substring, so an
+    equi-join on md5 of every L-gram is the same pair set (ASCII corpus —
+    byte == char offsets)."""
     from email_sanitizer_api_spark.operators.suffix import suffix_array_spans
     docs = _t(spark, sf_dir, "documents")
-    reps = docs.select(
-        "lang",
-        F.sha2("text", 256).alias("content_sha256"),
-        F.col("text").alias("content_norm"),
-    ).dropDuplicates(["content_sha256"])
-    cfg = DedupConfig(suffix_min_len=200)
+    reps = (
+        docs.groupBy(F.sha2("text", 256).alias("content_sha256"))
+        .agg(F.min("lang").alias("lang"),
+             F.first("text").alias("content_norm"))  # identical per sha
+    )
+    cfg = DedupConfig(suffix_min_len=_SUFFIX_SPAN_LEN)
     return suffix_array_spans(reps, ["lang"], cfg)
+
+
+_SQL_SUFFIX_ARRAY_SPANS = f"""
+WITH r AS (
+  SELECT sha256(text) AS id, min(lang) AS lang, min(text) AS text
+  FROM documents GROUP BY 1),
+subs AS (
+  SELECT id, lang,
+         unnest([md5(substr(text, i, {_SUFFIX_SPAN_LEN}))
+                 for i in range(1, length(text) - {_SUFFIX_SPAN_LEN - 2})]) AS h
+  FROM r WHERE length(text) >= {_SUFFIX_SPAN_LEN})
+SELECT DISTINCT a.id AS a, b.id AS b
+FROM subs a JOIN subs b ON a.lang = b.lang AND a.h = b.h AND a.id < b.id
+"""
 
 
 def _q_incremental_dedup_two_batches(spark, sf_dir):
@@ -839,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_pairs": _SQL_MINHASH_NEAR_DUP_PAIRS,
         "connected_components_docs": _SQL_CONNECTED_COMPONENTS_DOCS,
         "dedup_pipeline_exact": _pipeline_exact_sql(),
+        "suffix_array_spans": _SQL_SUFFIX_ARRAY_SPANS,
         # minhash_near_dup_pairs_est / simhash_signatures /
         # dedup_pipeline_full / cosine_topk_lsh /
         # incremental_dedup_two_batches: intentionally omitted — these are

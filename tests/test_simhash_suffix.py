@@ -108,3 +108,54 @@ def test_suffix_array_spans_exact(spark):
     got = {(r["a"], r["b"]) for r in
            suffix_array_spans(df, ["grp"], DedupConfig(suffix_min_len=1024)).collect()}
     assert got == {("idA", "idB")}
+
+
+def test_suffix_array_spans_complete_not_adjacent_only(spark):
+    """Three docs sharing one span must yield ALL THREE pairs — in the
+    suffix array a third doc's suffix can sit between two others inside the
+    shared-prefix block, so an adjacent-only scan would miss a pair."""
+    embedded = "Y = shared_block(%d); " % 7 * 150  # ~3KB shared span
+    rows = [
+        ("g", f"id{ch}", f"head_{ch}\n" + embedded + f"tail_{ch}")
+        for ch in "ABC"
+    ]
+    df = spark.createDataFrame(rows, "grp string, content_sha256 string, content_norm string")
+    got = {(r["a"], r["b"]) for r in
+           suffix_array_spans(df, ["grp"], DedupConfig(suffix_min_len=1024)).collect()}
+    assert got == {("idA", "idB"), ("idA", "idC"), ("idB", "idC")}
+
+
+def test_suffix_span_does_not_cross_separator(spark):
+    """A shared tail in one doc + shared head in another must NOT pair via
+    a prefix spanning the document boundary."""
+    tail = "common_tail " * 60      # ~720B
+    head = "common_head " * 60
+    rows = [
+        ("g", "idA", ("x" * 500) + tail),
+        ("g", "idB", head + ("y" * 500)),
+        # a third doc makes the concat contain ...tail\x00... and ...head...
+        ("g", "idC", ("z" * 500) + tail),
+    ]
+    df = spark.createDataFrame(rows, "grp string, content_sha256 string, content_norm string")
+    got = {(r["a"], r["b"]) for r in
+           suffix_array_spans(df, ["grp"], DedupConfig(suffix_min_len=700)).collect()}
+    assert got == {("idA", "idC")}  # only the true shared-tail pair
+
+
+def test_suffix_truncation_metrics_visible(spark):
+    """Groups over the byte budget report dropped_files/dropped_bytes —
+    never a silent cap (VERDICT r01 'what's wrong' #1)."""
+    from email_sanitizer_api_spark.operators.suffix import suffix_spans_with_metrics
+    big = "B" * 3000
+    rows = [("g", f"id{i}", big + str(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "grp string, content_sha256 string, content_norm string")
+    cfg = DedupConfig(suffix_min_len=1024, suffix_group_max_bytes=7000)
+    raw = suffix_spans_with_metrics(df, ["grp"], cfg).collect()
+    metrics = [r for r in raw if r["a"] is None]
+    assert len(metrics) == 1
+    assert metrics[0]["dropped_files"] == 2
+    assert metrics[0]["dropped_bytes"] >= 2 * 3000
+    # kept files still pair, and pair rows carry zero dropped counts
+    pairs = {(r["a"], r["b"]) for r in raw if r["a"] is not None}
+    assert pairs == {("id0", "id1")}
+    assert all(r["dropped_files"] == 0 for r in raw if r["a"] is not None)
