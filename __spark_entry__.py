@@ -156,6 +156,26 @@ WHERE c_nationkey NOT IN (
 """
 
 
+def _q_blocklist_filtered_docs(spark, sf_dir):
+    """S1.5 blocklist as the flagship pipeline runs it
+    (operators/validate.py apply_blocklist): repo-dim broadcast LEFT ANTI
+    (vendored/mirrored sources) + vectorized generated-file path filter."""
+    from email_sanitizer_api_spark.operators.validate import apply_blocklist
+    docs = _docs_as_code_files(_t(spark, sf_dir, "documents"))
+    vendored = docs.select("repo").where(F.col("repo").rlike("[02468]$"))
+    out = apply_blocklist(docs, vendored, path_regex="doc/\\d*7$")
+    return out.select("repo", "path")
+
+
+_SQL_BLOCKLIST_FILTERED_DOCS = r"""
+SELECT source AS repo, 'doc/' || CAST(doc_id AS VARCHAR) AS path
+FROM documents
+WHERE source NOT IN (SELECT source FROM documents
+                     WHERE regexp_matches(source, '[02468]$'))
+  AND NOT regexp_matches('doc/' || CAST(doc_id AS VARCHAR), 'doc/\d*7$')
+"""
+
+
 def _q_exact_dedup_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy(F.sha2("text", 256).alias("content_sha256")).agg(
@@ -336,10 +356,21 @@ FROM events GROUP BY 1, 2
 
 
 def _q_validate_documents(spark, sf_dir):
+    """Full verdict cascade (operators/validate.py order): EMPTY →
+    TOO_LARGE → BINARY_CONTENT → CONTROL_CHARS → MOJIBAKE → VALID, all
+    pure column math (regexp_count densities for the encoding checks)."""
+    from email_sanitizer_api_spark.operators.validate import (
+        CONTROL_CHAR_CLASS, REPLACEMENT_CHAR)
     docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
     code = (
         F.when(F.col("text").isNull() | F.col("text").rlike("^\\s*$"), F.lit("EMPTY"))
         .when(F.octet_length("text") > DOC_SIZE_CAP, F.lit("TOO_LARGE"))
+        .when(F.col("text").contains("\x00"), F.lit("BINARY_CONTENT"))
+        .when(F.regexp_count(F.col("text"), F.lit(CONTROL_CHAR_CLASS)) / n
+              > 0.005, F.lit("CONTROL_CHARS"))
+        .when(F.regexp_count(F.col("text"), F.lit(REPLACEMENT_CHAR)) / n
+              > 0.001, F.lit("MOJIBAKE"))
         .otherwise(F.lit("VALID"))
     )
     return docs.select("doc_id", code.alias("verdict_code"))
@@ -349,6 +380,12 @@ _SQL_VALIDATE_DOCUMENTS = f"""
 SELECT doc_id,
        CASE WHEN text IS NULL OR regexp_matches(text, '^\\s*$') THEN 'EMPTY'
             WHEN strlen(text) > {DOC_SIZE_CAP} THEN 'TOO_LARGE'
+            WHEN instr(text, chr(0)) > 0 THEN 'BINARY_CONTENT'
+            WHEN CAST(len(regexp_extract_all(text,
+                   '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) AS DOUBLE)
+                 / length(text) > 0.005 THEN 'CONTROL_CHARS'
+            WHEN CAST(len(regexp_extract_all(text, '\\x{{FFFD}}')) AS DOUBLE)
+                 / length(text) > 0.001 THEN 'MOJIBAKE'
             ELSE 'VALID' END AS verdict_code
 FROM documents
 """
@@ -808,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_orders_per_cust": _q_window_topk,
         "events_hourly_agg": _q_events_hourly,
         # validate / normalize / dedup (S1-S3)
+        "blocklist_filtered_docs": _q_blocklist_filtered_docs,
         "validate_documents": _q_validate_documents,
         "validate_counts": _q_validate_counts,
         "normalize_documents": _q_normalize_documents,
@@ -853,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "intersect_except_custs": _SQL_INTERSECT_EXCEPT,
         "window_topk_orders_per_cust": _SQL_WINDOW_TOPK,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
+        "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "validate_documents": _SQL_VALIDATE_DOCUMENTS,
         "validate_counts": _SQL_VALIDATE_COUNTS,
         "normalize_documents": _SQL_NORMALIZE_DOCUMENTS,

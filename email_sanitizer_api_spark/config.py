@@ -17,6 +17,15 @@ from dataclasses import dataclass, field, asdict
 class DedupConfig:
     # --- validate (S1) ---
     max_content_bytes: int = 1_048_576  # 1 MiB file-size cap (octet_length)
+    # S1.5 blocklist: optional generated-file path pattern (Java regex,
+    # unanchored search) dropped before validation; the repo-level dim
+    # table is passed to run_pipeline(blocklist=...) as data, not config
+    path_blocklist_regex: str = ""
+    # encoding sanity (CONTROL_CHARS / MOJIBAKE verdicts): density
+    # thresholds, not absolute counts — one stray byte in a 100KB file is
+    # noise, 1% of a file is not text
+    max_control_char_ratio: float = 0.005
+    max_replacement_char_ratio: float = 0.001
     # reference analog: 254-octet total / 64-octet local caps use *byte*
     # lengths (reference src/handlers/validation/syntax.rs:26,56)
 

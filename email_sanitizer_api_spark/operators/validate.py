@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
 
 #: verdict codes in first-failure priority order
-CODES = ("EMPTY", "TOO_LARGE", "BINARY_CONTENT")
+CODES = ("EMPTY", "TOO_LARGE", "BINARY_CONTENT", "CONTROL_CHARS", "MOJIBAKE")
+
+#: C0 control chars minus \t\n\r, plus DEL — content that decodes but is
+#: not text (Java regex source; the DuckDB oracle uses the RE2 twin)
+CONTROL_CHAR_CLASS = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+#: U+FFFD — what a lossy decode leaves behind (mojibake marker)
+REPLACEMENT_CHAR = "�"
 
 
 def _verdict_struct(code: Column | None, message: Column | None) -> Column:
@@ -65,8 +71,55 @@ def validation_verdict(content: Column, cfg: DedupConfig = DEFAULT_CONFIG) -> Co
             content.contains("\x00"),
             _verdict_struct(F.lit("BINARY_CONTENT"), F.lit("content contains NUL bytes")),
         )
+        # encoding sanity (SURVEY.md §2.8 "UTF-8/encoding checks,
+        # vectorized"; reference analog: the syntax validator is the
+        # largest single validation surface,
+        # src/handlers/validation/syntax.rs:24-154). Spark strings are
+        # already decoded, so broken bytes show up as density of control
+        # chars (binary-ish payloads) or U+FFFD (a lossy upstream decode):
+        # pure regexp_count column math, whole-stage codegen. EMPTY ran
+        # first, so length >= 1 here.
+        .when(
+            F.regexp_count(content, F.lit(CONTROL_CHAR_CLASS))
+            / F.length(content) > cfg.max_control_char_ratio,
+            _verdict_struct(
+                F.lit("CONTROL_CHARS"),
+                F.lit("control-character density exceeds "
+                      f"{cfg.max_control_char_ratio}")),
+        )
+        .when(
+            F.regexp_count(content, F.lit(REPLACEMENT_CHAR))
+            / F.length(content) > cfg.max_replacement_char_ratio,
+            _verdict_struct(
+                F.lit("MOJIBAKE"),
+                F.lit("U+FFFD replacement-char density exceeds "
+                      f"{cfg.max_replacement_char_ratio} (lossy decode)")),
+        )
         .otherwise(_verdict_struct(None, None))
     )
+
+
+def apply_blocklist(files: DataFrame, blocklist: DataFrame | None = None,
+                    path_regex: str = "",
+                    repo_col: str = "repo", path_col: str = "path") -> DataFrame:
+    """S1.5 — drop blocklisted inputs before validation/dedup.
+
+    The engine restatement of the reference's most-used operator: every
+    request checks the disposable-domain set via an in-memory HashSet
+    lookup (src/handlers/validation/disposable.rs:53-61); here the set is a
+    dim table (vendored repos, mirrored forks) joined BROADCAST LEFT ANTI —
+    the membership probe stays map-side at any corpus size — plus an
+    optional vectorized path-pattern filter for generated files
+    (``*_pb2.py``, ``node_modules/``, minified bundles), the analog of the
+    reference's regex-based syntax gate (src/handlers/validation/syntax.rs).
+    """
+    out = files
+    if blocklist is not None:
+        out = out.join(F.broadcast(blocklist.select(repo_col).distinct()),
+                       repo_col, "left_anti")
+    if path_regex:
+        out = out.where(~F.col(path_col).rlike(path_regex))
+    return out
 
 
 def validate_content(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,

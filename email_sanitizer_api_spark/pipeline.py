@@ -82,6 +82,7 @@ def run_pipeline(
     io: TableIO | None = None,
     enable_simhash: bool = True,
     enable_suffix: bool = True,
+    blocklist: DataFrame | None = None,
 ) -> PipelineResult:
     cfg.validate()
     if io is not None:
@@ -116,6 +117,16 @@ def run_pipeline(
                 print(f"[cut {name}] {time.perf_counter() - t0:.1f}s rows={n}",
                       flush=True)
             return df
+
+    # S1.5 blocklist (vendored repos / generated-file paths): broadcast
+    # LEFT ANTI + vectorized path filter, fused into the first map pass —
+    # the reference's disposable-domain membership gate (J1, every request
+    # hits it) as a batch stage. Runs before validate so blocklisted bytes
+    # are never even inspected.
+    if blocklist is not None or cfg.path_blocklist_regex:
+        from email_sanitizer_api_spark.operators.validate import apply_blocklist
+        files = stage("s1a_blocklisted", lambda: apply_blocklist(
+            files, blocklist, cfg.path_blocklist_regex))
 
     # S1 validate (verdicts for every row; invalid rows never proceed).
     # Lazy in one-shot mode: it fuses into the normalize scan below, so

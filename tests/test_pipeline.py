@@ -122,3 +122,22 @@ def test_manifest_lineage_and_metrics(spark, tmp_path, cfg):
         assert m["wall_s"] >= 0
     cfg_rows = [m for m in rows if m["stage"] == "_config"]
     assert cfg_rows and cfg_rows[0]["config"]["num_hashes"] == cfg.num_hashes
+
+
+def test_blocklist_stage(spark, corpus_df, cfg):
+    """S1.5: blocklisted repos and generated-path patterns never reach
+    dedup (broadcast anti + vectorized path filter, VERDICT r01 #4)."""
+    from email_sanitizer_api_spark.operators.validate import apply_blocklist
+    import dataclasses
+
+    blocked_repo = corpus_df.select("repo").first()["repo"]
+    blocklist = spark.createDataFrame([(blocked_repo,)], "repo string")
+    cfg_bl = dataclasses.replace(cfg, path_blocklist_regex="^copy/")
+    res = run_pipeline(spark, corpus_df, cfg_bl, blocklist=blocklist)
+    fc = res.files_clustered.toPandas()
+    assert blocked_repo not in set(fc["repo"])
+    assert not fc["path"].str.startswith("copy/").any()
+    # the same filter as a standalone operator agrees on the surviving count
+    survivors = apply_blocklist(corpus_df, blocklist, "^copy/").count()
+    assert len(fc) <= survivors  # pipeline additionally drops invalid rows
+    assert survivors < corpus_df.count()

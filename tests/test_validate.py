@@ -17,7 +17,7 @@ from email_sanitizer_api_spark.operators.validate import (
     verdict_counts,
 )
 
-CAP = 1000
+CAP = 4000  # big enough that sub-threshold density rows stay under the cap
 CFG = DedupConfig(max_content_bytes=CAP)
 
 # (input, expect_valid, expect_code) — boundary probes at cap-1/cap/cap+1
@@ -36,6 +36,17 @@ GOLDEN = [
     ("é" * (CAP // 2 + 1), False, "TOO_LARGE"),
     # first-failure ordering: empty beats everything; NUL in oversize → TOO_LARGE first
     ("x" * (CAP + 1) + "\x00", False, "TOO_LARGE"),
+    # encoding sanity: control-char density (C0 minus \t\n\r, plus DEL)
+    ("x" * 50 + "\x01\x02\x7f", False, "CONTROL_CHARS"),     # 3/53 ≈ 5.7%
+    ("x" * 900 + "\x01", True, None),                        # 1/901 below 0.5%
+    ("tabs\tand\nnewlines\rok\n" * 10, True, None),          # \t\n\r never count
+    # mojibake: U+FFFD density from a lossy upstream decode
+    ("good text " + "�" * 3 + " more", False, "MOJIBAKE"),
+    ("long clean text " * 100 + "�", True, None),       # 1/1601 below 0.1%
+    # ordering: NUL wins over control chars and mojibake
+    ("\x00\x01�" + "x" * 10, False, "BINARY_CONTENT"),
+    # ordering: control chars win over mojibake
+    ("\x01\x01��" + "x" * 10, False, "CONTROL_CHARS"),
 ]
 
 
