@@ -825,6 +825,17 @@ def _q_incremental_dedup_two_batches(spark, sf_dir):
     return out
 
 
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    """Bucketed (hyperplane-LSH, OR-amplified, multi-probe) embedding
+    near-dup pairs — the scale path twin of embedding_cosine_near_dup's
+    all-pairs baseline; approximate by design (rows-only check; recall vs
+    the exact baseline is pinned >= 0.95 by tests/test_embedding_lsh.py)."""
+    from email_sanitizer_api_spark.functions.similarity import (
+        embedding_near_dup_lsh)
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(emb, threshold=0.35)
+
+
 def _q_cosine_topk_lsh(spark, sf_dir):
     from email_sanitizer_api_spark.functions.similarity import cosine_topk_lsh
     emb = _t(spark, sf_dir, "embeddings")
@@ -874,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash_signatures,
         "dedup_pipeline_full": _q_dedup_pipeline_full,
         "cosine_topk_lsh": _q_cosine_topk_lsh,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "suffix_array_spans": _q_suffix_array_spans,
         "incremental_dedup_two_batches": _q_incremental_dedup_two_batches,
     }

@@ -205,6 +205,61 @@ def _vector_dim(embeddings: DataFrame, vec_col: str, dim: int | None) -> int | N
     return rows[0]["d"] if rows else None
 
 
+def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float,
+                           n_planes: int = 4, n_tables: int = 8,
+                           seed: int = DEFAULT_CONFIG.seed,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           dim: int | None = None) -> DataFrame:
+    """Embedding near-dup PAIRS at cosine >= threshold — the bucketed scale
+    path for what ``embedding_cosine_near_dup`` (all-pairs crossJoin
+    baseline) computes exactly (VERDICT r01 #3/#6).
+
+    OR-amplified hyperplane LSH: ``n_tables`` independent tables of
+    ``n_planes`` sign bits each; candidates share a table bucket, with
+    1-bit multi-probe on one join side for recall. Per-table collision for
+    a pair at angle θ (p = 1 - θ/π) is p^b + b·p^(b-1)(1-p); across L
+    tables recall = 1-(1-that)^L — at the defaults and cosine 0.35 that is
+    ~0.99+, tested against the exact baseline (test_embedding_lsh). The
+    candidate join is an equi-join on (table, bucket) — shuffle-
+    partitionable, no cross join — and an exact cosine confirm keeps
+    precision at 1.
+    """
+    dim = _vector_dim(embeddings, vec_col, dim)
+    spark = embeddings.sparkSession
+    if dim is None:
+        return spark.createDataFrame([], "a long, b long, cosine double")
+    planes = hyperplane_signatures(dim, n_planes * n_tables, seed)
+    tables = [planes[t * n_planes:(t + 1) * n_planes] for t in range(n_tables)]
+    base = embeddings.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("v"))
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("table"),
+                 vector_bucket_expr(F.col("v"), tables[t]).alias("bucket"))
+        for t in range(n_tables)
+    ])
+    tagged = base.select("id", "v", F.explode(buckets).alias("tb")).select(
+        "id", "v", F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"))
+    # probe side: own bucket + every 1-bit flip (flips are symmetric, so
+    # restricting to a < b below still sees every colliding pair once)
+    probe_arr = F.array(F.col("bucket"), *[
+        F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+    ])
+    probes = tagged.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), "table",
+        F.explode(probe_arr).alias("bucket"))
+    left = tagged.select(F.col("id").alias("a"), F.col("v").alias("va"),
+                         "table", "bucket")
+    return (
+        left.join(probes, ["table", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("cos", cosine_similarity_expr(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 5).alias("cosine"))
+    )
+
+
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int,
                     n_planes: int = 6, seed: int = DEFAULT_CONFIG.seed,
                     id_col: str = "vec_id", vec_col: str = "embedding",

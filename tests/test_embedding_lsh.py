@@ -1,0 +1,60 @@
+"""Bucketed embedding near-dup: recall vs the exact all-pairs baseline.
+
+The LSH path may only miss pairs (bounded by the OR-amplification math in
+functions/similarity.py), never invent them — the exact cosine confirm
+keeps precision at 1. Recall is pinned >= 0.95 at the driver's correctness
+scale (sf0.01 embeddings, cosine >= 0.35), per VERDICT r01 #6.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from email_sanitizer_api_spark.functions.similarity import embedding_near_dup_lsh
+
+SF_DIR = "/root/testdata/sf0.01"
+TAU = 0.35
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(emb):
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    vecs = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = normed @ normed.T
+    out = set()
+    n = len(ids)
+    iu = np.triu_indices(n, k=1)
+    hit = cos[iu] >= TAU
+    for i, j in zip(iu[0][hit], iu[1][hit]):
+        a, b = int(ids[i]), int(ids[j])
+        out.add((min(a, b), max(a, b)))
+    return out
+
+
+def test_lsh_pairs_subset_of_exact(emb, exact_pairs):
+    got = {(r["a"], r["b"])
+           for r in embedding_near_dup_lsh(emb, TAU).collect()}
+    assert got <= exact_pairs  # precision 1: every emitted pair confirmed
+
+
+def test_lsh_recall_ge_095(emb, exact_pairs):
+    got = {(r["a"], r["b"])
+           for r in embedding_near_dup_lsh(emb, TAU).collect()}
+    assert exact_pairs, "baseline should be non-empty at this threshold"
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.95, f"LSH near-dup recall {recall:.3f} < 0.95"
+
+
+def test_lsh_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_near_dup_lsh(empty, TAU).count() == 0
