@@ -105,6 +105,12 @@ class DedupConfig:
     # --- clustering (S9) ---
     cc_max_iterations: int = 50
     cc_checkpoint_every: int = 5
+    # distributed algorithm above the driver-UF ceiling:
+    #   "auto"/"minlabel" — min-label propagation, O(diameter) iterations:
+    #     right for shallow near-dup clusters (the common case);
+    #   "star" — alternating large-star/small-star, O(log n) rounds:
+    #     choose for high-diameter graphs (chained substring clusters).
+    cc_algorithm: str = "auto"
     # adaptive small-graph path: edge sets up to this size are clustered
     # with exact driver-side union-find (one collect + one broadcast join)
     # instead of the O(diameter) shuffle-iteration loop. Sized for a plain
@@ -122,6 +128,8 @@ class DedupConfig:
             raise ValueError(f"unknown minhash_scheme {self.minhash_scheme!r}")
         if self.verify_mode not in ("estimate", "exact"):
             raise ValueError(f"unknown verify_mode {self.verify_mode!r}")
+        if self.cc_algorithm not in ("auto", "minlabel", "star"):
+            raise ValueError(f"unknown cc_algorithm {self.cc_algorithm!r}")
         if self.minhash_scheme == "oph" and self.num_hashes & (self.num_hashes - 1):
             raise ValueError("num_hashes must be a power of two for OPH")
         if self.num_bands * self.rows_per_band != self.num_hashes:

@@ -1,0 +1,82 @@
+"""In-task stage metrics: (partition_id, rows, wall_ms) measured INSIDE
+executor tasks.
+
+TableIO's lineage agg counts a stage's output rows post-hoc (one cheap
+JVM-side agg). This probe measures the stage AS IT RUNS: a mapInPandas
+passthrough counts rows and wall-time per partition and ships the triple
+back through a Spark ACCUMULATOR — tiny payloads piggybacking on task
+completion, no extra job, no shuffle, and the same mechanism works
+unchanged on a multi-executor cluster (SURVEY.md §4's per-stage `_metrics`
+side-table).
+
+Cost note (why this is OPT-IN, ``TableIO.collect_task_metrics=False`` by
+default): the passthrough moves every Arrow batch JVM→Python→JVM, which
+breaks whole-stage codegen fusion across the probe point. That is the
+right price when auditing a run's skew (the per-partition ms column is the
+skew diagnosis), and the wrong one in the throughput path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.accumulators import AccumulatorParam
+from pyspark.sql import DataFrame, SparkSession
+
+
+class _TripleListParam(AccumulatorParam):
+    """Accumulates small lists of (partition_id, rows, wall_ms)."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
+class StageProbe:
+    """One probe per stage; ``wrap`` the stage's DataFrame, run the action,
+    then read ``partitions()`` / ``summary()``."""
+
+    def __init__(self, spark: SparkSession, stage: str):
+        self.stage = stage
+        self._acc = spark.sparkContext.accumulator([], _TripleListParam())
+
+    def wrap(self, df: DataFrame) -> DataFrame:
+        acc = self._acc
+
+        def passthrough(batches):
+            import time
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            t0 = time.perf_counter()
+            rows = 0
+            for pdf in batches:
+                rows += len(pdf)
+                yield pdf
+            acc.add([(pid, rows, round((time.perf_counter() - t0) * 1000, 1))])
+
+        return df.mapInPandas(passthrough, schema=df.schema)
+
+    def partitions(self) -> list[tuple[int, int, float]]:
+        """Sorted (partition_id, rows, wall_ms) — populated after an action
+        has executed the wrapped frame."""
+        return sorted(self._acc.value)
+
+    def summary(self) -> dict[str, Any]:
+        parts = self.partitions()
+        rows = sum(p[1] for p in parts)
+        ms = [p[2] for p in parts]
+        return {
+            "stage": self.stage,
+            "n_partitions": len(parts),
+            "rows_in_task": rows,
+            "task_ms_max": max(ms) if ms else 0.0,
+            "task_ms_sum": round(sum(ms), 1),
+            # max/mean skew ratio — the number a skew diagnosis starts from
+            "task_skew": round(max(ms) / (sum(ms) / len(ms)), 2) if ms and sum(ms) else 1.0,
+            "partitions": [list(p) for p in parts],
+        }

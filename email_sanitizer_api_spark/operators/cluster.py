@@ -45,6 +45,80 @@ def _driver_union_find(edges_pdf) -> dict[str, str]:
     return {x: find(x) for x in parent}
 
 
+def _star_rounds(edges: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): converges in
+    O(log n) ROUNDS regardless of graph diameter, where the min-label
+    loop needs O(diameter) — the difference between ~20 and ~1000 shuffle
+    iterations on a chained substring-duplicate path (VERDICT r01 #10).
+
+    large-star(u): every neighbor v > u re-attaches to min(Γ(u) ∪ {u});
+    small-star(u): u and its smaller neighbors attach to their minimum.
+    At the fixpoint the edge set is a star forest rooted at component
+    minima. Each half-round is one groupBy + one equi-join on node id.
+    Returns (id, cluster_id) for every node appearing in an edge.
+    """
+    canon = (
+        edges.select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .dropDuplicates(["x", "y"])
+        .localCheckpoint()
+    )
+    for _ in range(cfg.cc_max_iterations):
+        # large-star over symmetric adjacency
+        adj = canon.select(F.col("x").alias("u"), F.col("y").alias("v")).unionByName(
+            canon.select(F.col("y").alias("u"), F.col("x").alias("v")))
+        mins = adj.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            adj.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("p"), F.least("mn", "u").alias("q"))
+        )
+        c1 = (
+            large.select(F.least("p", "q").alias("x"), F.greatest("p", "q").alias("y"))
+            .where(F.col("x") != F.col("y"))
+            .dropDuplicates(["x", "y"])
+            .localCheckpoint()
+        )
+        # small-star: strictly-smaller neighborhoods (canonical (x<y) rows
+        # ARE the smaller-neighbor adjacency of y)
+        smins = c1.groupBy("y").agg(F.min("x").alias("mn"))
+        small = (
+            c1.join(smins, "y")
+            .where(F.col("x") != F.col("mn"))
+            .select(F.col("x").alias("p"), F.col("mn").alias("q"))
+            .unionByName(smins.select(F.col("y").alias("p"), F.col("mn").alias("q")))
+        )
+        nxt = (
+            small.select(F.least("p", "q").alias("x"), F.greatest("p", "q").alias("y"))
+            .where(F.col("x") != F.col("y"))
+            .dropDuplicates(["x", "y"])
+            .localCheckpoint()
+        )
+        # cheap fingerprint check (pmod keeps the sum ANSI-overflow-safe),
+        # exact except-diff only when it claims done: equal counts + empty
+        # one-sided difference ⇒ identical sets
+        def _fp(df: DataFrame):
+            return tuple(df.agg(
+                F.count(F.lit(1)),
+                F.sum(F.pmod(F.xxhash64("x", "y"), F.lit(1_000_000_007))),
+            ).collect()[0])
+        if _fp(nxt) == _fp(canon) and nxt.exceptAll(canon).limit(1).count() == 0:
+            canon = nxt
+            break
+        canon = nxt
+    else:
+        raise RuntimeError(
+            f"star CC did not converge in {cfg.cc_max_iterations} rounds")
+    # star forest: every canonical edge is (root, child)
+    return (
+        canon.select(F.col("y").alias("id"), F.col("x").alias("label"))
+        .unionByName(canon.select(F.col("x").alias("id"), F.col("x").alias("label")))
+        .groupBy("id")
+        .agg(F.min("label").alias("cluster_id"))
+    )
+
+
 def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                          vertices: DataFrame | None = None) -> DataFrame:
     """edges(a, b) → (id, cluster_id); singletons (vertices without edges)
@@ -95,6 +169,17 @@ def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
             # no explicit broadcast hint: labels can be up to 2x
             # cc_driver_max_edges rows — let AQE pick the strategy from the
             # actual size instead of forcing a driver-memory-sized broadcast
+            singletons = (
+                vertices.select("id")
+                .join(labels.select("id"), "id", "left_anti")
+                .withColumn("cluster_id", F.col("id"))
+            )
+            labels = labels.unionByName(singletons)
+        return labels
+
+    if cfg.cc_algorithm == "star":
+        labels = _star_rounds(edges, cfg)
+        if vertices is not None:
             singletons = (
                 vertices.select("id")
                 .join(labels.select("id"), "id", "left_anti")

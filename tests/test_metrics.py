@@ -1,0 +1,56 @@
+"""In-task stage metrics probe (metrics.py) + manifest integration."""
+
+from __future__ import annotations
+
+import json
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.metrics import StageProbe
+from email_sanitizer_api_spark.tableio import TableIO
+
+
+def test_probe_counts_rows_and_partitions(spark):
+    df = spark.range(0, 1000, 1, 4).toDF("v")
+    probe = StageProbe(spark, "demo")
+    wrapped = probe.wrap(df)
+    assert wrapped.count() == 1000
+    s = probe.summary()
+    assert s["rows_in_task"] == 1000
+    assert s["n_partitions"] == 4
+    assert all(ms >= 0 for _, _, ms in probe.partitions())
+    assert {p for p, _, _ in probe.partitions()} == {0, 1, 2, 3}
+
+
+def test_tableio_records_task_metrics(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path / "wh"), resume=False,
+                 collect_task_metrics=True)
+    df = spark.range(0, 500, 1, 2).toDF("v")
+    io.write(df, "stage_x")
+    rows = [r for r in io.manifest_rows()
+            if r.get("stage") == "stage_x" and r.get("status") == "Completed"]
+    assert rows, "completed manifest row missing"
+    tm = rows[-1]["task_metrics"]
+    assert tm["rows_in_task"] == 500
+    assert tm["n_partitions"] == 2
+    assert tm["task_skew"] >= 1.0
+    # off by default: no probe, no task_metrics key
+    io2 = TableIO(spark, str(tmp_path / "wh2"), resume=False)
+    io2.write(df, "stage_y")
+    rows2 = [r for r in io2.manifest_rows()
+             if r.get("stage") == "stage_y" and r.get("status") == "Completed"]
+    assert "task_metrics" not in rows2[-1]
+
+
+def test_pipeline_with_task_metrics(spark, corpus_df, cfg, tmp_path):
+    """The checkpoint-mode pipeline carries in-task metrics per stage."""
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+    io = TableIO(spark, str(tmp_path / "wh"), resume=False,
+                 collect_task_metrics=True)
+    run_pipeline(spark, corpus_df, cfg, io=io,
+                 enable_simhash=False, enable_suffix=False)
+    by_stage = {r["stage"]: r for r in io.manifest_rows()
+                if r.get("status") == "Completed" and "task_metrics" in r}
+    assert "s2_normalized" in by_stage
+    tm = by_stage["s2_normalized"]["task_metrics"]
+    assert tm["rows_in_task"] > 0
+    assert tm["n_partitions"] >= 1
