@@ -13,13 +13,16 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(
-    app_name: str = "email-sanitizer-api-spark",
-    master: str | None = None,
+def session_confs(
+    master: str,
     shuffle_partitions: int | None = None,
-    extra_conf: dict[str, str] | None = None,
-) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+    iceberg_warehouse: str | None = None,
+    driver_mem: str | None = None,
+) -> dict[str, str]:
+    """The full conf map ``get_spark`` applies — a pure function so the
+    configuration surface (incl. the Iceberg catalog path, which this
+    sandbox cannot exercise end-to-end for lack of the runtime jar) is
+    unit-testable structurally (tests/test_session.py)."""
     cores = os.cpu_count() or 4
     if shuffle_partitions is None:
         # local[N] → N; 2-3x cores is the usual rule, but for local-mode
@@ -27,36 +30,46 @@ def get_spark(
         if master.startswith("local[") and master[6:-1].isdigit():
             cores = int(master[6:-1])
         shuffle_partitions = max(2 * cores, 8)
-
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-    )
+    confs = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2000",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.driver.memory": driver_mem
+        or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.session.timeZone": "UTC",
+    }
     # Iceberg is config, not code (SURVEY.md §7.0): when the runtime jar is
     # on the classpath (spark-submit --packages org.apache.iceberg:...),
     # point SPARK_GRAFT_ICEBERG_WAREHOUSE at the warehouse and tables
     # resolve through the catalog; without the jar these configs are inert
     # and TableIO's parquet-directory fallback is used.
-    iceberg_wh = os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE")
-    if iceberg_wh:
-        builder = (
-            builder
-            .config("spark.sql.catalog.dedup",
-                    "org.apache.iceberg.spark.SparkCatalog")
-            .config("spark.sql.catalog.dedup.type", "hadoop")
-            .config("spark.sql.catalog.dedup.warehouse", iceberg_wh)
-        )
-    for k, v in (extra_conf or {}).items():
+    if iceberg_warehouse:
+        confs.update({
+            "spark.sql.catalog.dedup": "org.apache.iceberg.spark.SparkCatalog",
+            "spark.sql.catalog.dedup.type": "hadoop",
+            "spark.sql.catalog.dedup.warehouse": iceberg_warehouse,
+        })
+    return confs
+
+
+def get_spark(
+    app_name: str = "email-sanitizer-api-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = session_confs(
+        master, shuffle_partitions,
+        iceberg_warehouse=os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE"))
+    confs.update(extra_conf or {})
+    for k, v in confs.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

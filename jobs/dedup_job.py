@@ -62,7 +62,7 @@ def coerce_overrides(base, overrides: dict) -> dict:
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description="near-dup dedup pipeline")
-    ap.add_argument("--input", required=True,
+    ap.add_argument("--input",
                     help="parquet directory or Iceberg table of code_files")
     ap.add_argument("--input-format", choices=["parquet", "iceberg"],
                     default="parquet")
@@ -79,6 +79,15 @@ def main(argv: list[str] | None = None) -> None:
                     help="ignore existing Completed checkpoints")
     ap.add_argument("--no-simhash", action="store_true")
     ap.add_argument("--no-suffix", action="store_true")
+    ap.add_argument("--blocklist", default=None,
+                    help="parquet of blocklisted repos (column `repo`) — "
+                         "S1.5 broadcast anti join (batch mode)")
+    ap.add_argument("--compact-state", action="store_true",
+                    help="maintenance mode: fold the cluster-label deltas of "
+                         "--state-dir into a resolved base snapshot and exit")
+    ap.add_argument("--task-metrics", action="store_true",
+                    help="record per-partition in-task (rows, ms) on every "
+                         "stage manifest row (audit mode; slower)")
     ap.add_argument("--set", dest="overrides", action="append", default=[],
                     metavar="KEY=VALUE", help="DedupConfig field override")
     args = ap.parse_args(argv)
@@ -100,6 +109,19 @@ def main(argv: list[str] | None = None) -> None:
     cfg = DedupConfig(**typed) if typed else base
     cfg.validate()
 
+    if args.compact_state:
+        if not args.state_dir:
+            raise SystemExit("--compact-state requires --state-dir")
+        from email_sanitizer_api_spark.operators.incremental import (
+            compact_clusters)
+        v = compact_clusters(spark, args.state_dir, cfg)
+        print(json.dumps({"mode": "compact", "state_dir": args.state_dir,
+                          "state_version": v}))
+        spark.stop()
+        return
+
+    if not args.input:
+        raise SystemExit("--input required (except with --compact-state)")
     if args.input_format == "iceberg":
         files = spark.read.table(args.input)
     else:
@@ -126,11 +148,14 @@ def main(argv: list[str] | None = None) -> None:
         raise SystemExit("batch mode requires --warehouse")
     io = TableIO(spark, args.warehouse,
                  **({"run_id": args.run_id} if args.run_id else {}),
-                 resume=not args.no_resume)
+                 resume=not args.no_resume,
+                 collect_task_metrics=args.task_metrics)
+    blocklist = spark.read.parquet(args.blocklist) if args.blocklist else None
     res = run_pipeline(
         spark, files, cfg, io=io,
         enable_simhash=not args.no_simhash,
         enable_suffix=not args.no_suffix,
+        blocklist=blocklist,
     )
     res.files_clustered.write.mode("overwrite").parquet(args.output)
 

@@ -1,0 +1,31 @@
+"""Structural checks of the session configuration surface (session.py) —
+including the Iceberg catalog path, which cannot run end-to-end here (no
+runtime jar in the sandbox) but must be wired correctly for spark-submit
+--packages org.apache.iceberg:... deployments."""
+
+from __future__ import annotations
+
+from email_sanitizer_api_spark.session import session_confs
+
+
+def test_local_core_derived_shuffle_partitions():
+    assert session_confs("local[8]")["spark.sql.shuffle.partitions"] == "16"
+    assert session_confs("local[1]")["spark.sql.shuffle.partitions"] == "8"  # floor
+    assert session_confs("local[4]", shuffle_partitions=13)[
+        "spark.sql.shuffle.partitions"] == "13"
+
+
+def test_aqe_arrow_always_on():
+    c = session_confs("local[4]")
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    assert c["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert c["spark.sql.execution.arrow.pyspark.enabled"] == "true"
+
+
+def test_iceberg_catalog_confs_gated_on_warehouse():
+    plain = session_confs("local[4]")
+    assert not any(k.startswith("spark.sql.catalog.") for k in plain)
+    ice = session_confs("local[4]", iceberg_warehouse="/tmp/wh")
+    assert ice["spark.sql.catalog.dedup"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert ice["spark.sql.catalog.dedup.type"] == "hadoop"
+    assert ice["spark.sql.catalog.dedup.warehouse"] == "/tmp/wh"

@@ -100,6 +100,19 @@ def test_spark_submit_incremental_two_batches(tmp_path):
     assert s1["state_version"] == 1 and s1["mode"] == "incremental"
     s2 = submit(b2, "out2")
     assert s2["state_version"] == 2
+    # maintenance: compact the label deltas into a base snapshot via the CLI
+    outc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs/dedup_job.py"),
+         "--compact-state", "--state-dir", state],
+        capture_output=True, text=True, timeout=900, cwd=REPO)
+    assert outc.returncode == 0, outc.stderr[-3000:]
+    sc = json.loads(outc.stdout.strip().splitlines()[-1])
+    assert sc == {"mode": "compact", "state_dir": state, "state_version": 3}
+    assert os.path.exists(os.path.join(state, "v3", "CLUSTERS_BASE"))
     # new_files counts VALID rows only (the corpus plants invalid rows
     # that the validate stage rejects before state ingestion)
     assert 0 < s2["new_files"] <= len(pdf.iloc[1::2])
