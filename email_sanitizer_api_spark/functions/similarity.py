@@ -250,13 +250,17 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float,
         F.explode(probe_arr).alias("bucket"))
     left = tagged.select(F.col("id").alias("a"), F.col("v").alias("va"),
                          "table", "bucket")
+    # score BEFORE dedup: a pair colliding in k tables is scored k times
+    # (cheap column math on a 64-dim zip_with), but the distinct then runs
+    # on three scalars instead of two vector payloads — hash aggregate with
+    # map-side combine instead of a sort aggregate shuffling arrays
     return (
         left.join(probes, ["table", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
         .withColumn("cos", cosine_similarity_expr(F.col("va"), F.col("vb")))
         .where(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 5).alias("cosine"))
+        .dropDuplicates(["a", "b"])
     )
 
 
