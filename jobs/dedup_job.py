@@ -72,8 +72,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="fold --input as a new batch into --state-dir")
     ap.add_argument("--state-dir",
                     help="versioned dedup state root (incremental mode)")
-    ap.add_argument("--output", required=True,
-                    help="final clustered-files table path (parquet dir)")
+    ap.add_argument("--output",
+                    help="final clustered-files table path (parquet dir); "
+                         "required except with --compact-state")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore existing Completed checkpoints")
@@ -120,8 +121,8 @@ def main(argv: list[str] | None = None) -> None:
         spark.stop()
         return
 
-    if not args.input:
-        raise SystemExit("--input required (except with --compact-state)")
+    if not args.input or not args.output:
+        raise SystemExit("--input/--output required (except with --compact-state)")
     if args.input_format == "iceberg":
         files = spark.read.table(args.input)
     else:
