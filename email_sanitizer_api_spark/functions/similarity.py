@@ -59,12 +59,21 @@ def prefix_filter_candidates(
     ``|T| - ceil(t*|T|) + 1`` tokens in that order. If J(A,B) >= t then
     |A∩B| >= t*max(|A|,|B|), so the globally-smallest shared token sits
     inside BOTH prefixes — an equi-join on prefix tokens finds every
-    qualifying pair. Candidates additionally pass the PPJoin LENGTH filter:
-    J(A,B) >= t implies t*max(|A|,|B|) <= |A∩B| <= min(|A|,|B|), so pairs
-    whose sizes alone rule out the threshold are pruned before the (much
-    more expensive) verify join ships any token payload. Candidates scale
-    with true near-dups instead of |N|²; rarest-first ordering keeps
-    prefix-token buckets small (no hot-token skew).
+    qualifying pair. Candidates additionally pass two PPJoin prunes before
+    the (much more expensive) verify join ships any token payload:
+
+    - LENGTH filter: J >= t ⇒ t·max(|A|,|B|) <= |A∩B| <= min(|A|,|B|), so
+      size-incompatible pairs drop on sizes alone.
+    - POSITIONAL filter: a match on the token at ordered positions (i, j)
+      bounds the overlap by 1 + min(|A|-i, |B|-j); J >= t needs overlap
+      >= ceil(t/(1+t)·(|A|+|B|)). Complete because the FIRST common token
+      in the global order always satisfies the bound when J >= t — and a
+      pair survives if ANY of its prefix matches does. On corpora of
+      similar-sized docs (where the length filter cannot bite) this is the
+      filter that collapses the candidate set.
+
+    Candidates scale with true near-dups instead of |N|²; rarest-first
+    ordering keeps prefix-token buckets small (no hot-token skew).
 
     Persisted intermediates are appended to ``cleanup`` (if given) for the
     caller to unpersist once the result is materialized.
@@ -91,13 +100,15 @@ def prefix_filter_candidates(
         ex.join(freq, pc + ["_tok"])
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= plen)
-        .select(*pc, "_id", "_tok", "_sz")
+        .select(*pc, "_id", "_tok", "_sz", "_rn")
     )
 
     l = prefix.select(*pc, "_tok", F.col("_id").alias("a"),
-                      F.col("_sz").alias("_sza"))
+                      F.col("_sz").alias("_sza"), F.col("_rn").alias("_rna"))
     r = prefix.select(*pc, "_tok", F.col("_id").alias("b"),
-                      F.col("_sz").alias("_szb"))
+                      F.col("_sz").alias("_szb"), F.col("_rn").alias("_rnb"))
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_sza") + F.col("_szb")))
     return (
         l.join(r, pc + ["_tok"])
         .where(
@@ -105,6 +116,10 @@ def prefix_filter_candidates(
             # length filter: ceil(t*max) <= min, else J < t regardless of overlap
             & (F.ceil(F.lit(threshold) * F.greatest("_sza", "_szb"))
                <= F.least("_sza", "_szb"))
+            # positional filter: overlap upper bound from this match's positions
+            & (F.lit(1) + F.least(F.col("_sza") - F.col("_rna"),
+                                  F.col("_szb") - F.col("_rnb"))
+               >= min_overlap)
         )
         .select(*pc, "a", "b")
         .dropDuplicates(["a", "b"])
