@@ -55,6 +55,10 @@ def main() -> None:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # queries persist fan-out intermediates; without a reset the caches
+        # of 30+ queries pile up in one session and eviction churn distorts
+        # the tail queries' timings (bench.py does the same)
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
