@@ -3,3 +3,6 @@ from email_sanitizer_api_spark.streaming.incremental import (  # noqa: F401
     prepared_stream,
     run_incremental_ingest,
 )
+from email_sanitizer_api_spark.streaming.dedup_stream import (  # noqa: F401
+    run_streaming_exact_dedup,
+)

@@ -1,0 +1,58 @@
+"""Stateful streaming exact-dedup: emit each distinct content once, across
+arbitrarily many ingest drains.
+
+Extends the availableNow ingest (streaming/incremental.py) with the one
+genuinely STATEFUL streaming operator this workload wants: first-seen-wins
+dedup on ``content_sha256``. The seen-set lives in the streaming state
+store under ``checkpoint_dir`` — it survives restarts, so batch N+1's
+drain drops content already emitted by batch N (the streaming analog of
+operators/incremental.py's anti-join against stored sigs, and of the
+reference's memo caches: an already-seen input produces no new output,
+src/routes/email.rs:81-117).
+
+State sizing: unbounded ``dropDuplicates`` state grows with distinct
+content — exact and deterministic, right for bounded backfills. For
+always-on streams pass ``within_watermark`` (e.g. ``"24 hours"``) to use
+``dropDuplicatesWithinWatermark`` on a processing-time ingest timestamp:
+state is bounded by the watermark horizon, at the documented cost that a
+duplicate arriving later than the horizon re-emits — corpus-lifetime
+exactness then belongs to the batch/incremental path, which this stage
+feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+from email_sanitizer_api_spark.streaming.incremental import prepared_stream
+
+
+def run_streaming_exact_dedup(spark: SparkSession, input_dir: str,
+                              output_dir: str, checkpoint_dir: str,
+                              cfg: DedupConfig = DEFAULT_CONFIG,
+                              within_watermark: str | None = None) -> None:
+    """Drain available input, appending only never-before-seen content to
+    ``output_dir``; exactly-once via the streaming checkpoint."""
+    src = prepared_stream(spark, input_dir, cfg)
+    if within_watermark:
+        deduped = (
+            src.withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", within_watermark)
+            .dropDuplicatesWithinWatermark(["content_sha256"])
+            .drop("ingest_ts")
+        )
+    else:
+        deduped = src.dropDuplicates(["content_sha256"])
+    q = (
+        deduped.select("repo", "path", "commit", "lang",
+                       "content_norm", "content_sha256")
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -65,3 +65,35 @@ def test_incremental_exactly_once(spark, tmp_path, corpus_parts):
         {r.content_sha256 for r in staged.select("content_sha256").collect()}
         == {r.content_sha256 for r in batch.select("content_sha256").collect()}
     )
+
+
+def test_streaming_exact_dedup_stateful_across_drains(spark, tmp_path):
+    """First-seen-wins dedup state survives across availableNow drains:
+    batch 2's re-sent content emits nothing; genuinely new content emits
+    once (streaming analog of the incremental anti-join)."""
+    from email_sanitizer_api_spark.streaming import run_streaming_exact_dedup
+
+    tmp = str(tmp_path)
+    inp, out, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp, exist_ok=True)
+
+    body_a, body_b, body_c = ("a = 1\n" * 30, "b = 2\n" * 30, "c = 3\n" * 30)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    pd.DataFrame(
+        [("r", "a.py", "c1", "py", body_a),
+         ("r", "a2.py", "c1", "py", body_a),     # within-batch dup
+         ("r", "b.py", "c1", "py", body_b)],
+        columns=cols).to_parquet(os.path.join(inp, "b1.parquet"), index=False)
+    run_streaming_exact_dedup(spark, inp, out, ckpt)
+    out1 = spark.read.parquet(out)
+    assert out1.count() == 2  # a (once) + b
+
+    pd.DataFrame(
+        [("r2", "a_copy.py", "c2", "py", body_a),   # cross-batch dup
+         ("r2", "c.py", "c2", "py", body_c)],       # new
+        columns=cols).to_parquet(os.path.join(inp, "b2.parquet"), index=False)
+    run_streaming_exact_dedup(spark, inp, out, ckpt)
+    out2 = spark.read.parquet(out)
+    assert out2.count() == 3  # + c only
+    shas = [r["content_sha256"] for r in out2.collect()]
+    assert len(shas) == len(set(shas))
