@@ -355,6 +355,57 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_events_sessionized(spark, sf_dir):
+    """Gap-based sessionization (lag window + cumulative session counter —
+    the window-function family §2.5 beyond rank/row_number): events of a
+    user split into sessions at >30-minute silence gaps; per-session
+    aggregates."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_no", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .alias("duration_s"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_SQL_EVENTS_SESSIONIZED = """
+WITH g AS (
+  -- floor(epoch) everywhere: Spark's unix_timestamp truncates fractional
+  -- seconds, and the gap predicate must see identical integers both sides
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM g)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
 def _q_validate_documents(spark, sf_dir):
     """Full verdict cascade (operators/validate.py order): EMPTY →
     TOO_LARGE → BINARY_CONTENT → CONTROL_CHARS → MOJIBAKE → VALID, all
@@ -855,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_except_custs": _q_intersect_except_custs,
         "window_topk_orders_per_cust": _q_window_topk,
         "events_hourly_agg": _q_events_hourly,
+        "events_sessionized": _q_events_sessionized,
         # validate / normalize / dedup (S1-S3)
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
         "validate_documents": _q_validate_documents,
@@ -903,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         "intersect_except_custs": _SQL_INTERSECT_EXCEPT,
         "window_topk_orders_per_cust": _SQL_WINDOW_TOPK,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
+        "events_sessionized": _SQL_EVENTS_SESSIONIZED,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "validate_documents": _SQL_VALIDATE_DOCUMENTS,
         "validate_counts": _SQL_VALIDATE_COUNTS,
