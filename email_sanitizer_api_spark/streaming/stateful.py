@@ -1,0 +1,79 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+``dropDuplicates`` (streaming/dedup_stream.py) covers first-seen-wins with
+engine-managed state. This module implements the same semantics as a
+CUSTOM stateful operator — the `applyInPandasWithState` machinery the
+task calls for — so richer policies (per-key emit counts, custom
+timeouts, state payloads beyond a seen-flag) have a tested template:
+
+    stream.groupBy(content_sha256).applyInPandasWithState(fn, out, state)
+
+Per group, ``fn`` receives the key, an iterator of Arrow batches of the
+group's new rows, and a GroupState. Here the state is ``n_seen`` (total
+occurrences ever observed); on the FIRST encounter the group emits its
+deterministic representative row (min by (repo, path, commit) within the
+triggering batch — later batches by definition arrived later), afterwards
+it emits nothing but keeps counting. Emitted rows carry ``n_prior_dups``
+so downstream sees how much collapsing the stream already did — the
+streaming analog of exact_dedup's group_size.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from email_sanitizer_api_spark.config import DEFAULT_CONFIG, DedupConfig
+from email_sanitizer_api_spark.streaming.incremental import prepared_stream
+
+_OUT_DDL = ("repo string, path string, commit string, lang string, "
+            "content_sha256 string, n_prior_dups bigint")
+_STATE_DDL = "n_seen bigint"
+
+
+def _first_seen_fn(key: Any, pdfs: Iterable[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    (n_seen,) = state.get if state.exists else (0,)
+    state.update((n_seen + len(batch),))
+    if n_seen == 0:
+        rep = batch.sort_values(["repo", "path", "commit"]).head(1)
+        out = rep[["repo", "path", "commit", "lang", "content_sha256"]].copy()
+        out["n_prior_dups"] = len(batch) - 1
+        yield out
+    # already represented: count, emit nothing
+
+
+def first_seen_with_state(prepared: DataFrame) -> DataFrame:
+    """Wire the custom operator over a prepared (validated+hashed) stream."""
+    return (
+        prepared.select("repo", "path", "commit", "lang", "content_sha256")
+        .groupBy("content_sha256")
+        .applyInPandasWithState(
+            _first_seen_fn,
+            outputStructType=_OUT_DDL,
+            stateStructType=_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_streaming_first_seen(spark: SparkSession, input_dir: str,
+                             output_dir: str, checkpoint_dir: str,
+                             cfg: DedupConfig = DEFAULT_CONFIG) -> None:
+    """availableNow drain of the custom stateful dedup (state persists in
+    the checkpoint across drains, like every stateful operator)."""
+    q = (
+        first_seen_with_state(prepared_stream(spark, input_dir, cfg))
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

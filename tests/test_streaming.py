@@ -97,3 +97,35 @@ def test_streaming_exact_dedup_stateful_across_drains(spark, tmp_path):
     assert out2.count() == 3  # + c only
     shas = [r["content_sha256"] for r in out2.collect()]
     assert len(shas) == len(set(shas))
+
+
+def test_custom_stateful_first_seen(spark, tmp_path):
+    """applyInPandasWithState custom dedup: first drain emits one
+    representative per distinct content with within-batch dup count;
+    state persists so a later drain of re-sent content emits nothing."""
+    from email_sanitizer_api_spark.streaming.stateful import (
+        run_streaming_first_seen)
+
+    tmp = str(tmp_path)
+    inp, out, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp, exist_ok=True)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    body_a, body_b = "a = 1\n" * 30, "b = 2\n" * 30
+
+    pd.DataFrame(
+        [("rB", "z.py", "c1", "py", body_a),
+         ("rA", "a.py", "c1", "py", body_a),    # dup, lexicographically first
+         ("rC", "b.py", "c1", "py", body_b)],
+        columns=cols).to_parquet(os.path.join(inp, "b1.parquet"), index=False)
+    run_streaming_first_seen(spark, inp, out, ckpt)
+    rows = {r["content_sha256"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 2
+    a_sha = next(s for s, r in rows.items() if r["repo"] == "rA")
+    assert rows[a_sha]["path"] == "a.py"            # deterministic min rep
+    assert rows[a_sha]["n_prior_dups"] == 1
+
+    pd.DataFrame(
+        [("rD", "again.py", "c2", "py", body_a)],   # re-sent content
+        columns=cols).to_parquet(os.path.join(inp, "b2.parquet"), index=False)
+    run_streaming_first_seen(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == 2     # nothing new emitted
