@@ -151,8 +151,9 @@ def _q_anti_join(spark, sf_dir):
 
 _SQL_ANTI_JOIN = """
 SELECT c_custkey, c_name, c_nationkey FROM customer
-WHERE c_nationkey NOT IN (
-    SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
+WHERE NOT EXISTS (
+    SELECT 1 FROM nation WHERE n_name LIKE 'A%'
+      AND n_nationkey = c_nationkey)
 """
 
 
@@ -170,8 +171,11 @@ def _q_blocklist_filtered_docs(spark, sf_dir):
 _SQL_BLOCKLIST_FILTERED_DOCS = r"""
 SELECT source AS repo, 'doc/' || CAST(doc_id AS VARCHAR) AS path
 FROM documents
-WHERE source NOT IN (SELECT source FROM documents
-                     WHERE regexp_matches(source, '[02468]$'))
+-- NOT EXISTS, not NOT IN: left_anti keeps NULL-source rows while NOT IN's
+-- three-valued logic would drop them all if any source were NULL
+WHERE NOT EXISTS (SELECT 1 FROM documents b
+                  WHERE regexp_matches(b.source, '[02468]$')
+                    AND b.source = documents.source)
   AND NOT regexp_matches('doc/' || CAST(doc_id AS VARCHAR), 'doc/\d*7$')
 """
 
@@ -643,6 +647,56 @@ FROM documents
 """
 
 
+def _q_multimodal_real_decode(spark, sf_dir):
+    """REAL image decode through the Arrow plumbing (VERDICT r02 item 5):
+    deterministic 8x8 grayscale PNGs are generated from each doc's sha256
+    digest (tiled 2x; scanline filter cycles through all five PNG filter
+    types by doc_id), then decoded by the stdlib PNG decoder inside
+    ``extract_media_meta(use_fake_decode=False)``. width/height/mean are
+    hash-exact against a DuckDB oracle that recomputes the mean from the
+    digest hex — float32-exact because sum(64 bytes)/64 is a power-of-two
+    division of a small integer."""
+    from email_sanitizer_api_spark.functions.multimodal import (
+        extract_media_meta)
+
+    def gen(batches):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        from email_sanitizer_api_spark.functions.multimodal import encode_png
+        for pdf in batches:
+            media = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = _hl.sha256(
+                    (text or "").encode("utf-8")).digest()
+                img = _np.frombuffer(digest * 2, dtype=_np.uint8).reshape(8, 8)
+                media.append(bytearray(encode_png(img, int(did) % 5)))
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "media": media})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(gen, "media_id long, media binary")
+    meta = extract_media_meta(media, use_fake_decode=False)
+    return meta.select(
+        "media_id", "width", "height",
+        F.element_at("features", 1).alias("mean_pixel"))
+
+
+_SQL_MULTIMODAL_REAL_DECODE = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(0, 32), i ->
+             (instr('0123456789abcdef', substr(sha256(text), 2*i+1, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(sha256(text), 2*i+2, 1)) - 1)
+         ) AS bytes
+  FROM documents)
+SELECT media_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(list_sum(bytes) / 32.0 AS FLOAT) AS mean_pixel
+FROM b
+"""
+
+
 # --- engine core (near-dup / cluster / suffix / incremental) ----------------
 
 _NEAR_DUP_TAU = 0.5
@@ -894,6 +948,90 @@ def _q_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, queries, k=5)
 
 
+def _q_quote_aware_scan(spark, sf_dir):
+    """SURVEY §2.2 P3/P5 — quote-aware stateful scans as ONE deterministic
+    regex (functions/code_scan.py): split each doc's first line at its
+    first UNQUOTED '#' and validate quote balance; byte-identical automaton
+    on both engines (reference src/handlers/validation/syntax.rs:30-53,
+    98-115)."""
+    from email_sanitizer_api_spark.functions.code_scan import (
+        first_line_expr,
+        quotes_balanced_expr,
+        split_unquoted_comment_exprs,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    line = first_line_expr(F.col("text"))
+    parts = split_unquoted_comment_exprs(line)
+    return docs.select(
+        "doc_id",
+        parts["code"].alias("code"),
+        parts["comment"].alias("comment"),
+        parts["has_comment"].alias("has_comment"),
+        quotes_balanced_expr(line).alias("quotes_ok"),
+    )
+
+
+def _sql_quote_aware_scan() -> str:
+    from email_sanitizer_api_spark.functions.code_scan import (
+        quotes_balanced_sql,
+        split_unquoted_comment_sql,
+    )
+    line = "split_part(text, chr(10), 1)"
+    parts = split_unquoted_comment_sql(line)
+    return f"""
+SELECT doc_id,
+       {parts['code']} AS code,
+       {parts['comment']} AS comment,
+       {parts['has_comment']} AS has_comment,
+       {quotes_balanced_sql(line)} AS quotes_ok
+FROM documents
+"""
+
+
+def _partitioned_docs_path(spark, sf_dir) -> str:
+    """Write (once per sf_dir, resume-idempotent) the ``documents`` table
+    into a Hive-layout warehouse partitioned by ``lang`` via
+    ``TableIO.write(partition_by=("lang",))`` — the parquet-dir analog of
+    the input_hint's identity-partitioned Iceberg table. Returns the table
+    path."""
+    import os
+
+    from email_sanitizer_api_spark.tableio import TableIO
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    io = TableIO(spark, f"/tmp/spark_graft_wh/{tag}", resume=True)
+    name = "documents_by_lang"
+    if not io.completed(name):
+        io.write(_t(spark, sf_dir, "documents"), name, partition_by=("lang",))
+    return io.table_path(name)
+
+
+def _q_partition_pruned_lang_agg(spark, sf_dir):
+    """Partition-pruned scan: per-source stats over ONE lang partition of
+    the partitioned warehouse. The ``lang = 'en'`` predicate is a
+    PartitionFilter — planning-time pruning opens only ``lang=en/`` files
+    (tests/test_partitioning.py proves it by corrupting every other
+    partition; PLANS.md carries the captured plan). At 100 TB this is the
+    difference between scanning one partition and the whole fact table."""
+    docs = spark.read.parquet(_partitioned_docs_path(spark, sf_dir))
+    return (
+        docs.where(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+_SQL_PARTITION_PRUNED_LANG_AGG = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       min(doc_id) AS min_doc_id
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -907,8 +1045,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_orders_per_cust": _q_window_topk,
         "events_hourly_agg": _q_events_hourly,
         "events_sessionized": _q_events_sessionized,
+        # partitioned warehouse + planning-time partition pruning
+        "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
+        "quote_aware_scan_docs": _q_quote_aware_scan,
         "validate_documents": _q_validate_documents,
         "validate_counts": _q_validate_counts,
         "normalize_documents": _q_normalize_documents,
@@ -925,8 +1066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _q_cosine_topk,
         "embedding_norms": _q_embedding_norms,
         "embedding_cosine_near_dup": _q_embedding_cosine_near_dup,
-        # multimodal plumbing
+        # multimodal plumbing + real stdlib PNG decode
         "multimodal_media_meta": _q_multimodal_meta,
+        "multimodal_real_decode": _q_multimodal_real_decode,
         # engine core — oracle-checked (exact-verify mode)
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "connected_components_docs": _q_connected_components_docs,
@@ -956,7 +1098,9 @@ def oracle_sql() -> dict[str, str]:
         "window_topk_orders_per_cust": _SQL_WINDOW_TOPK,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
         "events_sessionized": _SQL_EVENTS_SESSIONIZED,
+        "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
+        "quote_aware_scan_docs": _sql_quote_aware_scan(),
         "validate_documents": _SQL_VALIDATE_DOCUMENTS,
         "validate_counts": _SQL_VALIDATE_COUNTS,
         "normalize_documents": _SQL_NORMALIZE_DOCUMENTS,
@@ -972,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _SQL_EMBEDDING_NORMS,
         "embedding_cosine_near_dup": _SQL_EMBEDDING_COSINE_NEAR_DUP,
         "multimodal_media_meta": _SQL_MULTIMODAL_META,
+        "multimodal_real_decode": _SQL_MULTIMODAL_REAL_DECODE,
         # engine core, exact-verify mode (VERDICT r01 #1/#2)
         "minhash_near_dup_pairs": _SQL_MINHASH_NEAR_DUP_PAIRS,
         "connected_components_docs": _SQL_CONNECTED_COMPONENTS_DOCS,

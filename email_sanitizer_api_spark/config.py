@@ -106,10 +106,12 @@ class DedupConfig:
     cc_max_iterations: int = 50
     cc_checkpoint_every: int = 5
     # distributed algorithm above the driver-UF ceiling:
-    #   "auto"/"minlabel" — min-label propagation, O(diameter) iterations:
-    #     right for shallow near-dup clusters (the common case);
-    #   "star" — alternating large-star/small-star, O(log n) rounds:
-    #     choose for high-diameter graphs (chained substring clusters).
+    #   "auto"/"star" — alternating large-star/small-star, O(log n) rounds
+    #     regardless of diameter: the scale-safe default (a >500k-edge
+    #     graph with chained substring dups can exceed any iteration cap
+    #     under min-label);
+    #   "minlabel" — min-label propagation, O(diameter) iterations: opt-in
+    #     for known-shallow graphs (slightly cheaper per round).
     cc_algorithm: str = "auto"
     # adaptive small-graph path: edge sets up to this size are clustered
     # with exact driver-side union-find (one collect + one broadcast join)

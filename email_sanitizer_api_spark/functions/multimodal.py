@@ -1,11 +1,12 @@
 """Multimodal columns: opaque binary media + typed metadata over mapInPandas.
 
 Images/audio/video ride as ``binary`` columns with a typed metadata struct.
-The decode/feature-extract step is a **stub** in this container (no
-image/audio libs installed — see ``decode_image``), but the Spark-side
-plumbing is real and tested: schema contract, Arrow batch iteration,
-partition-preserving mapInPandas, deterministic fake features so tests can
-assert exact values.
+``decode_image`` is a REAL stdlib-only decoder for the two formats the
+sandbox can exercise without PIL/cv2 — PNG (full zlib inflate + scanline
+unfilter, 8-bit gray/gray-alpha/RGB/RGBA) and uncompressed 24/32-bit BMP;
+anything else raises ``ValueError`` (a production deployment swaps in
+PIL/cv2 behind the same ``decode_image`` signature). ``fake_decode``
+remains for determinism tests that don't care about pixels.
 
 Pattern: ``df.mapInPandas(make_media_extractor(...), schema)`` — batches
 stream through Arrow, the UDF is iterator-of-DataFrames so per-executor
@@ -15,6 +16,8 @@ setup (model load, in real life) happens once per worker.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -27,13 +30,153 @@ MEDIA_META_SCHEMA = (
     "width int, height int, features array<float>"
 )
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
 
-def decode_image(data: bytes) -> "np.ndarray":
-    """Real decode would use PIL/cv2 — not installed in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/cv2 which are not available here; "
-        "use fake_decode for deterministic test features"
-    )
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Stdlib-only PNG decode → uint8 array (H, W, C). Supports 8-bit
+    depth, color types 0/2/4/6, no interlace — the shapes our fixture
+    encoder (``encode_png``) and typical screenshots/thumbnails use."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color_type={color_type} "
+            f"interlace={interlace}); supported: 8-bit non-interlaced "
+            f"gray/gray-alpha/RGB/RGBA")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        if ft == 0:
+            pass
+        elif ft == 2:      # Up — vectorized over the row
+            line = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth need the prior pixel
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                if ft == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif ft == 3:
+                    line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + _paeth(int(a), int(b), int(c))) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = line.astype(np.uint8)
+        prev = line
+    return out.reshape(h, w, ch)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit bottom-up BMP → uint8 (H, W, 3/4), RGB order."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack("<I", data[10:14])[0]
+    w, h = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    comp = struct.unpack("<I", data[30:34])[0]
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} compression={comp})")
+    flip, h = h > 0, abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    px = np.frombuffer(data, dtype=np.uint8,
+                       count=row_bytes * h, offset=off)
+    img = px.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if flip:
+        img = img[::-1]
+    # BGR(A) on disk -> RGB(A)
+    return np.ascontiguousarray(img[..., [2, 1, 0] + ([3] if nch == 4 else [])])
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes. Stdlib-only PNG/BMP here; other formats
+    raise ``ValueError`` (swap in PIL/cv2 behind this signature in a full
+    deployment — the Spark plumbing above is format-agnostic)."""
+    if data[:8] == _PNG_MAGIC:
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    raise ValueError("unsupported image format (PNG and BMP supported)")
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (fixture generator for the decode tests and any
+    pipeline needing deterministic image bytes): 8-bit gray/gray-alpha/
+    RGB/RGBA, one filter type applied to every scanline."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        elif filter_type in (1, 3, 4):
+            enc = np.zeros_like(cur)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                if filter_type == 1:
+                    enc[i] = (cur[i] - a) & 0xFF
+                elif filter_type == 3:
+                    enc[i] = (cur[i] - ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    enc[i] = (cur[i] - _paeth(int(a), int(b), int(c))) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
 
 
 def fake_decode(data: bytes, n_features: int = 8) -> tuple[int, int, np.ndarray]:
@@ -63,7 +206,7 @@ def make_media_extractor(media_col: str = "media", id_col: str = "media_id",
                 raw = bytes(data) if data is not None else b""
                 if use_fake_decode:
                     w, h, feats = fake_decode(raw, n_features)
-                else:  # pragma: no cover - real decode path
+                else:
                     img = decode_image(raw)
                     h, w = img.shape[:2]
                     feats = img.mean(axis=(0, 1)).astype(np.float32)

@@ -63,8 +63,17 @@ class StageProbe:
 
     def partitions(self) -> list[tuple[int, int, float]]:
         """Sorted (partition_id, rows, wall_ms) — populated after an action
-        has executed the wrapped frame."""
-        return sorted(self._acc.value)
+        has executed the wrapped frame.
+
+        Accumulator updates fire per TASK ATTEMPT, so a retried or
+        speculative task would report its partition twice and inflate the
+        row totals the skew diagnosis reads. Keep only the LAST triple per
+        partition_id (accumulator order preserves completion order, so the
+        last attempt is the one whose output Spark actually used)."""
+        last: dict[int, tuple[int, int, float]] = {}
+        for triple in self._acc.value:
+            last[triple[0]] = triple
+        return sorted(last.values())
 
     def summary(self) -> dict[str, Any]:
         parts = self.partitions()

@@ -66,7 +66,10 @@ def simhash_md5_signatures(df: DataFrame, id_col: str = "doc_id",
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.filter(
-            F.split(F.lower(F.trim(text_col)), "\\s+"),
+            # explicit class, NOT \s+: Java \s includes \x0B (vertical
+            # tab) while the DuckDB oracle's RE2 \s excludes it — the two
+            # tokenizers must stay byte-identical (ADVICE r02)
+            F.split(F.lower(F.trim(text_col)), "[ \\t\\n\\x0B\\f\\r]+"),
             lambda x: x != "",
         ))).alias("tok"),
     )
@@ -150,7 +153,7 @@ def simhash_md5_pairs_sql(max_hamming: int = 3, table: str = "documents",
 WITH toks AS (
   SELECT {id_col} AS id,
          unnest(list_distinct(list_filter(
-           regexp_split_to_array(lower(trim({text_col})), '\\s+'),
+           regexp_split_to_array(lower(trim({text_col})), '[ \\t\\n\\x0B\\f\\r]+'),
            x -> x <> ''))) AS tok
   FROM {table}),
 sums AS (SELECT id, {', '.join(sums)} FROM toks GROUP BY id),

@@ -6,3 +6,6 @@ from email_sanitizer_api_spark.streaming.incremental import (  # noqa: F401
 from email_sanitizer_api_spark.streaming.dedup_stream import (  # noqa: F401
     run_streaming_exact_dedup,
 )
+from email_sanitizer_api_spark.streaming.fold import (  # noqa: F401
+    ingest_and_fold,
+)

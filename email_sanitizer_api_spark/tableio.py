@@ -81,9 +81,20 @@ class TableIO:
         return status
 
     # -- tables -------------------------------------------------------------
-    def write(self, df: DataFrame, name: str, metrics: dict[str, Any] | None = None) -> DataFrame:
+    def write(self, df: DataFrame, name: str, metrics: dict[str, Any] | None = None,
+              partition_by: tuple[str, ...] = ()) -> DataFrame:
         """Write a stage checkpoint table + manifest rows; returns the
-        re-read DataFrame (truncated lineage, stable for downstream)."""
+        re-read DataFrame (truncated lineage, stable for downstream).
+
+        ``partition_by`` lays the table out Hive-style
+        (``name/col=value/part-*.parquet``) — the parquet-dir analog of an
+        Iceberg identity-partitioned table. Downstream scans that filter on
+        a partition column then PRUNE at planning time (``PartitionFilters``
+        in the physical plan): at 100 TB a per-``lang`` query touches only
+        its partition's files instead of the whole fact table. The
+        reference's per-domain memo key is the same idea — results keyed so
+        a lookup touches one domain's state, not the global cache
+        (src/routes/email.rs:81-117)."""
         path = self.table_path(name)
         self._append_manifest({
             "run_id": self.run_id, "stage": name, "status": "Processing",
@@ -96,7 +107,10 @@ class TableIO:
             probe = StageProbe(self.spark, name)
             df = probe.wrap(df)
         try:
-            df.write.mode("overwrite").parquet(path)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
         except Exception as e:
             self._append_manifest({
                 "run_id": self.run_id, "stage": name, "status": "Failed",
@@ -109,6 +123,8 @@ class TableIO:
             "ts": time.time(), "wall_s": round(time.time() - t0, 3),
             "metrics": metrics or {},
         }
+        if partition_by:
+            row["partition_by"] = list(partition_by)
         if self.collect_lineage:
             row["lineage"] = partition_lineage(out)
             row["metrics"]["rows"] = sum(row["lineage"].values())
@@ -127,12 +143,13 @@ class TableIO:
             and os.path.exists(self.table_path(name))
         )
 
-    def stage(self, name: str, compute, metrics: dict[str, Any] | None = None) -> DataFrame:
+    def stage(self, name: str, compute, metrics: dict[str, Any] | None = None,
+              partition_by: tuple[str, ...] = ()) -> DataFrame:
         """Resume-or-compute: reuse a Completed checkpoint, else run
         ``compute()`` and persist it."""
         if self.completed(name):
             return self.read(name)
-        return self.write(compute(), name, metrics)
+        return self.write(compute(), name, metrics, partition_by=partition_by)
 
     def log_config(self, cfg_dict: dict[str, Any]) -> None:
         self._append_manifest({

@@ -133,7 +133,9 @@ def main(argv: list[str] | None = None) -> None:
             raise SystemExit("--incremental requires --state-dir")
         from email_sanitizer_api_spark.operators.incremental import incremental_dedup
 
-        res = incremental_dedup(spark, files, args.state_dir, cfg)
+        res = incremental_dedup(spark, files, args.state_dir, cfg,
+                                enable_simhash=not args.no_simhash,
+                                enable_suffix=not args.no_suffix)
         res.files_clustered.write.mode("overwrite").parquet(args.output)
         print(json.dumps({
             "mode": "incremental",

@@ -1,0 +1,138 @@
+"""Quote-aware scans (functions/code_scan.py) vs an explicit state machine.
+
+The regex IS the state machine (the scanned language is regular); these
+tests prove it against a hand-written character-by-character reference —
+the exact structure of the reference's quoted-string scanners
+(src/handlers/validation/syntax.rs:30-53, 98-115) — including every tricky
+case: quoted/escaped markers, escaped quotes, dangling escapes, unbalanced
+quotes. Also proves Spark (Java regex) and DuckDB (RE2) agree byte-for-byte
+on random adversarial inputs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.code_scan import (
+    quotes_balanced_expr,
+    quotes_balanced_sql,
+    split_unquoted_comment_exprs,
+    split_unquoted_comment_sql,
+)
+
+
+# --- reference state machines (the syntax.rs shape) -------------------------
+
+def ref_split(line: str) -> tuple[str, str, bool]:
+    """First unquoted '#' via an explicit quote/escape-tracking scan.
+    A line with an unbalanced quote has no PROVABLY-unquoted '#': the scan
+    never exits the quoted state, matching the regex's no-match behavior."""
+    in_quote = False
+    i = 0
+    n = len(line)
+    while i < n:
+        c = line[i]
+        if c == "\\" and i + 1 < n:
+            i += 2
+            continue
+        if c == "\\":          # dangling escape at end
+            i += 1
+            continue
+        if c == '"':
+            in_quote = not in_quote
+        elif c == "#" and not in_quote:
+            return line[:i], line[i + 1:], True
+        i += 1
+    return line, "", False
+
+
+def ref_balanced(line: str) -> bool:
+    in_quote = False
+    i = 0
+    n = len(line)
+    while i < n:
+        c = line[i]
+        if c == "\\":
+            if i + 1 >= n:
+                return False   # dangling escape
+            i += 2
+            continue
+        if c == '"':
+            in_quote = not in_quote
+        i += 1
+    return not in_quote
+
+
+CASES = [
+    "x = 1  # comment",
+    'msg = "no # comment here"',
+    'msg = "a # b" # real comment',
+    "s = \"escaped \\\" quote\" # tail",
+    "esc = \\# not a marker? it is escaped",
+    'unbalanced = "open # inside',
+    "dangling = end\\",
+    'both = "q1" "q2" # c',
+    "",
+    "#",
+    '"#"',
+    '\\"#',       # escaped quote, then unquoted hash
+    "a#b#c",
+    '"\\\\" # backslash pair inside quotes',
+]
+
+
+def _rand_lines(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    alphabet = list('ab#"\\ ')
+    return ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+            for _ in range(n)]
+
+
+@pytest.mark.parametrize("line", CASES)
+def test_split_matches_state_machine(spark, line):
+    df = spark.createDataFrame([(line,)], "line string")
+    parts = split_unquoted_comment_exprs(F.col("line"))
+    got = df.select(parts["code"].alias("c"), parts["comment"].alias("m"),
+                    parts["has_comment"].alias("h")).collect()[0]
+    assert (got["c"], got["m"], got["h"]) == ref_split(line)
+
+
+@pytest.mark.parametrize("line", CASES)
+def test_balanced_matches_state_machine(spark, line):
+    df = spark.createDataFrame([(line,)], "line string")
+    got = df.select(quotes_balanced_expr(F.col("line")).alias("b")).collect()[0]
+    assert got["b"] == ref_balanced(line)
+
+
+def test_spark_duckdb_agree_on_adversarial_inputs(spark):
+    lines = _rand_lines(300, seed=13) + CASES
+    df = spark.createDataFrame([(i, l) for i, l in enumerate(lines)],
+                               "i long, line string")
+    parts = split_unquoted_comment_exprs(F.col("line"))
+    got = {
+        r["i"]: (r["c"], r["m"], r["h"], r["b"])
+        for r in df.select(
+            "i", parts["code"].alias("c"), parts["comment"].alias("m"),
+            parts["has_comment"].alias("h"),
+            quotes_balanced_expr(F.col("line")).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, line VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, l) for i, l in enumerate(lines)])
+    sqlparts = split_unquoted_comment_sql("line")
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"SELECT i, {sqlparts['code']}, {sqlparts['comment']}, "
+            f"{sqlparts['has_comment']}, {quotes_balanced_sql('line')} FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    # and both equal the explicit state machine
+    for i, l in enumerate(lines):
+        assert got[i] == (*ref_split(l), ref_balanced(l)), repr(l)

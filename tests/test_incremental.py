@@ -39,10 +39,14 @@ def inc_cfg() -> DedupConfig:
     return c
 
 
-def test_two_batches_equal_full_batch(spark, tmp_path, inc_cfg):
+@pytest.mark.parametrize("simhash,suffix", [(True, True), (False, False)],
+                         ids=["all-generators", "minhash-only"])
+def test_two_batches_equal_full_batch(spark, tmp_path, inc_cfg, simhash, suffix):
     """incremental(batch1) then incremental(batch2) must produce the same
     cluster partition AND the same labels as one batch run over the union
-    (labels are the min-sha fixpoint in both paths)."""
+    (labels are the min-sha fixpoint in both paths) — with the full
+    generator set (MinHash + SimHash + suffix fingerprints, VERDICT r02
+    item 3) and restricted to MinHash/LSH alone."""
     pdf = synthesize_code_files(CorpusSpec(n_base=120, invalid_rows=4, seed=7))
     full = spark.createDataFrame(pdf)
     # deterministic split that separates many near-dup pairs across batches
@@ -50,14 +54,15 @@ def test_two_batches_equal_full_batch(spark, tmp_path, inc_cfg):
     b2 = spark.createDataFrame(pdf.iloc[1::2])
 
     root = str(tmp_path / "state")
-    r1 = incremental_dedup(spark, b1, root, inc_cfg)
+    r1 = incremental_dedup(spark, b1, root, inc_cfg,
+                           enable_simhash=simhash, enable_suffix=suffix)
     assert r1.state_version == 1
-    r2 = incremental_dedup(spark, b2, root, inc_cfg)
+    r2 = incremental_dedup(spark, b2, root, inc_cfg,
+                           enable_simhash=simhash, enable_suffix=suffix)
     assert r2.state_version == 2
 
-    # batch path restricted to the MinHash/LSH family (incremental scope)
     ref = run_pipeline(spark, full, inc_cfg,
-                       enable_simhash=False, enable_suffix=False)
+                       enable_simhash=simhash, enable_suffix=suffix)
 
     assert _partition(r2.files_clustered) == _partition(ref.files_clustered)
     assert _labels(r2.files_clustered) == _labels(ref.files_clustered)
@@ -95,14 +100,18 @@ def test_new_doc_bridges_and_merges_old_clusters(spark, tmp_path, inc_cfg):
 
     ddl = "repo string, path string, commit string, lang string, content string"
     root = str(tmp_path / "state")
+    # MinHash-only: the shared 120-line core is a >2048-byte substring, so
+    # the suffix pass would (correctly) merge A,B in batch 1 — this test
+    # pins the J-threshold merge semantics, which need A,B separate first
+    kw = dict(enable_simhash=False, enable_suffix=False)
     r1 = incremental_dedup(spark, spark.createDataFrame(
         [("r", "a.py", "c", "python", a), ("r", "b.py", "c", "python", b)],
-        ddl), root, inc_cfg)
+        ddl), root, inc_cfg, **kw)
     l1 = _labels(r1.files_clustered)
     assert l1[("r", "a.py")] != l1[("r", "b.py")], "A,B must start separate"
 
     r2 = incremental_dedup(spark, spark.createDataFrame(
-        [("r", "m.py", "c", "python", m)], ddl), root, inc_cfg)
+        [("r", "m.py", "c", "python", m)], ddl), root, inc_cfg, **kw)
     l2 = _labels(r2.files_clustered)
     assert (l2[("r", "a.py")] == l2[("r", "b.py")] == l2[("r", "m.py")])
     assert r2.metrics["merged_old_clusters"] == 1
@@ -224,12 +233,14 @@ def test_compaction_preserves_labels(spark, tmp_path, inc_cfg):
     m = "\n".join(core + ta[:30] + tb[:30])
     ddl = "repo string, path string, commit string, lang string, content string"
     root = str(tmp_path / "state")
+    # MinHash-only, same reason as test_new_doc_bridges_and_merges
+    kw = dict(enable_simhash=False, enable_suffix=False)
 
     incremental_dedup(spark, spark.createDataFrame(
         [("r", "a.py", "c", "python", a), ("r", "b.py", "c", "python", b)],
-        ddl), root, inc_cfg)
+        ddl), root, inc_cfg, **kw)
     r2 = incremental_dedup(spark, spark.createDataFrame(
-        [("r", "m.py", "c", "python", m)], ddl), root, inc_cfg)
+        [("r", "m.py", "c", "python", m)], ddl), root, inc_cfg, **kw)
     assert r2.metrics["merged_old_clusters"] == 1
 
     state = DedupState(spark, root)
@@ -247,10 +258,42 @@ def test_compaction_preserves_labels(spark, tmp_path, inc_cfg):
          ("r", "m.py", "c", "python", m),
          ("r", "n.py", "c", "python", "n = 9\n" * 40)], ddl)
     r4 = incremental_dedup(spark, spark.createDataFrame(
-        [("r", "n.py", "c", "python", "n = 9\n" * 40)], ddl), root, inc_cfg)
+        [("r", "n.py", "c", "python", "n = 9\n" * 40)], ddl), root, inc_cfg, **kw)
     ref = run_pipeline(spark, full, inc_cfg,
                        enable_simhash=False, enable_suffix=False)
     assert _labels(r4.files_clustered) == _labels(ref.files_clustered)
+
+
+def test_cross_batch_suffix_edge_merges(spark, tmp_path, inc_cfg):
+    """Two files sharing only a long (>suffix_min_len) vendored blob but
+    dissimilar overall (J well under threshold — MinHash alone keeps them
+    apart) land in separate batches: the stored suffix-fingerprint reps
+    must link them, matching the batch pipeline's S7 behavior (VERDICT r02
+    item 3 — the r02 incremental path skipped this pass entirely)."""
+    shared = "\n".join(f"vendored blob line {i} {'x' * 20}" for i in range(120))
+    a = shared + "\n" + "\n".join(f"unique-a {i} {i * 31}" for i in range(500))
+    b = shared + "\n" + "\n".join(f"unique-b {i} {i * 37}" for i in range(500))
+    ddl = "repo string, path string, commit string, lang string, content string"
+
+    # suffix pass ON (default): cross-batch merge through stored fps
+    root = str(tmp_path / "on")
+    incremental_dedup(spark, spark.createDataFrame(
+        [("r", "a.py", "c", "python", a)], ddl), root, inc_cfg)
+    r2 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "b.py", "c", "python", b)], ddl), root, inc_cfg)
+    l2 = _labels(r2.files_clustered)
+    assert l2[("r", "a.py")] == l2[("r", "b.py")]
+
+    # suffix pass OFF: MinHash alone must NOT merge them (guards the test
+    # itself — proves the merge above came from the suffix fold)
+    root_off = str(tmp_path / "off")
+    kw = dict(enable_simhash=False, enable_suffix=False)
+    incremental_dedup(spark, spark.createDataFrame(
+        [("r", "a.py", "c", "python", a)], ddl), root_off, inc_cfg, **kw)
+    r2o = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "b.py", "c", "python", b)], ddl), root_off, inc_cfg, **kw)
+    lo = _labels(r2o.files_clustered)
+    assert lo[("r", "a.py")] != lo[("r", "b.py")]
 
 
 def test_capped_hot_bucket_recall_across_batches(spark, tmp_path):

@@ -129,3 +129,42 @@ def test_custom_stateful_first_seen(spark, tmp_path):
         columns=cols).to_parquet(os.path.join(inp, "b2.parquet"), index=False)
     run_streaming_first_seen(spark, inp, out, ckpt)
     assert spark.read.parquet(out).count() == 2     # nothing new emitted
+
+
+def test_ingest_and_fold_equals_batch(spark, tmp_path):
+    """VERDICT r02 item 6 — the unified job: stream N batches through the
+    exactly-once ingest, fold each drain into incremental dedup state, and
+    the final cluster assignments equal a one-shot batch pipeline over the
+    union (same partition AND same labels)."""
+    from email_sanitizer_api_spark.config import DedupConfig
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+    from email_sanitizer_api_spark.streaming import ingest_and_fold
+
+    cfg = DedupConfig(max_content_bytes=100_000)
+    pdf = synthesize_code_files(CorpusSpec(n_base=60, invalid_rows=3, seed=21))
+    parts = [pdf.iloc[i::3] for i in range(3)]
+
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "incoming")
+    work = os.path.join(tmp, "work")
+    state = os.path.join(tmp, "state")
+    os.makedirs(inp, exist_ok=True)
+
+    res = None
+    for i, part in enumerate(parts):
+        part.to_parquet(os.path.join(inp, f"crawl_{i}.parquet"), index=False)
+        res = ingest_and_fold(spark, inp, work, state, cfg)
+        assert res.state_version == i + 1
+
+    ref = run_pipeline(spark, spark.createDataFrame(pdf), cfg)
+
+    def labels(fc):
+        return {(r["repo"], r["path"]): r["cluster_id"]
+                for r in fc.select("repo", "path", "cluster_id").collect()}
+
+    assert labels(res.files_clustered) == labels(ref.files_clustered)
+
+    # nothing new: the drain appends nothing and the fold is a no-op batch
+    res2 = ingest_and_fold(spark, inp, work, state, cfg)
+    assert res2.metrics["fresh_content"] == 0
+    assert res2.metrics["new_files"] == 0
