@@ -948,6 +948,19 @@ def _q_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, queries, k=5)
 
 
+def _q_cosine_topk_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN twin: data-adaptive centroid lists vs the
+    LSH path's data-independent hyperplanes; approximate by design
+    (rows-only). Recall >= 0.9 is pinned on clustered vectors — the regime
+    IVF exists for — and the random-pruning floor on isotropic data
+    (tests/test_embedding_lsh.py); real code-embedding corpora are heavily
+    clustered, synthetic sf embeddings are not."""
+    from email_sanitizer_api_spark.functions.similarity import cosine_topk_ivf
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_ivf(emb, queries, k=5)
+
+
 def _q_quote_aware_scan(spark, sf_dir):
     """SURVEY §2.2 P3/P5 — quote-aware stateful scans as ONE deterministic
     regex (functions/code_scan.py): split each doc's first line at its
@@ -1079,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash_signatures,
         "dedup_pipeline_full": _q_dedup_pipeline_full,
         "cosine_topk_lsh": _q_cosine_topk_lsh,
+        "cosine_topk_ivf": _q_cosine_topk_ivf,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "suffix_array_spans": _q_suffix_array_spans,
         "incremental_dedup_two_batches": _q_incremental_dedup_two_batches,

@@ -386,3 +386,105 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 5).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k (inverted-file ANN) — the centroid-probing scale path
+# ---------------------------------------------------------------------------
+
+def _ivf_centroids(embeddings: DataFrame, n_lists: int, n_iters: int,
+                   id_col: str, vec_col: str) -> np.ndarray:
+    """(n_lists, dim) float64 centroids: deterministic seed sample (the
+    ``n_lists`` smallest ``xxhash64(id)`` vectors — content-defined, stable
+    across partitionings), refined by ``n_iters`` distributed Lloyd steps.
+    Each step is one Arrow-batched assignment pass + one groupBy average —
+    O(n) per iteration, no driver-side corpus work; only the (n_lists x
+    dim) centroid table ever reaches the driver."""
+    seeds = (
+        embeddings.select(F.col(vec_col).alias("v"),
+                          F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h").limit(n_lists).collect()
+    )
+    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in seeds])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    for _ in range(n_iters):
+        assign = make_ivf_assign_udf(cents, n_probes=1)
+        member = embeddings.select(
+            F.element_at(assign(F.col(vec_col)), 1).alias("list_id"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("i", "x"))
+        mean_rows = (
+            member.groupBy("list_id", "i").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = cents.copy()
+        sums: dict[int, np.ndarray] = {}
+        for r in mean_rows:
+            sums.setdefault(r["list_id"], np.zeros(cents.shape[1]))[r["i"]] = r["m"]
+        for lid, vec in sums.items():
+            nrm = np.linalg.norm(vec)
+            if nrm > 1e-12:
+                nxt[lid] = vec / nrm
+        cents = nxt
+    return cents
+
+
+def make_ivf_assign_udf(centroids: np.ndarray, n_probes: int):
+    """vec -> array<int> of the ``n_probes`` nearest centroid ids by cosine
+    (centroids pre-normalized, so argmax of dot / ||v|| = argmax of dot).
+    One numpy matmul per Arrow batch — same constant-plan-size rationale as
+    ``make_bucket_udf``."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    p = min(n_probes, len(cents))
+
+    @pandas_udf("array<int>")
+    def _assign(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in s])
+        scores = v @ cents.T                       # (n, n_lists)
+        top = np.argpartition(-scores, p - 1, axis=1)[:, :p]
+        # order the probe list best-first (argpartition is unordered)
+        rows = np.arange(len(s))[:, None]
+        order = np.argsort(-scores[rows, top], axis=1)
+        return pd.Series(list(top[rows, order].astype(np.int32)))
+
+    return _assign
+
+
+def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int,
+                    n_lists: int = 16, n_probes: int = 4, n_iters: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via an inverted file: corpus vectors live in their
+    nearest-centroid list; each query scans only its ``n_probes`` nearest
+    lists. The candidate join is an equi-join on ``list_id`` —
+    shuffle-partitionable — and |candidates| ~ n * n_probes / n_lists per
+    query versus the |Q| x |N| cross join. Scale knobs: n_lists ~ sqrt(n)
+    keeps lists O(sqrt(n)); raise n_probes to buy recall (pinned >= 0.9 vs
+    the exact baseline at the defaults, tests/test_embedding_lsh.py).
+    Complements ``cosine_topk_lsh``: IVF adapts to the data distribution
+    (centroids), LSH is data-independent (hyperplanes)."""
+    cents = _ivf_centroids(embeddings, n_lists, n_iters, id_col, vec_col)
+    assign1 = make_ivf_assign_udf(cents, 1)
+    assignp = make_ivf_assign_udf(cents, n_probes)
+    n = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("nv"),
+                          F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       F.explode(assignp(F.col(vec_col))).alias("list_id"))
+    scored = (
+        n.join(q, "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity_expr(F.col("qv"), F.col("nv")))
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 5).alias("cosine"))
+    )
