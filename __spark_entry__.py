@@ -1045,6 +1045,161 @@ FROM documents WHERE lang = 'en' GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus sanitization / decontamination / source-level dedup / semantic dedup
+# (r03 additions — training-pipeline hygiene ops)
+# ---------------------------------------------------------------------------
+
+def _q_secret_scan(spark, sf_dir):
+    """Credential/secret scan over the corpus (the code-corpus analog of the
+    reference's sanitize-before-send role, src/handlers/validation/
+    syntax.rs): per-doc counts for every pattern family. Pure regexp_count
+    codegen — rides the validate stage's scan at 100 TB (zero extra jobs)."""
+    from email_sanitizer_api_spark.functions.sanitize import secret_count_cols
+    docs = _t(spark, sf_dir, "documents")
+    cols = secret_count_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def _sql_secret_scan() -> str:
+    from email_sanitizer_api_spark.functions.sanitize import secret_count_sql
+    parts = secret_count_sql("text")
+    sel = ",\n       ".join(f"{sql} AS {name}" for name, sql in parts.items())
+    return f"SELECT doc_id, {sel} FROM documents"
+
+
+def _q_redact_secrets(spark, sf_dir):
+    """Redacted-text digests: sha256 after replacing every case-exact secret
+    pattern with [REDACTED], plus the redaction count. Comparing digests
+    (not full text) keeps the oracle result small at any sf."""
+    from email_sanitizer_api_spark.functions.sanitize import (
+        SECRET_PATTERNS, redact_expr)
+    docs = _t(spark, sf_dir, "documents")
+    n_red = None
+    for _, pat in SECRET_PATTERNS:
+        c = F.regexp_count(F.col("text"), F.lit(pat))
+        n_red = c if n_red is None else n_red + c
+    return docs.select(
+        "doc_id",
+        n_red.cast("long").alias("n_redactions"),
+        F.sha2(redact_expr(F.col("text")), 256).alias("redacted_sha"),
+    )
+
+
+def _sql_redact_secrets() -> str:
+    from email_sanitizer_api_spark.functions.sanitize import (
+        SECRET_PATTERNS, redact_sql)
+    n_red = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat in SECRET_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+       CAST({n_red} AS BIGINT) AS n_redactions,
+       sha256({redact_sql('text')}) AS redacted_sha
+FROM documents
+"""
+
+
+def _q_decontamination_report(spark, sf_dir):
+    """Benchmark 13-gram decontamination: flag every doc sharing an n-gram
+    with the (deterministically derived) benchmark set. Corpus grams are
+    md5-hashed before the broadcast join (32-byte keys on the wire)."""
+    from email_sanitizer_api_spark.functions.decontaminate import (
+        contamination_report)
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_report(docs)
+
+
+def _q_source_overlap(spark, sf_dir):
+    """Source-level (fork/vendored-tree) duplicate detection: pairs of
+    sources by shared distinct content sha256, boilerplate shas capped out
+    of pair generation (operators/source_overlap.py)."""
+    from email_sanitizer_api_spark.operators.source_overlap import (
+        source_overlap)
+    docs = _t(spark, sf_dir, "documents")
+    return source_overlap(docs)
+
+
+def _q_source_overlap_chunks(spark, sf_dir):
+    """Chunk-granularity source overlap: shared distinct 13-token shingles
+    (DéjàVu/Sourcerer-style) — catches partial vendoring that whole-file
+    identity misses; non-trivial on the sf tables where exact cross-source
+    file dups are rare."""
+    from email_sanitizer_api_spark.operators.source_overlap import (
+        source_overlap)
+    docs = _t(spark, sf_dir, "documents")
+    return source_overlap(docs, unit="chunk")
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup, exact-oracle flavor: embedding-cosine
+    pairs (>= 0.35) → connected components → keeper per cluster. The
+    pair-generation scale path is embedding_near_dup_lsh (recall >= 0.95
+    pinned); this exact twin is what DuckDB can verify end-to-end."""
+    from email_sanitizer_api_spark.operators.cluster import (
+        connected_components)
+    emb = _t(spark, sf_dir, "embeddings")
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
+    pairs = _q_embedding_cosine_near_dup(spark, sf_dir).select(
+        pad("a").alias("a"), pad("b").alias("b"))
+    cc = connected_components(pairs, DedupConfig())
+    allv = emb.select("vec_id", pad("vec_id").alias("id"))
+    lab = allv.join(cc, "id", "left").select(
+        "vec_id",
+        F.coalesce("cluster_id", F.col("id")).alias("cid"),
+    )
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    return lab.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster_id"),
+        (F.row_number().over(w) == 1).cast("int").alias("is_keeper"),
+    )
+
+
+_SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pr AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+ed AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+reach(id, label) AS (
+  SELECT DISTINCT src, src FROM ed
+  UNION
+  SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.id),
+lab AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+al AS (SELECT e.vec_id, coalesce(l.cluster_id, e.vec_id) AS cluster_id
+       FROM e LEFT JOIN lab l ON l.id = e.vec_id)
+SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY vec_id) = 1 AS INT) AS is_keeper
+FROM al
+"""
+
+
+def _q_semantic_dedup_lsh(spark, sf_dir):
+    """Production semantic-dedup twin: LSH-bucketed pair generation
+    (embedding_near_dup_lsh) feeding the same CC → keeper tail. Approximate
+    by design (rows-only check); pair recall >= 0.95 pinned by
+    tests/test_embedding_lsh.py."""
+    from email_sanitizer_api_spark.operators.cluster import (
+        connected_components)
+    emb = _t(spark, sf_dir, "embeddings")
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
+    pairs = _q_embedding_near_dup_lsh(spark, sf_dir).select(
+        pad("a").alias("a"), pad("b").alias("b"))
+    cc = connected_components(pairs, DedupConfig())
+    allv = emb.select("vec_id", pad("vec_id").alias("id"))
+    lab = allv.join(cc, "id", "left").select(
+        "vec_id", F.coalesce("cluster_id", F.col("id")).alias("cid"))
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    return lab.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster_id"),
+        (F.row_number().over(w) == 1).cast("int").alias("is_keeper"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -1096,11 +1251,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "suffix_array_spans": _q_suffix_array_spans,
         "incremental_dedup_two_batches": _q_incremental_dedup_two_batches,
+        # corpus hygiene (r03): sanitize / decontaminate / fork-detect /
+        # semantic dedup
+        "secret_scan_documents": _q_secret_scan,
+        "redact_secrets_documents": _q_redact_secrets,
+        "decontamination_report": _q_decontamination_report,
+        "source_overlap_pairs": _q_source_overlap,
+        "source_overlap_chunks": _q_source_overlap_chunks,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
+        "semantic_dedup_lsh": _q_semantic_dedup_lsh,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from email_sanitizer_api_spark.functions.decontaminate import (
+        contamination_sql as _contamination_sql)
     from email_sanitizer_api_spark.operators.simhash import simhash_md5_pairs_sql
+    from email_sanitizer_api_spark.operators.source_overlap import (
+        source_overlap_sql as _source_overlap_sql)
     return {
         "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
         "conditional_counts_by_flag": _SQL_CONDITIONAL_COUNTS,
@@ -1137,6 +1305,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline_exact": _pipeline_exact_sql(),
         "suffix_array_spans": _SQL_SUFFIX_ARRAY_SPANS,
         "simhash_hamming_pairs": simhash_md5_pairs_sql(3),
+        # corpus hygiene (r03)
+        "secret_scan_documents": _sql_secret_scan(),
+        "redact_secrets_documents": _sql_redact_secrets(),
+        "decontamination_report": _contamination_sql(),
+        "source_overlap_pairs": _source_overlap_sql(),
+        "source_overlap_chunks": _source_overlap_sql(unit="chunk"),
+        "semantic_dedup_embeddings": _SQL_SEMANTIC_DEDUP,
+        # semantic_dedup_lsh: intentionally omitted — LSH pair generation is
+        # probabilistic; semantic_dedup_embeddings is its exact oracle twin
         # minhash_near_dup_pairs_est / simhash_signatures /
         # dedup_pipeline_full / cosine_topk_lsh /
         # incremental_dedup_two_batches: intentionally omitted — these are

@@ -1,0 +1,109 @@
+"""Benchmark n-gram decontamination for training corpora.
+
+Standard training-data hygiene (the GPT-3/PaLM recipe): build the set of
+word n-grams occurring in an evaluation/benchmark set, then flag every
+corpus document containing any of them.  Here the benchmark set is derived
+deterministically from the corpus itself (``doc_id % every == 0``) so tests
+and oracles need no external data — the detection machinery is identical to
+what a real benchmark file would feed.
+
+Plan shape (the one you'd run at 100 TB):
+ - corpus side: one projection pass explodes each doc into its n-grams,
+   hashed to md5 BEFORE the join so the shuffle/broadcast carries 32-byte
+   keys, never full gram strings;
+ - benchmark side: the deduped benchmark-gram hashes are tiny relative to
+   the corpus (a benchmark is fixed-size) → broadcast hash join, no shuffle
+   of the exploded corpus;
+ - per-doc aggregation is a partial-agg count on doc_id.
+
+The tokenizer (trim + split on ``\\s+``) is byte-identical between Spark and
+the DuckDB oracle (same contract as ``functions/text.token_count``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_grams(docs: DataFrame, n: int) -> DataFrame:
+    """doc_id + exploded md5-hashed word n-grams (empty for short docs)."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], so short docs
+    # must produce an explicit empty array, not sequence()
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            f"if(size(toks) >= {n}, "
+            f"  transform(sequence(1, size(toks) - {n} + 1), "
+            f"            i -> md5(array_join(slice(toks, i, {n}), ' '))), "
+            f"  array())"
+        ).alias("grams"),
+    )
+    return grams.select("doc_id", F.explode("grams").alias("g"))
+
+
+def contamination_report(docs: DataFrame, every: int = 41, n: int = 13) -> DataFrame:
+    """Per-document contamination counts vs the derived benchmark set.
+
+    Returns all docs: (doc_id, n_grams, n_contaminated, is_contaminated).
+    Benchmark docs match themselves by construction (they ARE benchmark
+    material — a real decontamination pass flags them identically).
+    """
+    grams = _with_grams(docs, n)
+    bench = (
+        grams.where(F.col("doc_id") % every == 0)
+        .select("g").distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) - F.lit(n - 1),
+            F.lit(0),
+        ).cast("long").alias("n_grams"),
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
+def contamination_sql(every: int = 41, n: int = 13) -> str:
+    """DuckDB oracle: same tokenizer, same md5 gram keys, same join."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS i
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+{n - 1}], ' ')) AS g FROM idx
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {every} = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_contaminated
+  FROM grams g JOIN bench b ON g.g = b.g GROUP BY 1
+),
+totals AS (
+  SELECT doc_id, CAST(greatest(len(t) - {n - 1}, 0) AS BIGINT) AS n_grams FROM toks
+)
+SELECT t.doc_id AS doc_id, t.n_grams AS n_grams,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(h.n_contaminated, 0) > 0 AS INT) AS is_contaminated
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""

@@ -1,0 +1,102 @@
+"""Secret/credential scanning and redaction over a source-code corpus.
+
+The reference is an email *sanitizer* (reject/clean bad addresses before they
+reach a mailing pipeline — ``src/handlers/validation/syntax.rs``); the
+code-corpus analog sanitizes documents before they reach a training pipeline:
+detect leaked credentials (cloud keys, VCS tokens, PEM markers, high-entropy
+hex blobs, password assignments) and redact them from the text.
+
+All detection/redaction is pure Column expressions (``regexp_count`` /
+``regexp_replace`` — JVM-side, whole-stage codegen, no Python in the hot
+path).  Every pattern is written in the common subset of Java regex (Spark)
+and RE2 (the DuckDB oracle): no lookarounds, no backreferences, explicit
+character classes, ``\\b`` word boundaries only (ASCII semantics in both).
+
+Scale: per-row regex scans are embarrassingly parallel — no shuffle at all;
+the scan composes with the validate stage's single map pass, so at 100 TB it
+rides the same scan+project stage as validation (zero extra jobs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Case-exact token-format patterns — portable Java-regex/RE2 subset.
+# These are safe to use for redaction on the original (unlowered) text.
+# (name, pattern) order matters: redaction applies them in this order.
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    # AWS access key id (fixed AKIA prefix, 16 uppercase base32 chars)
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b"),
+    # GitHub personal access token (classic)
+    ("github_token", r"\bghp_[0-9A-Za-z]{36}\b"),
+    # Slack bot/user/app tokens
+    ("slack_token", r"\bxox[baprs]-[0-9A-Za-z-]{10,48}\b"),
+    # PEM private-key header line (detection anchor for key blocks)
+    ("pem_header", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    # standalone 40-hex-char blob (SHA1-sized credential candidate)
+    ("hex40", r"\b[0-9A-Fa-f]{40}\b"),
+]
+
+# Detection-only heuristic, evaluated on lower(text): an assignment of a
+# non-trivial literal to a credential-ish identifier.
+ASSIGNMENT_PATTERN = (
+    r"\b(password|passwd|secret|api_key|apikey|auth_token|access_token)"
+    r"\s*[:=]\s*[^\s]{6,}"
+)
+
+REDACTED = "[REDACTED]"
+
+
+def secret_count_cols(text: Column) -> dict[str, Column]:
+    """Per-pattern match counts + total + boolean flag, as named columns."""
+    counts = {
+        f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, pat in SECRET_PATTERNS
+    }
+    counts["n_assignment"] = F.regexp_count(
+        F.lower(text), F.lit(ASSIGNMENT_PATTERN)
+    ).cast("long")
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    counts["n_secrets"] = total
+    counts["has_secret"] = (total > 0).cast("int")
+    return counts
+
+
+def redact_expr(text: Column) -> Column:
+    """Text with every case-exact secret pattern replaced by [REDACTED].
+
+    The assignment heuristic is detection-only (its case-insensitivity would
+    need per-engine flags); the token-format patterns cover the actual
+    credential material inside an assignment anyway.
+    """
+    out = text
+    for _, pat in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pat, REDACTED)
+    return out
+
+
+# --- matching ANSI-SQL fragments (DuckDB oracle side) -----------------------
+
+def secret_count_sql(col: str) -> dict[str, str]:
+    out = {
+        f"n_{name}": f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
+        for name, pat in SECRET_PATTERNS
+    }
+    out["n_assignment"] = (
+        f"CAST(len(regexp_extract_all(lower({col}), "
+        f"'{ASSIGNMENT_PATTERN}')) AS BIGINT)"
+    )
+    total = " + ".join(out.values())
+    out["n_secrets"] = f"({total})"
+    out["has_secret"] = f"CAST(({total}) > 0 AS INT)"
+    return out
+
+
+def redact_sql(col: str) -> str:
+    out = col
+    for _, pat in SECRET_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{REDACTED}', 'g')"
+    return out

