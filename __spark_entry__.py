@@ -1200,6 +1200,109 @@ def _q_semantic_dedup_lsh(spark, sf_dir):
     )
 
 
+_CURATION_QUALITY_MIN = 5500  # quality_score_q floor (prunes ~23% at sf0.01)
+
+
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation verdict per document — the
+    composition a corpus user actually runs: validate cascade → quality
+    floor → benchmark decontamination → exact-dup keeper → KEPT. One
+    ordered CASE, so every doc gets exactly one rejection reason (the
+    reference's ordered short-circuit validation cascade, SURVEY §2.2 P11,
+    lifted to corpus curation)."""
+    from email_sanitizer_api_spark.functions.decontaminate import (
+        contamination_report)
+    from email_sanitizer_api_spark.functions.text import quality_score_cols
+    from email_sanitizer_api_spark.operators.validate import (
+        CONTROL_CHAR_CLASS, REPLACEMENT_CHAR)
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    vcode = (
+        F.when(F.col("text").isNull() | F.col("text").rlike("^\\s*$"), F.lit("EMPTY"))
+        .when(F.octet_length("text") > DOC_SIZE_CAP, F.lit("TOO_LARGE"))
+        .when(F.col("text").contains("\x00"), F.lit("BINARY_CONTENT"))
+        .when(F.regexp_count(F.col("text"), F.lit(CONTROL_CHAR_CLASS)) / n
+              > 0.005, F.lit("CONTROL_CHARS"))
+        .when(F.regexp_count(F.col("text"), F.lit(REPLACEMENT_CHAR)) / n
+              > 0.001, F.lit("MOJIBAKE"))
+        .otherwise(F.lit("VALID"))
+    )
+    q = quality_score_cols(F.col("text"))["quality_score_q"]
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    base = docs.select(
+        "doc_id", vcode.alias("v"), q.alias("q"),
+        F.row_number().over(w).alias("rn"))
+    cont = contamination_report(docs).select("doc_id", "is_contaminated")
+    verdict = (
+        F.when(F.col("v") != "VALID", F.col("v"))
+        .when(F.col("q") < _CURATION_QUALITY_MIN, F.lit("LOW_QUALITY"))
+        .when(F.col("is_contaminated") == 1, F.lit("CONTAMINATED"))
+        .when(F.col("rn") > 1, F.lit("DUPLICATE"))
+        .otherwise(F.lit("KEPT"))
+    )
+    return base.join(cont, "doc_id").select(
+        "doc_id", verdict.alias("curation_verdict"))
+
+
+def _curation_sql() -> str:
+    from email_sanitizer_api_spark.functions.text import token_count_sql
+    return f"""
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR regexp_matches(text, '^\\s*$') THEN 'EMPTY'
+              WHEN strlen(text) > {DOC_SIZE_CAP} THEN 'TOO_LARGE'
+              WHEN instr(text, chr(0)) > 0 THEN 'BINARY_CONTENT'
+              WHEN CAST(len(regexp_extract_all(text,
+                     '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) AS DOUBLE)
+                   / length(text) > 0.005 THEN 'CONTROL_CHARS'
+              WHEN CAST(len(regexp_extract_all(text, '\\x{{FFFD}}')) AS DOUBLE)
+                   / length(text) > 0.001 THEN 'MOJIBAKE'
+              ELSE 'VALID' END AS v,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents),
+qt AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars_d,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST({token_count_sql('text')} AS DOUBLE) AS n_tokens_d,
+         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|is|to|in)\\b')) AS DOUBLE) AS n_stop
+  FROM documents),
+qr AS (
+  SELECT doc_id,
+         CASE WHEN n_chars_d > 0 THEN n_chars_d ELSE CAST(1.0 AS DOUBLE) END AS safe,
+         CASE WHEN n_tokens_d > 0 THEN n_tokens_d ELSE CAST(1.0 AS DOUBLE) END AS tok_safe,
+         n_alpha, n_stop, n_tokens_d
+  FROM qt),
+q AS (
+  SELECT doc_id,
+         CAST(floor((CAST(0.4 AS DOUBLE) * (n_alpha / safe)
+             + CAST(0.3 AS DOUBLE) * least(n_stop / tok_safe * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE) * least(n_tokens_d / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+             * 10000.0 + 0.5) AS BIGINT) AS q
+  FROM qr),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i
+  FROM toks),
+grams AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+12], ' ')) AS g FROM idx),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n FROM grams g JOIN bench b ON g.g = b.g
+  GROUP BY 1)
+SELECT v.doc_id AS doc_id,
+       CASE WHEN v.v <> 'VALID' THEN v.v
+            WHEN q.q < {_CURATION_QUALITY_MIN} THEN 'LOW_QUALITY'
+            WHEN coalesce(h.n, 0) > 0 THEN 'CONTAMINATED'
+            WHEN v.rn > 1 THEN 'DUPLICATE'
+            ELSE 'KEPT' END AS curation_verdict
+FROM v
+JOIN q ON v.doc_id = q.doc_id
+LEFT JOIN hits h ON v.doc_id = h.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -1260,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_chunks": _q_source_overlap_chunks,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "semantic_dedup_lsh": _q_semantic_dedup_lsh,
+        "corpus_curation_verdicts": _q_corpus_curation,
     }
 
 
@@ -1312,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_pairs": _source_overlap_sql(),
         "source_overlap_chunks": _source_overlap_sql(unit="chunk"),
         "semantic_dedup_embeddings": _SQL_SEMANTIC_DEDUP,
+        "corpus_curation_verdicts": _curation_sql(),
         # semantic_dedup_lsh: intentionally omitted — LSH pair generation is
         # probabilistic; semantic_dedup_embeddings is its exact oracle twin
         # minhash_near_dup_pairs_est / simhash_signatures /

@@ -70,6 +70,12 @@ def main() -> None:
         # has no place in a headline set that claims scale.
         "cosine_topk_lsh",
         "token_jaccard_pairs",                  # n-gram jaccard near-dup
+        # r03 corpus-hygiene additions (headline total grows by these two
+        # entries — compare per-query, not the total, across rounds):
+        # gram-explode + broadcast benchmark join + per-doc agg
+        "decontamination_report",
+        # distinct-lift + capped self-join + pair agg (fork detection)
+        "source_overlap_chunks",
     ]
     headline = [q for q in headline if q in queries]
 
