@@ -1303,6 +1303,133 @@ LEFT JOIN hits h ON v.doc_id = h.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# email PII — the reference's literal domain (RFC 5322/6531 syntax,
+# src/handlers/validation/syntax.rs:24-155) as Column expressions
+# ---------------------------------------------------------------------------
+
+# deterministic candidate synthesis shared by the two email queries: the
+# test tables carry no email-like tokens (checked at sf0.01), so candidates
+# are derived from the customer dim — same construction on both engines.
+def _email_name_expr():
+    return F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", ""))
+
+
+def _email_candidate_expr():
+    """14 deterministic candidate variants keyed by c_custkey % 14 —
+    covering dot-atom, +tag, quoted (space / escaped quote / inner @),
+    IPv4 + IPv6 domain literals, Unicode domains, and six invalid shapes
+    (bad octet, leading/doubled dots, hyphen label, >64-byte local, stray
+    quote)."""
+    name = _email_name_expr()
+    v = F.col("c_custkey") % 14
+    return (
+        F.when(v == 0, F.concat(name, F.lit("@example.com")))
+        .when(v == 1, F.concat(name, F.lit(".tag+x@example.co.uk")))
+        .when(v == 2, F.concat(F.lit('"'), name, F.lit(' sp"@example.com')))
+        .when(v == 3, F.lit('"a\\"b"@example.com'))
+        .when(v == 4, F.concat(F.lit('"'), name, F.lit('@inside"@example.com')))
+        .when(v == 5, F.concat(name, F.lit("@[127.0.0.1]")))
+        .when(v == 6, F.concat(name, F.lit("@[300.0.0.1]")))
+        .when(v == 7, F.concat(name, F.lit("@[IPv6:2001:db8::1]")))
+        .when(v == 8, F.concat(F.lit("."), name, F.lit("@example.com")))
+        .when(v == 9, F.concat(name, F.lit("..x@example.com")))
+        .when(v == 10, F.concat(name, F.lit("@-bad.example.com")))
+        .when(v == 11, F.concat(F.repeat(F.lit("a"), 65), F.lit("@example.com")))
+        .when(v == 12, F.concat(name, F.lit("@münchen.de")))
+        .otherwise(F.concat(name, F.lit('"q@example.com')))
+    )
+
+
+_EMAIL_NAME_SQL = "lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))"
+
+_EMAIL_CANDIDATE_SQL = f"""CASE c_custkey % 14
+  WHEN 0 THEN {_EMAIL_NAME_SQL} || '@example.com'
+  WHEN 1 THEN {_EMAIL_NAME_SQL} || '.tag+x@example.co.uk'
+  WHEN 2 THEN '"' || {_EMAIL_NAME_SQL} || ' sp"@example.com'
+  WHEN 3 THEN '"a\\"b"@example.com'
+  WHEN 4 THEN '"' || {_EMAIL_NAME_SQL} || '@inside"@example.com'
+  WHEN 5 THEN {_EMAIL_NAME_SQL} || '@[127.0.0.1]'
+  WHEN 6 THEN {_EMAIL_NAME_SQL} || '@[300.0.0.1]'
+  WHEN 7 THEN {_EMAIL_NAME_SQL} || '@[IPv6:2001:db8::1]'
+  WHEN 8 THEN '.' || {_EMAIL_NAME_SQL} || '@example.com'
+  WHEN 9 THEN {_EMAIL_NAME_SQL} || '..x@example.com'
+  WHEN 10 THEN {_EMAIL_NAME_SQL} || '@-bad.example.com'
+  WHEN 11 THEN repeat('a', 65) || '@example.com'
+  WHEN 12 THEN {_EMAIL_NAME_SQL} || '@münchen.de'
+  ELSE {_EMAIL_NAME_SQL} || '"q@example.com'
+END"""
+
+
+def _q_email_validation_rfc(spark, sf_dir):
+    """RFC email-syntax validation — the reference's core operation
+    (src/handlers/validation/syntax.rs:24-67) verbatim: quote-aware @
+    split (including the scanner's escape-rearm quirk its own tests pin),
+    quoted-string/dot-atom locals, domain names with 63-byte label caps,
+    IPv4/IPv6 domain literals, 254/64-byte length caps. Pure rlike /
+    regexp_extract codegen — shuffle-free scan at any scale."""
+    from email_sanitizer_api_spark.functions.email_pii import (
+        is_valid_email_expr)
+    cust = _t(spark, sf_dir, "customer")
+    email = _email_candidate_expr()
+    return cust.select(
+        F.col("c_custkey").alias("custkey"),
+        email.alias("email"),
+        is_valid_email_expr(email).cast("int").alias("is_valid"),
+    )
+
+
+def _sql_email_validation_rfc() -> str:
+    from email_sanitizer_api_spark.functions.email_pii import (
+        is_valid_email_sql)
+    return f"""
+WITH cand AS (
+  SELECT c_custkey AS custkey, {_EMAIL_CANDIDATE_SQL} AS email FROM customer)
+SELECT custkey, email,
+       CAST({is_valid_email_sql('email')} AS INT) AS is_valid
+FROM cand
+"""
+
+
+def _q_email_pii_scan(spark, sf_dir):
+    """Email-PII scan over free text (the sanitize-before-train analog of
+    the reference's sanitize-before-send): plant one candidate per row in
+    the customer comment, then extract candidates, validate each against
+    the full RFC expression inside a higher-order filter, and redact.
+    Digest (md5) of the redacted text keeps the oracle result small."""
+    from email_sanitizer_api_spark.functions.email_pii import email_pii_cols
+    cust = _t(spark, sf_dir, "customer")
+    text = F.concat(
+        F.col("c_name"), F.lit(" <"), F.col("c_mktsegment"),
+        F.lit("> contact: "), _email_candidate_expr(), F.lit(" end"))
+    cols = email_pii_cols(text)
+    return cust.select(
+        F.col("c_custkey").alias("custkey"),
+        cols["n_email_candidates"].alias("n_email_candidates"),
+        cols["n_valid_rfc"].alias("n_valid_rfc"),
+        cols["has_email_pii"].alias("has_email_pii"),
+        F.md5(cols["redacted_text"]).alias("redacted_md5"),
+    )
+
+
+def _sql_email_pii_scan() -> str:
+    from email_sanitizer_api_spark.functions.email_pii import email_pii_sql
+    cols = email_pii_sql("txt")
+    return f"""
+WITH t AS (
+  SELECT c_custkey AS custkey,
+         c_name || ' <' || c_mktsegment || '> contact: '
+           || {_EMAIL_CANDIDATE_SQL} || ' end' AS txt
+  FROM customer)
+SELECT custkey,
+       {cols['n_email_candidates']} AS n_email_candidates,
+       {cols['n_valid_rfc']} AS n_valid_rfc,
+       {cols['has_email_pii']} AS has_email_pii,
+       md5({cols['redacted_text']}) AS redacted_md5
+FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -1364,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "semantic_dedup_lsh": _q_semantic_dedup_lsh,
         "corpus_curation_verdicts": _q_corpus_curation,
+        "email_validation_rfc": _q_email_validation_rfc,
+        "email_pii_scan": _q_email_pii_scan,
     }
 
 
@@ -1417,6 +1546,8 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_chunks": _source_overlap_sql(unit="chunk"),
         "semantic_dedup_embeddings": _SQL_SEMANTIC_DEDUP,
         "corpus_curation_verdicts": _curation_sql(),
+        "email_validation_rfc": _sql_email_validation_rfc(),
+        "email_pii_scan": _sql_email_pii_scan(),
         # semantic_dedup_lsh: intentionally omitted — LSH pair generation is
         # probabilistic; semantic_dedup_embeddings is its exact oracle twin
         # minhash_near_dup_pairs_est / simhash_signatures /

@@ -1,0 +1,305 @@
+"""RFC 5322/6531 email-address validation + email-PII scanning, Spark-first.
+
+This module implements the reference's *literal* domain — RFC email-syntax
+validation (`/root/reference/src/handlers/validation/syntax.rs:24-155`) — as
+pure Column expressions, and composes it into a corpus PII pass: detect
+email addresses leaked into source-code documents, validate each candidate
+with the reference's exact semantics, and redact them (the training-data
+analog of sanitizing addresses before they reach a mailing pipeline).
+
+Fidelity notes (each traced to syntax.rs):
+
+* **Quote-aware @ split** (syntax.rs:30-45): the reference scans for the
+  first unquoted ``@``.  Its scanner has a load-bearing quirk: a backslash
+  inside quotes *always* re-arms the escape flag (the ``'\\' if in_quotes``
+  arm has no ``!escape`` guard), so in ``"x\\\\"`` the closing quote is seen
+  as escaped and the scan never leaves the quoted state — the reference's
+  own test pins ``"test\\\\"@example.com`` as invalid (syntax_test.rs:18).
+  The regex below reproduces this exactly: quoted-local content may not end
+  with an escaped backslash.
+* **Quoted-string validation** (syntax.rs:98-115): only ``\\"`` and ``\\\\``
+  escapes, no unescaped quotes, no dangling escape.
+* **Dot-atom** (syntax.rs:119-136): parts split on ``.``, none empty; local
+  parts allow Unicode alphanumerics plus ``!#$%&'*+/=?^_`{|}~-``.
+* **Domain names** (syntax.rs:146-155): labels <= 63 *bytes*, no
+  leading/trailing hyphen, Unicode alphanumerics + hyphen.
+* **Domain literals** (syntax.rs:138-142): ``[v4]``, ``[v6]`` or
+  ``[IPv6:v6]``; IPv4 octets reject leading zeros (Rust ``std::net`` does);
+  IPv6 zone-ids (``%eth0``) are rejected (``Ipv6Addr::from_str`` has no
+  zone support).  The IPv6 pattern enumerates every compressed/embedded-v4
+  form exactly (a+b <= 5 groups around ``::``).
+* **Length caps** (syntax.rs:26,57): whole address <= 254 bytes, local part
+  <= 64 bytes — *bytes*, as Rust ``str::len()``, hence ``octet_length``.
+* Documented deviation: the reference's ``char::is_alphanumeric`` admits a
+  handful of Other_Alphabetic combining marks that the portable
+  ``\\p{L}\\p{N}`` class does not.  Identical in Spark (Java regex) and the
+  DuckDB oracle (RE2), so hash-exactness is unaffected.
+
+Everything is JVM-side whole-stage-codegen Column math (``rlike`` /
+``regexp_extract`` / higher-order array functions) — no Python in the hot
+path; per-row regex scans are shuffle-free and ride the validate stage's
+scan+project at 100 TB, exactly like `sanitize.py`.
+
+``is_valid_email_py`` is a line-by-line Python mirror of syntax.rs used by
+the tests as ground truth (including the splitter quirk above).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import unicodedata
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- pattern pieces (identical text for Java regex and RE2) -----------------
+
+_SPECIALS = "!#$%&'*+/=?^_`{|}~"
+ATOM = r"[\p{L}\p{N}!#$%&'*+/=?^_`{|}~-]+"
+LOCAL_ATOM = ATOM + r"(?:\." + ATOM + r")*"
+# quoted-string content: units are non-special chars or \" or \\ escapes;
+# the final unit may not be an escaped backslash (the splitter quirk above).
+_QUNIT = r'(?:[^"\\]|\\["\\])'
+_QCONTENT = r"(?:" + _QUNIT + r'*(?:[^"\\]|\\"))?'
+QLOCAL = r'"' + _QCONTENT + r'"'
+LABEL = r"[\p{L}\p{N}](?:[\p{L}\p{N}-]*[\p{L}\p{N}])?"
+DOMAIN_NAME = LABEL + r"(?:\." + LABEL + r")*"
+_V4_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+V4 = _V4_OCTET + r"(?:\." + _V4_OCTET + r"){3}"
+_G = r"[0-9A-Fa-f]{1,4}"
+V6 = (
+    "(?:"
+    + "|".join(
+        [
+            # hex-only forms: the standard exact enumeration
+            f"(?:{_G}:){{7}}{_G}",
+            f"(?:{_G}:){{1,7}}:",
+            f"(?:{_G}:){{1,6}}:{_G}",
+            f"(?:{_G}:){{1,5}}(?::{_G}){{1,2}}",
+            f"(?:{_G}:){{1,4}}(?::{_G}){{1,3}}",
+            f"(?:{_G}:){{1,3}}(?::{_G}){{1,4}}",
+            f"(?:{_G}:){{1,2}}(?::{_G}){{1,5}}",
+            f"{_G}:(?::{_G}){{1,6}}",
+            f":(?::{_G}){{1,7}}",
+            "::",
+            # embedded IPv4: 6 leading groups uncompressed, or '::' with
+            # a leading + b trailing hex groups, a+b <= 5 (exact)
+            f"(?:{_G}:){{6}}{V4}",
+            f"::(?:{_G}:){{0,5}}{V4}",
+            f"(?:{_G}:){{1}}:(?:{_G}:){{0,4}}{V4}",
+            f"(?:{_G}:){{2}}:(?:{_G}:){{0,3}}{V4}",
+            f"(?:{_G}:){{3}}:(?:{_G}:){{0,2}}{V4}",
+            f"(?:{_G}:){{4}}:(?:{_G}:){{0,1}}{V4}",
+            f"(?:{_G}:){{5}}:{V4}",
+        ]
+    )
+    + ")"
+)
+LITERAL = r"\[(?:" + V4 + "|" + V6 + "|IPv6:" + V6 + r")\]"
+
+# group 1 = local part, group 2 = domain part
+FULL_EMAIL = (
+    "^(" + LOCAL_ATOM + "|" + QLOCAL + ")@(" + DOMAIN_NAME + "|" + LITERAL + ")$"
+)
+
+# Detection scan over free text: an atom-ish run (dots allowed) or a quoted
+# string (newline-free — a practical scan bound; validation itself allows
+# any quoted char, as the reference does), then '@', then a domain-ish run
+# or a bracket literal.  Same leftmost-first semantics in Java and RE2.
+CANDIDATE = (
+    r'(?:"(?:[^"\\\n]|\\["\\])*"|[\p{L}\p{N}!#$%&' + r"'*+/=?^_`{|}~.-]+)"
+    r"@(?:\[[0-9A-Za-z.:]+\]|[\p{L}\p{N}.-]+)"
+)
+
+EMAIL_REDACTED = "[EMAIL]"
+
+
+# --- Spark Column implementation -------------------------------------------
+
+def is_valid_email_expr(e: Column) -> Column:
+    """``syntax.rs::is_valid_email`` as one boolean Column expression.
+
+    Composable inside higher-order-function lambdas (pure expressions).
+    """
+    local = F.regexp_extract(e, FULL_EMAIL, 1)
+    domain = F.regexp_extract(e, FULL_EMAIL, 2)
+    labels_ok = (
+        F.when(domain.startswith("["), F.lit(True)).otherwise(
+            F.array_max(
+                F.transform(F.split(domain, r"\."), lambda l: F.octet_length(l))
+            )
+            <= F.lit(63)
+        )
+    )
+    return (
+        e.rlike(FULL_EMAIL)
+        & (F.octet_length(e) <= F.lit(254))
+        & (F.octet_length(local) <= F.lit(64))
+        & labels_ok
+    )
+
+
+def email_pii_cols(text: Column) -> dict[str, Column]:
+    """Per-document email-PII scan: candidate count, RFC-valid count, flag,
+    and the redacted text (all candidates replaced — conservative, like the
+    secret redaction pass)."""
+    safe = F.coalesce(text, F.lit(""))
+    cands = F.regexp_extract_all(safe, F.lit(CANDIDATE), F.lit(0))
+    n_cand = F.size(cands).cast("long")
+    n_valid = F.size(F.filter(cands, is_valid_email_expr)).cast("long")
+    return {
+        "n_email_candidates": n_cand,
+        "n_valid_rfc": n_valid,
+        "has_email_pii": (n_valid > 0).cast("int"),
+        "redacted_text": F.regexp_replace(safe, CANDIDATE, EMAIL_REDACTED),
+    }
+
+
+# --- DuckDB oracle SQL (same patterns, RE2) --------------------------------
+
+def _sq(pat: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    return pat.replace("'", "''")
+
+
+def is_valid_email_sql(col: str) -> str:
+    pat = _sq(FULL_EMAIL)
+    return (
+        f"(regexp_matches({col}, '{pat}')"
+        f" AND strlen({col}) <= 254"
+        f" AND strlen(regexp_extract({col}, '{pat}', 1)) <= 64"
+        f" AND (starts_with(regexp_extract({col}, '{pat}', 2), '[')"
+        f"      OR list_max(list_transform(string_split("
+        f"           regexp_extract({col}, '{pat}', 2), '.'),"
+        f"           l -> strlen(l))) <= 63))"
+    )
+
+
+def email_pii_sql(col: str) -> dict[str, str]:
+    pat = _sq(CANDIDATE)
+    safe = f"coalesce({col}, '')"
+    cands = f"regexp_extract_all({safe}, '{pat}')"
+    n_valid = (
+        f"CAST(len(list_filter({cands}, x -> {is_valid_email_sql('x')}))"
+        " AS BIGINT)"
+    )
+    return {
+        "n_email_candidates": f"CAST(len({cands}) AS BIGINT)",
+        "n_valid_rfc": n_valid,
+        "has_email_pii": f"CAST(({n_valid}) > 0 AS INT)",
+        "redacted_text": (
+            f"regexp_replace({safe}, '{pat}', '{EMAIL_REDACTED}', 'g')"
+        ),
+    }
+
+
+# --- Python mirror of syntax.rs (test ground truth) ------------------------
+
+def _alnum(c: str) -> bool:
+    # \p{L} + \p{N}: the portable class both regex engines use (see module
+    # docstring for the is_alphanumeric deviation on Other_Alphabetic marks)
+    return unicodedata.category(c)[0] in ("L", "N")
+
+
+def _valid_quoted_string(quoted: str) -> bool:
+    # syntax.rs:98-115
+    content = quoted[1:-1]
+    esc = False
+    for c in content:
+        if esc:
+            if c not in ('\\', '"'):
+                return False
+            esc = False
+        elif c == "\\":
+            esc = True
+        elif c == '"':
+            return False
+    return not esc
+
+
+def _valid_dot_atom(s: str, is_domain: bool) -> bool:
+    # syntax.rs:119-136
+    parts = s.split(".")
+    if any(p == "" for p in parts):
+        return False
+    for part in parts:
+        for c in part:
+            if c == "-":
+                if is_domain and (part.startswith("-") or part.endswith("-")):
+                    return False
+            elif is_domain:
+                if not _alnum(c):
+                    return False
+            elif not (_alnum(c) or c in _SPECIALS):
+                return False
+    return True
+
+
+def _valid_ip(s: str) -> bool:
+    if "%" in s:  # Rust std::net has no zone-id support
+        return False
+    try:
+        ipaddress.ip_address(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _valid_ipv6(s: str) -> bool:
+    if "%" in s:
+        return False
+    try:
+        ipaddress.IPv6Address(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _valid_domain(domain: str) -> bool:
+    # syntax.rs:85-93,138-155
+    if domain.startswith("[") and domain.endswith("]") and len(domain) >= 2:
+        lit = domain[1:-1]
+        return _valid_ip(lit) or (
+            lit.startswith("IPv6:") and _valid_ipv6(lit[5:])
+        )
+    labels = domain.split(".")
+    for lb in labels:
+        if len(lb.encode("utf-8")) > 63:
+            return False
+        if lb.startswith("-") or lb.endswith("-"):
+            return False
+        if not _valid_dot_atom(lb, True):
+            return False
+    return True
+
+
+def is_valid_email_py(email: str) -> bool:
+    """Line-by-line port of syntax.rs::is_valid_email, including the
+    splitter's escape-rearm quirk (see module docstring)."""
+    if len(email.encode("utf-8")) > 254:
+        return False
+    in_quotes = False
+    escape = False
+    split = None
+    for i, c in enumerate(email):
+        # mirror the Rust match arms exactly, in order (syntax.rs:35-44)
+        if c == '"' and not escape:
+            in_quotes = not in_quotes
+        elif c == "\\" and in_quotes:
+            escape = True  # no !escape guard: \\ re-arms (the quirk)
+        elif c == "@" and not in_quotes:
+            split = i
+            break
+        else:
+            escape = False
+    if split is None:
+        return False
+    local, domain = email[:split], email[split + 1:]
+    if len(local.encode("utf-8")) > 64:
+        return False
+    if local.startswith('"') and local.endswith('"') and len(local) >= 2:
+        if not _valid_quoted_string(local):
+            return False
+    elif not _valid_dot_atom(local, False):
+        return False
+    return _valid_domain(domain)
