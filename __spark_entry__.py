@@ -1430,6 +1430,36 @@ FROM t
 """
 
 
+def _q_repetition_quality(spark, sf_dir):
+    """Gopher/C4-style within-document repetition metrics: duplicate-line
+    fractions (count- and char-weighted), top/duplicate word-bigram
+    fractions. Two explode → two-level agg chains (map-side combine before
+    each doc_id shuffle), joins back to the doc spine — no O(n²) per-doc
+    work (functions/repetition.py)."""
+    from email_sanitizer_api_spark.functions.repetition import (
+        repetition_report)
+    return repetition_report(_t(spark, sf_dir, "documents"))
+
+
+def _q_corpus_mix(spark, sf_dir):
+    """Deterministic stratified corpus-mix sampling: per-language target
+    rates applied via an md5-prefix threshold (reproducible, shuffle-free
+    scan-side filter at scale); reports achieved vs target rates."""
+    from email_sanitizer_api_spark.functions.repetition import corpus_mix
+    return corpus_mix(_t(spark, sf_dir, "documents"))
+
+
+def _sql_repetition_quality() -> str:
+    from email_sanitizer_api_spark.functions.repetition import (
+        repetition_report_sql)
+    return repetition_report_sql()
+
+
+def _sql_corpus_mix() -> str:
+    from email_sanitizer_api_spark.functions.repetition import corpus_mix_sql
+    return corpus_mix_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -1493,6 +1523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_verdicts": _q_corpus_curation,
         "email_validation_rfc": _q_email_validation_rfc,
         "email_pii_scan": _q_email_pii_scan,
+        "repetition_quality_report": _q_repetition_quality,
+        "corpus_mix_report": _q_corpus_mix,
     }
 
 
@@ -1548,6 +1580,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation_verdicts": _curation_sql(),
         "email_validation_rfc": _sql_email_validation_rfc(),
         "email_pii_scan": _sql_email_pii_scan(),
+        "repetition_quality_report": _sql_repetition_quality(),
+        "corpus_mix_report": _sql_corpus_mix(),
         # semantic_dedup_lsh: intentionally omitted — LSH pair generation is
         # probabilistic; semantic_dedup_embeddings is its exact oracle twin
         # minhash_near_dup_pairs_est / simhash_signatures /

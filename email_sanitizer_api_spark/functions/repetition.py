@@ -1,0 +1,265 @@
+"""Repetition-based quality filters + deterministic stratified sampling.
+
+Two training-data-pipeline staples the Gopher/C4 curation recipes codify:
+
+* **Repetition report** — within-document repetition statistics used to
+  drop boilerplate/spam before training: duplicate-line fraction (count-
+  and character-weighted) and duplicate / top word-bigram fractions.
+  Computed Spark-first: explode → two-level aggregation with map-side
+  combine (shuffle key = doc_id, one shuffle per feature family, no
+  per-doc O(n²) loops).  All fractions are quantized to 1e-4 BIGINTs with
+  the same ``floor(x*1e4+0.5)`` rule as `text.quality_score_cols`, so the
+  DuckDB oracle is bit-exact.
+
+* **Stratified sampling** — the corpus-mixing step (per-language target
+  rates) done with a *deterministic* inclusion rule so it is reproducible
+  and oracle-checkable: keep a row iff the first 4 hex digits of
+  ``md5(doc_id)`` sort below the stratum's threshold (lowercase-hex
+  lexicographic order == numeric order, identical in both engines — no
+  hex→int conversion needed).  Resolution is 1/65536; rate 1.0 keeps
+  everything.  At scale this is a shuffle-free scan-side filter: the mix
+  is decided per-row from the hash, never by a global sort or sample().
+
+Tokenization uses the explicit ``[ \\t\\n\\x0B\\f\\r]+`` whitespace class on
+both engines (Java ``\\s`` includes U+000B, RE2's does not — ADVICE r02).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+# per-language target sampling rates for the corpus-mix demo query.
+# 4-hex-digit thresholds are precomputed so both engines compare strings.
+LANG_MIX: dict[str, float] = {
+    "en": 1.0, "zh": 0.5, "es": 0.5, "de": 0.25, "fr": 0.25,
+}
+DEFAULT_RATE = 0.1
+
+
+def _threshold_hex(rate: float) -> str:
+    """4-digit lowercase-hex inclusion threshold for a sampling rate."""
+    n = min(65536, max(0, int(round(rate * 65536))))
+    return format(n, "04x") if n < 65536 else "ffff~"  # '~' > 'f': keep all
+
+
+def _q(c: Column) -> Column:
+    return F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("long")
+
+
+def repetition_report(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document repetition metrics (quantized 1e-4 fractions):
+
+    - ``n_lines`` non-empty lines; ``dup_line_frac_q`` fraction of lines
+      belonging to a repeated line group; ``dup_line_char_frac_q`` the
+      character-weighted version (Gopher's "duplicate line character
+      fraction");
+    - ``n_bigrams`` word bigrams (lowered, explicit-ws tokens);
+    - ``top_bigram_frac_q`` share of the most frequent bigram (C4's "top
+      n-gram fraction"); ``dup_bigram_frac_q`` share of bigrams occurring
+      more than once.
+
+    Docs with no lines/bigrams report zeros.  Plan shape: two explode →
+    groupBy(doc_id, unit) → groupBy(doc_id) chains (partial aggregation
+    before each shuffle), then two broadcast-friendly joins back to the
+    doc spine — no O(n²) per-doc work, no driver collection.
+    """
+    ids = docs.select(F.col(id_col).alias("id"))
+
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+                     lambda x: x != "")
+        ).alias("line"),
+    )
+    line_groups = lines.groupBy("id", "line").agg(
+        F.count(F.lit(1)).alias("c"))
+    line_stats = line_groups.groupBy("id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)
+              ).alias("dup_lines"),
+        F.sum(F.length("line") * F.col("c")).alias("line_chars"),
+        F.sum(F.when(F.col("c") > 1, F.length("line") * F.col("c"))
+              .otherwise(0)).alias("dup_line_chars"),
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    WS_CLASS),
+            lambda x: x != "",
+        ).alias("t"),
+    )
+    n = F.size("t")
+    bigrams = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("t", 1, n - 1),
+                    F.slice("t", 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bigram_groups = bigrams.groupBy("id", "g").agg(
+        F.count(F.lit(1)).alias("c"))
+    bigram_stats = bigram_groups.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)
+              ).alias("dup_bigrams"),
+    )
+
+    dz = lambda num, den: F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))  # noqa: E731
+    out = (
+        ids.join(line_stats, "id", "left")
+        .join(bigram_stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            _q(dz(F.coalesce("dup_lines", F.lit(0)),
+                  F.coalesce("n_lines", F.lit(0)))).alias("dup_line_frac_q"),
+            _q(dz(F.coalesce("dup_line_chars", F.lit(0)),
+                  F.coalesce("line_chars", F.lit(0)))
+               ).alias("dup_line_char_frac_q"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            _q(dz(F.coalesce("top_bigram", F.lit(0)),
+                  F.coalesce("n_bigrams", F.lit(0)))).alias("top_bigram_frac_q"),
+            _q(dz(F.coalesce("dup_bigrams", F.lit(0)),
+                  F.coalesce("n_bigrams", F.lit(0)))).alias("dup_bigram_frac_q"),
+        )
+    )
+    return out
+
+
+def repetition_report_sql(table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """DuckDB oracle: identical line/bigram definitions and quantization."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, coalesce({text_col}, '') AS txt FROM {table}),
+lines AS (
+  SELECT id, l FROM (
+    SELECT id, unnest(string_split(txt, chr(10))) AS l FROM base)
+  WHERE l <> ''),
+lg AS (SELECT id, l, count(*) AS c FROM lines GROUP BY 1, 2),
+ls AS (
+  SELECT id, sum(c) AS n_lines,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+         sum(length(l) * c) AS line_chars,
+         sum(CASE WHEN c > 1 THEN length(l) * c ELSE 0 END) AS dup_line_chars
+  FROM lg GROUP BY 1),
+toks AS (
+  SELECT id, list_filter(
+           regexp_split_to_array(lower(trim(txt)), '{WS_CLASS}'),
+           x -> x <> '') AS t
+  FROM base),
+big AS (
+  SELECT id, t[i] || ' ' || t[i + 1] AS g FROM (
+    SELECT id, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM toks WHERE len(t) >= 2)),
+bg AS (SELECT id, g, count(*) AS c FROM big GROUP BY 1, 2),
+bs AS (
+  SELECT id, sum(c) AS n_bigrams, max(c) AS top_bigram,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigrams
+  FROM bg GROUP BY 1),
+q AS (
+  SELECT b.id,
+         coalesce(ls.n_lines, 0) AS n_lines,
+         coalesce(ls.dup_lines, 0) AS dup_lines,
+         coalesce(ls.line_chars, 0) AS line_chars,
+         coalesce(ls.dup_line_chars, 0) AS dup_line_chars,
+         coalesce(bs.n_bigrams, 0) AS n_bigrams,
+         coalesce(bs.top_bigram, 0) AS top_bigram,
+         coalesce(bs.dup_bigrams, 0) AS dup_bigrams
+  FROM base b LEFT JOIN ls ON b.id = ls.id LEFT JOIN bs ON b.id = bs.id)
+SELECT id AS {id_col},
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(floor((CASE WHEN n_lines > 0
+                   THEN CAST(dup_lines AS DOUBLE) / n_lines
+                   ELSE 0.0 END) * 10000.0 + 0.5) AS BIGINT)
+         AS dup_line_frac_q,
+       CAST(floor((CASE WHEN line_chars > 0
+                   THEN CAST(dup_line_chars AS DOUBLE) / line_chars
+                   ELSE 0.0 END) * 10000.0 + 0.5) AS BIGINT)
+         AS dup_line_char_frac_q,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(floor((CASE WHEN n_bigrams > 0
+                   THEN CAST(top_bigram AS DOUBLE) / n_bigrams
+                   ELSE 0.0 END) * 10000.0 + 0.5) AS BIGINT)
+         AS top_bigram_frac_q,
+       CAST(floor((CASE WHEN n_bigrams > 0
+                   THEN CAST(dup_bigrams AS DOUBLE) / n_bigrams
+                   ELSE 0.0 END) * 10000.0 + 0.5) AS BIGINT)
+         AS dup_bigram_frac_q
+FROM q
+"""
+
+
+# --- deterministic stratified sampling -------------------------------------
+
+def sample_flag_expr(id_col: Column, lang_col: Column,
+                     mix: dict[str, float] | None = None) -> Column:
+    """1 iff the row is in the deterministic stratified sample: first 4 hex
+    digits of md5(id) below the stratum threshold (string comparison)."""
+    mix = LANG_MIX if mix is None else mix
+    h = F.substring(F.md5(id_col.cast("string")), 1, 4)
+    thr = None
+    for lang, rate in mix.items():
+        cond = lang_col == F.lit(lang)
+        t = F.lit(_threshold_hex(rate))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(F.lit(_threshold_hex(DEFAULT_RATE)))
+    return (h < thr).cast("int")
+
+
+def corpus_mix(docs: DataFrame, id_col: str = "doc_id",
+               lang_col: str = "lang",
+               mix: dict[str, float] | None = None) -> DataFrame:
+    """Per-language corpus-mix report: total docs, sampled docs, achieved
+    rate (quantized).  The inclusion decision is per-row column math — at
+    100 TB the sample is a scan-side filter with no shuffle; only this
+    small per-language report aggregates."""
+    mix = LANG_MIX if mix is None else mix
+    flag = sample_flag_expr(F.col(id_col), F.col(lang_col), mix)
+    return (
+        docs.select(F.col(lang_col).alias("lang"), flag.alias("s"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("s").cast("long").alias("n_sampled"),
+            _q(F.sum("s").cast("double") / F.count(F.lit(1)).cast("double")
+               ).alias("achieved_rate_q"),
+        )
+    )
+
+
+def corpus_mix_sql(table: str = "documents", id_col: str = "doc_id",
+                   lang_col: str = "lang",
+                   mix: dict[str, float] | None = None) -> str:
+    mix = LANG_MIX if mix is None else mix
+    whens = " ".join(
+        f"WHEN '{lang}' THEN '{_threshold_hex(rate)}'"
+        for lang, rate in mix.items()
+    )
+    thr = (f"CASE {lang_col} {whens} "
+           f"ELSE '{_threshold_hex(DEFAULT_RATE)}' END")
+    flag = (f"CASE WHEN substr(md5(CAST({id_col} AS VARCHAR)), 1, 4) < {thr} "
+            f"THEN 1 ELSE 0 END")
+    return f"""
+SELECT {lang_col} AS lang,
+       count(*) AS n_docs,
+       CAST(sum({flag}) AS BIGINT) AS n_sampled,
+       CAST(floor(CAST(sum({flag}) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+            AS BIGINT) AS achieved_rate_q
+FROM {table}
+GROUP BY {lang_col}
+"""

@@ -1,0 +1,157 @@
+"""Repetition-quality metrics + deterministic stratified sampling tests."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import duckdb
+import pandas as pd
+
+from email_sanitizer_api_spark.functions.repetition import (
+    LANG_MIX,
+    _threshold_hex,
+    corpus_mix,
+    corpus_mix_sql,
+    repetition_report,
+    repetition_report_sql,
+    sample_flag_expr,
+)
+
+DOCS = pd.DataFrame({
+    "doc_id": list(range(8)),
+    "text": [
+        "a b c\na b c\nunique line\na b c",          # 3/4 dup lines
+        "x y x y x y x y",                           # heavy bigram repeat
+        "all distinct lines\nhere now\nok then",     # no repetition
+        "",                                          # empty
+        None,                                        # null
+        "   \n\t\n  ",                               # whitespace only
+        "one",                                       # single token, no bigram
+        "L\nL\nLL",                                  # char-weighted dup check
+    ],
+    "lang": ["en", "zh", "es", "de", "fr", "en", "qq", "zh"],
+})
+
+
+def _py_report(text: str | None) -> dict:
+    text = text or ""
+    lines = [l for l in text.split("\n") if l != ""]
+    lc = Counter(lines)
+    n_lines = len(lines)
+    dup_lines = sum(c for c in lc.values() if c > 1)
+    line_chars = sum(len(l) for l in lines)
+    dup_line_chars = sum(len(l) * c for l, c in lc.items() if c > 1)
+    toks = [t for t in __import__("re").split(
+        "[ \t\n\x0b\f\r]+", text.strip().lower()) if t != ""]
+    grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    gc = Counter(grams)
+    n_big = len(grams)
+    top = max(gc.values()) if gc else 0
+    dup_big = sum(c for c in gc.values() if c > 1)
+    q = lambda x: int(math.floor(x * 10000.0 + 0.5))  # noqa: E731
+    dz = lambda a, b: (a / b) if b else 0.0  # noqa: E731
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac_q": q(dz(dup_lines, n_lines)),
+        "dup_line_char_frac_q": q(dz(dup_line_chars, line_chars)),
+        "n_bigrams": n_big,
+        "top_bigram_frac_q": q(dz(top, n_big)),
+        "dup_bigram_frac_q": q(dz(dup_big, n_big)),
+    }
+
+
+def test_repetition_report_matches_python_oracle(spark):
+    sdf = spark.createDataFrame(DOCS)
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_report(sdf).collect()}
+    assert set(got) == set(DOCS.doc_id)
+    for _, row in DOCS.iterrows():
+        exp = _py_report(row.text)
+        g = {k: v for k, v in got[row.doc_id].items() if k != "doc_id"}
+        assert g == exp, (row.doc_id, g, exp)
+
+
+def test_repetition_planted_values(spark):
+    sdf = spark.createDataFrame(DOCS)
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_report(sdf).collect()}
+    # doc 0: 4 lines, 'a b c' ×3 → dup_line_frac 0.75
+    assert got[0]["n_lines"] == 4 and got[0]["dup_line_frac_q"] == 7500
+    # doc 1: 8 tokens → 7 bigrams: 'x y' ×4, 'y x' ×3 → all duplicated
+    assert got[1]["n_bigrams"] == 7
+    assert got[1]["top_bigram_frac_q"] == int(math.floor(4 / 7 * 1e4 + 0.5))
+    assert got[1]["dup_bigram_frac_q"] == 10000
+    # doc 2: nothing repeated
+    assert got[2]["dup_line_frac_q"] == 0 and got[2]["dup_bigram_frac_q"] == 0
+    # empty/null docs: all zeros
+    for d in (3, 4):
+        assert got[d]["n_lines"] == 0 and got[d]["n_bigrams"] == 0
+    # whitespace-only doc: lines are exact strings (only '' is dropped), so
+    # '   ', '\t', '  ' count as 3 distinct lines but produce no tokens
+    assert got[5]["n_lines"] == 3 and got[5]["dup_line_frac_q"] == 0
+    assert got[5]["n_bigrams"] == 0
+    assert got[6]["n_bigrams"] == 0
+    # doc 7: lines L,L,LL → dup count 2/3; chars: dup 2 of 4
+    assert got[7]["dup_line_frac_q"] == int(math.floor(2 / 3 * 1e4 + 0.5))
+    assert got[7]["dup_line_char_frac_q"] == 5000
+
+
+def test_repetition_sql_matches_spark(spark):
+    sdf = spark.createDataFrame(DOCS)
+    spark_rows = sorted(
+        (r.asDict() for r in repetition_report(sdf).collect()),
+        key=lambda r: r["doc_id"])
+    con = duckdb.connect()
+    con.register("documents", DOCS)
+    duck_rows = con.execute(
+        repetition_report_sql() + " ORDER BY doc_id").df().to_dict("records")
+    assert spark_rows == duck_rows
+
+
+def _py_flag(doc_id: int, lang: str) -> int:
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+    thr = _threshold_hex(LANG_MIX.get(lang, 0.1))
+    return int(h < thr)
+
+
+def test_sample_flag_deterministic(spark):
+    import pyspark.sql.functions as F
+    sdf = spark.createDataFrame(DOCS)
+    got = {
+        r["doc_id"]: r["s"]
+        for r in sdf.select(
+            "doc_id",
+            sample_flag_expr(F.col("doc_id"), F.col("lang")).alias("s"),
+        ).collect()
+    }
+    for _, row in DOCS.iterrows():
+        assert got[row.doc_id] == _py_flag(row.doc_id, row.lang), row.doc_id
+    # rate-1.0 stratum always keeps
+    assert all(got[d] == 1 for d, l in zip(DOCS.doc_id, DOCS.lang)
+               if l == "en")
+
+
+def test_corpus_mix_sql_matches_spark_and_rates(spark):
+    n = 4000
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "lang": [["en", "zh", "es", "de", "fr"][i % 5] for i in range(n)],
+        "text": ["t"] * n,
+    })
+    sdf = spark.createDataFrame(pdf)
+    spark_rows = sorted(
+        (r.asDict() for r in corpus_mix(sdf).collect()),
+        key=lambda r: r["lang"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck_rows = con.execute(
+        corpus_mix_sql() + " ORDER BY lang").df().to_dict("records")
+    assert spark_rows == duck_rows
+    rates = {r["lang"]: r["achieved_rate_q"] / 1e4 for r in spark_rows}
+    assert rates["en"] == 1.0
+    for lang, target in LANG_MIX.items():
+        if target < 1.0:
+            # md5 prefix is uniform: 800 rows/stratum → ±6% absolute slack
+            assert abs(rates[lang] - target) < 0.06, (lang, rates[lang])
