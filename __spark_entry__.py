@@ -1460,6 +1460,38 @@ def _sql_corpus_mix() -> str:
     return corpus_mix_sql()
 
 
+def _q_segment_dedup(spark, sf_dir):
+    """RefinedWeb/Falcon-style corpus-wide repeated-segment removal over
+    k-token chunks: df-count per exact segment (two-level distinct-doc
+    agg), hot segments (df>=2 across docs) removed via BROADCAST anti-join
+    — the removable set is small by construction, so the big-big join
+    never happens — then order-preserving reassembly + sha256 digest
+    (functions/segments.py)."""
+    from email_sanitizer_api_spark.functions.segments import (
+        segment_dedup_report)
+    return segment_dedup_report(_t(spark, sf_dir, "documents"))
+
+
+def _sql_segment_dedup() -> str:
+    from email_sanitizer_api_spark.functions.segments import (
+        segment_dedup_report_sql)
+    return segment_dedup_report_sql()
+
+
+def _q_vocab_topk(spark, sf_dir):
+    """Corpus-wide top-50 vocabulary (token, occurrences, doc-frequency,
+    rank). Two partial-agg count paths + TakeOrderedAndProject global
+    top-k (per-partition k, driver merge — never a full vocabulary sort);
+    rank window over the <=k survivors (functions/text.vocab_topk)."""
+    from email_sanitizer_api_spark.functions.text import vocab_topk
+    return vocab_topk(_t(spark, sf_dir, "documents"))
+
+
+def _sql_vocab_topk() -> str:
+    from email_sanitizer_api_spark.functions.text import vocab_topk_sql
+    return vocab_topk_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -1525,6 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "email_pii_scan": _q_email_pii_scan,
         "repetition_quality_report": _q_repetition_quality,
         "corpus_mix_report": _q_corpus_mix,
+        "segment_dedup_documents": _q_segment_dedup,
+        "vocab_topk_tokens": _q_vocab_topk,
     }
 
 
@@ -1582,6 +1616,8 @@ def oracle_sql() -> dict[str, str]:
         "email_pii_scan": _sql_email_pii_scan(),
         "repetition_quality_report": _sql_repetition_quality(),
         "corpus_mix_report": _sql_corpus_mix(),
+        "segment_dedup_documents": _sql_segment_dedup(),
+        "vocab_topk_tokens": _sql_vocab_topk(),
         # semantic_dedup_lsh: intentionally omitted — LSH pair generation is
         # probabilistic; semantic_dedup_embeddings is its exact oracle twin
         # minhash_near_dup_pairs_est / simhash_signatures /

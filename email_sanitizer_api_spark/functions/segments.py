@@ -1,0 +1,151 @@
+"""Corpus-wide repeated-segment removal (RefinedWeb/Falcon line-dedup).
+
+The RefinedWeb recipe removes *segments* (there: lines) that recur across
+many documents — navigation chrome, license headers, boilerplate — while
+keeping each document's unique content in order.  The synthetic corpus has
+no newlines, so the segment unit here is a fixed ``k``-token chunk; the
+semantics (corpus-wide document-frequency per exact segment, drop segments
+with df >= min_docs, order-preserving reassembly) are the recipe's.
+
+Scale design: the removable set is by definition SMALL (only segments
+repeated across >= min_docs documents — boilerplate), so after the
+df-aggregation (explode -> partial-agg count distinct) the hot-segment set
+is broadcast and removal is a broadcast LEFT ANTI join on the exploded
+side.  The big-big alternative (joining every chunk row against the full
+df table on segment text) never happens; reassembly shuffles once on
+doc_id.  At 100 TB both shuffles key on uniform values (md5-like chunk
+text, doc_id) — no skew.  A safety valve: if the hot set exceeded driver
+memory you'd raise min_docs or salt — the count is reported so the cap is
+observable, not silent.
+
+Cross-engine exactness: tokenization uses the explicit whitespace class
+(Java ``\\s`` includes U+000B, RE2's does not); digests are lowercase-hex
+sha256 on both engines (Spark ``sha2(_, 256)`` == DuckDB ``sha256``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _chunks_col(text_col, k: int):
+    """array<string> of k-token chunks (last chunk may be shorter)."""
+    toks = F.filter(
+        F.split(F.coalesce(text_col, F.lit("")), WS_CLASS),
+        lambda x: x != "",
+    )
+    n = F.size(toks)
+    n_chunks = F.ceil(n.cast("double") / F.lit(float(k))).cast("int")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def segment_dedup_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document segment-dedup result: ``n_segments``, ``n_removed``
+    (segments whose exact text occurs in >= min_docs distinct documents),
+    and ``cleaned_sha256`` — sha256 of the kept segments re-joined in
+    original order (empty string when everything was boilerplate).
+
+    Plan: one explode feeding (a) the df-aggregation (two-level: partial
+    count per (segment, doc) collapses duplicates in-doc before the
+    distinct-doc count) and (b) the removal anti-join against the
+    BROADCAST hot-segment set; reassembly is one groupBy(doc_id) with an
+    order-restoring sort_array over (pos, segment) structs.
+    """
+    spine = docs.select(F.col(id_col).alias("id"))
+    seg = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_chunks_col(F.col(text_col), k)).alias("pos", "seg"),
+    )
+
+    hot = (
+        seg.select("seg", "id").distinct()
+        .groupBy("seg").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("seg")
+    )
+
+    kept = seg.join(F.broadcast(hot), "seg", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    totals = seg.groupBy("id").agg(F.count(F.lit(1)).alias("n_segments"))
+
+    return (
+        spine.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            (F.coalesce("n_segments", F.lit(0))
+             - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.sha2(F.coalesce("cleaned", F.lit("")), 256).alias("cleaned_sha256"),
+        )
+    )
+
+
+def segment_dedup_report_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB oracle: identical chunking, df rule, ordered reassembly."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         list_filter(regexp_split_to_array(coalesce({text_col}, ''),
+                                           '{WS_CLASS}'),
+                     x -> x <> '') AS t
+  FROM {table}),
+seg AS (
+  SELECT id, i AS pos,
+         array_to_string(t[i * {k} + 1 : i * {k} + {k}], ' ') AS seg
+  FROM (
+    SELECT id, t,
+           unnest(generate_series(0, CAST(ceil(len(t) / {k}.0) AS INT) - 1))
+             AS i
+    FROM base WHERE len(t) > 0)),
+hot AS (
+  SELECT seg FROM (
+    SELECT seg, count(DISTINCT id) AS df FROM seg GROUP BY seg)
+  WHERE df >= {min_docs}),
+kept AS (
+  SELECT s.* FROM seg s WHERE NOT EXISTS
+    (SELECT 1 FROM hot h WHERE h.seg = s.seg)),
+rebuilt AS (
+  SELECT id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY id),
+totals AS (SELECT id, count(*) AS n_segments FROM seg GROUP BY id)
+SELECT b.id AS {id_col},
+       CAST(coalesce(t.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(t.n_segments, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       sha256(coalesce(r.cleaned, '')) AS cleaned_sha256
+FROM base b
+LEFT JOIN totals t ON b.id = t.id
+LEFT JOIN rebuilt r ON b.id = r.id
+"""

@@ -119,3 +119,76 @@ def lang_id_sql(col: str) -> str:
 
 def fingerprint_sql(col: str) -> str:
     return f"md5(lower(regexp_replace(trim({col}), '\\s+', ' ', 'g')))"
+
+
+# --- corpus-wide vocabulary top-k -------------------------------------------
+
+VOCAB_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def vocab_topk(docs, k: int = 50, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Global top-k vocabulary: (token, n_occurrences, n_docs, rank) for the
+    k most frequent lowercased whitespace tokens, ties broken by token text.
+
+    Scale shape: explode -> partial-agg counts per token (map-side combine
+    collapses in-doc repeats before the shuffle), document frequency from a
+    distinct (token, doc) pre-aggregation, then ``orderBy().limit(k)`` which
+    Spark plans as TakeOrderedAndProject — each partition keeps its own k,
+    the driver merges k*P rows — NEVER a full global sort of the vocabulary.
+    The final rank window runs on <= k rows.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    VOCAB_WS_CLASS),
+            lambda x: x != "",
+        )).alias("tok"),
+    )
+    occ = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    dfreq = (toks.distinct().groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("n_docs")))
+    top = (
+        occ.join(dfreq, "tok")
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+    return top.select(
+        F.col("tok").alias("token"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def vocab_topk_sql(table: str = "documents", k: int = 50,
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB oracle: identical tokenizer, ordering, and tie-break."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         unnest(list_filter(
+           regexp_split_to_array(lower(trim(coalesce({text_col}, ''))),
+                                 '{VOCAB_WS_CLASS}'),
+           x -> x <> '')) AS tok
+  FROM {table}),
+occ AS (SELECT tok, count(*) AS n_occurrences FROM toks GROUP BY tok),
+dfreq AS (
+  SELECT tok, count(*) AS n_docs FROM (SELECT DISTINCT tok, id FROM toks)
+  GROUP BY tok),
+top AS (
+  SELECT o.tok, o.n_occurrences, d.n_docs
+  FROM occ o JOIN dfreq d USING (tok)
+  ORDER BY o.n_occurrences DESC, o.tok ASC LIMIT {k})
+SELECT tok AS token,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, tok ASC)
+            AS BIGINT) AS rank
+FROM top
+"""

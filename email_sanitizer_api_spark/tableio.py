@@ -133,6 +133,69 @@ class TableIO:
         self._append_manifest(row)
         return out
 
+    def write_bucketed(self, df: DataFrame, name: str, n_buckets: int,
+                       bucket_cols: tuple[str, ...],
+                       sort_cols: tuple[str, ...] = (),
+                       metrics: dict[str, Any] | None = None) -> DataFrame:
+        """Write a HASH-BUCKETED catalog table (Iceberg ``bucket(N, col)``
+        analog; here Spark's native bucketing via ``bucketBy`` +
+        ``saveAsTable`` — bucketed writes require a catalog table).
+
+        Why: a join or aggregation that repeats on the same key across
+        runs (sha_clusters ⋈ new-batch labels, bucket-state probes) pays
+        its shuffle ONCE at write time; every later join of two tables
+        bucketed on the same key with the same bucket count is planned
+        WITHOUT an Exchange on either side (co-located sort-merge join).
+        At 100 TB that turns the recurring O(corpus) shuffle into O(batch).
+        Read back via ``read_bucketed`` (``spark.table`` — reading the bare
+        parquet path would drop the bucketing metadata).
+        """
+        cat_name = self.catalog_name(name)
+        path = self.table_path(name)
+        self._append_manifest({
+            "run_id": self.run_id, "stage": name, "status": "Processing",
+            "ts": time.time(),
+        })
+        t0 = time.time()
+        self.spark.sql(f"DROP TABLE IF EXISTS {cat_name}")
+        writer = (
+            df.write.mode("overwrite").option("path", path)
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        try:
+            writer.saveAsTable(cat_name)
+        except Exception as e:
+            self._append_manifest({
+                "run_id": self.run_id, "stage": name, "status": "Failed",
+                "ts": time.time(), "error": str(e)[:500],
+            })
+            raise
+        out = self.spark.table(cat_name)
+        row = {
+            "run_id": self.run_id, "stage": name, "status": "Completed",
+            "ts": time.time(), "wall_s": round(time.time() - t0, 3),
+            "metrics": metrics or {},
+            "bucket_by": {"n": n_buckets, "cols": list(bucket_cols),
+                          "sort": list(sort_cols)},
+        }
+        if self.collect_lineage:
+            row["lineage"] = partition_lineage(out)
+            row["metrics"]["rows"] = sum(row["lineage"].values())
+        self._append_manifest(row)
+        return out
+
+    def catalog_name(self, name: str) -> str:
+        """Session-catalog identifier for a bucketed table, unique per
+        warehouse (two TableIOs in one session must not collide)."""
+        import hashlib
+        tag = hashlib.md5(self.warehouse.encode()).hexdigest()[:8]
+        return f"tio_{tag}_{name}"
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        return self.spark.table(self.catalog_name(name))
+
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(name))
 

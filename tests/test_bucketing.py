@@ -1,0 +1,76 @@
+"""Bucketed co-located join: the recurring-join shuffle is paid once at
+write time; later joins on the bucket key plan WITHOUT an Exchange."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from email_sanitizer_api_spark.tableio import TableIO
+
+
+@pytest.fixture()
+def tio(spark, tmp_path):
+    return TableIO(spark, str(tmp_path / "wh"), resume=False)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(pd.DataFrame({
+        "content_sha256": [f"sha{i:04d}" for i in range(2000)],
+        "cluster_id": [f"c{i % 97}" for i in range(2000)],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "content_sha256": [f"sha{i:04d}" for i in range(0, 2000, 2)],
+        "batch_label": [f"b{i}" for i in range(0, 2000, 2)],
+    }))
+    return left, right
+
+
+def test_bucketed_join_has_no_exchange(spark, tio):
+    left, right = _frames(spark)
+    tio.write_bucketed(left, "sha_clusters_b", 8, ("content_sha256",),
+                       sort_cols=("content_sha256",))
+    tio.write_bucketed(right, "batch_labels_b", 8, ("content_sha256",),
+                       sort_cols=("content_sha256",))
+    a = tio.read_bucketed("sha_clusters_b")
+    b = tio.read_bucketed("batch_labels_b")
+    # force SMJ so the assertion is about co-location, not broadcast
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "content_sha256")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        assert j.count() == 1000
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_unbucketed_join_does_shuffle(spark, tio):
+    # control: same data written flat DOES plan an Exchange — the bucketed
+    # plan above is the optimization, not a vacuous assertion
+    left, right = _frames(spark)
+    a = tio.write(left, "sha_clusters_flat")
+    b = tio.write(right, "batch_labels_flat")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (a.join(b, "content_sha256")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_manifest_and_roundtrip(spark, tio):
+    left, _ = _frames(spark)
+    tio.write_bucketed(left, "sha_clusters_b", 8, ("content_sha256",))
+    rows = [r for r in tio.manifest_rows()
+            if r["stage"] == "sha_clusters_b" and r["status"] == "Completed"]
+    assert rows and rows[-1]["bucket_by"] == {
+        "n": 8, "cols": ["content_sha256"], "sort": []}
+    got = tio.read_bucketed("sha_clusters_b")
+    assert got.count() == 2000 and set(got.columns) == {
+        "content_sha256", "cluster_id"}

@@ -1,0 +1,75 @@
+"""Corpus-wide repeated-segment removal (RefinedWeb-style) tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pandas as pd
+
+from email_sanitizer_api_spark.functions.segments import (
+    segment_dedup_report,
+    segment_dedup_report_sql,
+)
+
+DOCS = pd.DataFrame({
+    "doc_id": [1, 2, 3, 4, 5, 6],
+    "text": [
+        "a b c d e f g h i j k l m n o p q r",   # 18 toks -> 3 chunks
+        "a b c d e f g h x y",                   # shares chunk 'a..h' with 1
+        "",                                      # empty
+        None,                                    # null
+        "unique words only here",                # 1 short chunk, kept
+        "a b c d e f g h",                       # IS the hot chunk, all removed
+    ],
+})
+
+
+def test_segment_dedup_planted(spark):
+    sdf = spark.createDataFrame(DOCS)
+    got = {r["doc_id"]: r.asDict()
+           for r in segment_dedup_report(sdf).collect()}
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()  # noqa: E731
+    # doc 1: chunk 'a..h' occurs in docs {1,2,6} -> removed; 2 chunks kept
+    assert got[1]["n_segments"] == 3 and got[1]["n_removed"] == 1
+    assert got[1]["cleaned_sha256"] == sha("i j k l m n o p q r")
+    # doc 2: hot chunk + unique tail chunk 'x y'
+    assert got[2]["n_segments"] == 2 and got[2]["n_removed"] == 1
+    assert got[2]["cleaned_sha256"] == sha("x y")
+    # empty / null docs: zero segments, sha of empty string
+    for d in (3, 4):
+        assert got[d]["n_segments"] == 0 and got[d]["n_removed"] == 0
+        assert got[d]["cleaned_sha256"] == sha("")
+    # doc 5 untouched: cleaned == original
+    assert got[5]["n_removed"] == 0
+    assert got[5]["cleaned_sha256"] == sha("unique words only here")
+    # doc 6 entirely boilerplate
+    assert got[6]["n_segments"] == 1 and got[6]["n_removed"] == 1
+    assert got[6]["cleaned_sha256"] == sha("")
+
+
+def test_segment_dedup_sql_matches_spark(spark):
+    sdf = spark.createDataFrame(DOCS)
+    spark_rows = sorted(
+        (r.asDict() for r in segment_dedup_report(sdf).collect()),
+        key=lambda r: r["doc_id"])
+    con = duckdb.connect()
+    con.register("documents", DOCS)
+    duck_rows = con.execute(
+        segment_dedup_report_sql() + " ORDER BY doc_id").df().to_dict("records")
+    assert spark_rows == duck_rows
+
+
+def test_segment_dedup_min_docs_threshold(spark):
+    # min_docs=4 -> 'a..h' (df=3) no longer hot; nothing removed anywhere
+    sdf = spark.createDataFrame(DOCS)
+    got = segment_dedup_report(sdf, min_docs=4)
+    assert got.agg({"n_removed": "sum"}).collect()[0][0] == 0
+
+
+def test_segment_dedup_broadcast_anti_in_plan(spark):
+    # the removal join must be a BROADCAST anti-join (hot set is small by
+    # construction) — the big-big variant would be the 100-TB bottleneck
+    sdf = spark.createDataFrame(DOCS)
+    plan = segment_dedup_report(sdf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

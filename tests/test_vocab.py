@@ -1,0 +1,46 @@
+"""Corpus-wide vocabulary top-k tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from email_sanitizer_api_spark.functions.text import vocab_topk, vocab_topk_sql
+
+DOCS = pd.DataFrame({
+    "doc_id": [1, 2, 3, 4],
+    "text": [
+        "apple apple banana cherry",
+        "APPLE banana\tbanana",
+        None,
+        "  cherry  ",
+    ],
+})
+
+
+def test_vocab_topk_planted(spark):
+    sdf = spark.createDataFrame(DOCS)
+    rows = [r.asDict() for r in vocab_topk(sdf, k=3).collect()]
+    # apple: 3 occ in 2 docs; banana: 3 occ in 2 docs; cherry: 2 occ 2 docs
+    assert rows == [
+        {"token": "apple", "n_occurrences": 3, "n_docs": 2, "rank": 1},
+        {"token": "banana", "n_occurrences": 3, "n_docs": 2, "rank": 2},
+        {"token": "cherry", "n_occurrences": 2, "n_docs": 2, "rank": 3},
+    ]
+
+
+def test_vocab_topk_sql_matches_spark(spark):
+    sdf = spark.createDataFrame(DOCS)
+    spark_rows = [r.asDict() for r in vocab_topk(sdf, k=3).collect()]
+    con = duckdb.connect()
+    con.register("documents", DOCS)
+    duck_rows = con.execute(vocab_topk_sql(k=3)).df().to_dict("records")
+    assert spark_rows == duck_rows
+
+
+def test_vocab_topk_plan_is_take_ordered(spark):
+    # global top-k must be TakeOrderedAndProject (per-partition k + driver
+    # merge), not a full Sort of the vocabulary
+    sdf = spark.createDataFrame(DOCS)
+    plan = vocab_topk(sdf, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
