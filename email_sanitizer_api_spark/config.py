@@ -70,6 +70,17 @@ class DedupConfig:
     # group, so a few representatives per group preserve connectivity for
     # future batches without storing the whole hot pile)
     incremental_bucket_reps: int = 8
+    # broadcast state-probe plan: when the incoming batch has at most this
+    # many rows, every recurring join against corpus-sized state tables
+    # (sigs/files anti-joins, cluster-label lookups, bucket re-cap) runs as
+    # a broadcast SEMI/ANTI probe — the state side is SCANNED once, never
+    # SHUFFLED, and only the <=O(batch) matching slice moves. Above the
+    # threshold (a batch too big to broadcast its key set) the plan falls
+    # back to plain shuffle joins, which are the right answer when
+    # batch ~ corpus anyway. Sized so the largest broadcast key set
+    # (batch x num_bands band keys, ~16 B/row) stays well under typical
+    # executor broadcast budgets (~0.5 GiB at the default).
+    incremental_broadcast_probe_max: int = 2_000_000
 
     # --- SimHash (S6) ---
     simhash_bits: int = 64

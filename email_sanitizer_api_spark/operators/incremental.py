@@ -61,6 +61,19 @@ rows against the capped bucket table; verify ships truncated signatures
 (operators/verify.py). Within-batch candidates use the identical skew-aware
 ``pairs_from_buckets`` as the batch path.
 
+Broadcast state-probe plan (r03): with per-fold work O(batch), the cost
+that grows with corpus age is the recurring JOINS against state — naively,
+each fold shuffles the full sigs / files / sha_clusters / bucket tables
+(O(corpus) shuffle per batch, the dominant term once corpus >> batch). When
+the batch key set fits the broadcast budget
+(``cfg.incremental_broadcast_probe_max``), every state-side join runs as a
+broadcast SEMI/ANTI probe instead: state is *scanned* once (zero exchange
+— and on a partitioned/Iceberg warehouse the scan itself prunes), only the
+<= O(batch)-row matching slice moves, and re-cap windows sort touched
+buckets only. Per-fold shuffle volume is then fully independent of corpus
+size. Oversized batches (batch ~ corpus, e.g. the bootstrap fold) fall
+back to the plain shuffle joins, which are optimal in that regime.
+
 Full generator parity with the batch pipeline (r03): the SimHash pigeonhole
 pass folds through a ``simhash_buckets`` table (chunk-index/value/
 next-value, capped exactly like the minhash buckets) and the suffix
@@ -251,6 +264,53 @@ def compact_clusters(spark: SparkSession, state_root: str,
     return v_next
 
 
+def _anti_state(batch: DataFrame, state_tbl: DataFrame, on: list[str],
+                use_probe: bool) -> DataFrame:
+    """``batch LEFT ANTI state`` without shuffling state.
+
+    Probe plan (``use_probe``): the batch's key set is broadcast into a
+    SEMI join that streams the corpus-sized state table once (scan, zero
+    exchange on the state side); the resulting "seen" set is at most
+    O(batch) rows and is broadcast back into the final anti-join — so the
+    batch side is never shuffled either. Fallback: plain shuffle
+    anti-join, correct when batch ~ corpus.
+    """
+    if not use_probe:
+        return batch.join(state_tbl.select(*on), on, "left_anti")
+    keys = batch.select(*on).dropDuplicates(on)
+    seen = state_tbl.select(*on).join(F.broadcast(keys), on, "left_semi")
+    return batch.join(F.broadcast(seen), on, "left_anti")
+
+
+def _touched(state_tbl: DataFrame, probe_keys: DataFrame, on: list[str],
+             use_probe: bool) -> DataFrame:
+    """Restrict a state table to the rows whose key appears in the batch's
+    probe-key set (broadcast semi) — downstream re-cap windows and probe
+    joins then run over O(batch x cap) touched rows instead of the whole
+    stored table. Filtering is per whole bucket key, so the deterministic
+    caps select exactly the rows they would have selected from the full
+    table. No-op without ``use_probe``."""
+    if not use_probe:
+        return state_tbl
+    return state_tbl.join(F.broadcast(probe_keys.dropDuplicates(on)), on,
+                          "left_semi")
+
+
+def _endpoint_slice(labels: DataFrame, pairs: DataFrame,
+                    use_probe: bool) -> DataFrame:
+    """Slice a corpus-sized (content_sha256, ...) lookup table down to the
+    rows matching either endpoint of ``pairs`` (broadcast semi over the
+    endpoint set) — the later lookup joins are then broadcast-sized."""
+    if not use_probe:
+        return labels
+    ends = (
+        pairs.select(F.col("a").alias("content_sha256"))
+        .unionByName(pairs.select(F.col("b").alias("content_sha256")))
+        .dropDuplicates(["content_sha256"])
+    )
+    return labels.join(F.broadcast(ends), "content_sha256", "left_semi")
+
+
 def _bucket_rows(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(band, key, sec, id) for every band of every signature — sec is the
     id's key in the next band (stored so re-capping never needs rows that
@@ -377,22 +437,28 @@ def incremental_dedup(
     io.log_config(cfg.to_dict())
     metrics: dict[str, Any] = {"state_version": v_next}
 
+    # broadcast state-probe plan (config docstring): for a normal-sized
+    # batch, state tables are SCANNED through broadcast semi/anti probes,
+    # never shuffled — the recurring per-fold cost stays O(batch) shuffle
+    # + O(state) scan instead of O(state) shuffle. The gate is the raw
+    # batch row count (cheap scan-only job; an upper bound on every key
+    # set we broadcast).
+    batch_rows = new_files.count()
+    use_probe = batch_rows <= cfg.incremental_broadcast_probe_max
+    metrics["batch_rows"] = batch_rows
+    metrics["state_probe_plan"] = "broadcast" if use_probe else "shuffle"
+
     # -- batch-local map work: validate -> normalize -> sha -> exact ------
     valid, _ = split_valid(validate_content(new_files, cfg))
     prepared = with_sha(normalize_content(valid.drop("verdict")))
     reps, membership = exact_dedup(prepared)
 
     st_sigs = state.read("sigs", v_cur)
-    # deltas accumulate ≤ cap rows per bucket per batch; re-cap at read so
-    # probe fan-out stays O(cap) regardless of batch count (on Iceberg this
-    # is periodic compaction instead of a per-read window)
-    st_buckets = _cap_buckets(state.read("buckets", v_cur), cfg)
     st_clusters = read_clusters(state, v_cur)  # remap-resolved label view
 
     # content never seen before: sign it. Seen content joins its existing
     # cluster through the (rewritten) sha_clusters table — zero work here.
-    fresh = reps.join(st_sigs.select("content_sha256"), "content_sha256",
-                      "left_anti")
+    fresh = _anti_state(reps, st_sigs, ["content_sha256"], use_probe)
     if enable_suffix:
         # referenced twice (signature write + fingerprint explode): eager
         # persist, or the validate/normalize/sha/anti-join prefix recomputes
@@ -413,6 +479,16 @@ def incremental_dedup(
     bucket_rows.count()
     pair_cleanup: list[DataFrame] = []
     new_nodes = bucket_rows.select("id", "band", "key")
+    # stored buckets: restrict to the (band,key) buckets this batch can
+    # collide with (broadcast semi on the batch's band keys), THEN re-cap —
+    # deltas accumulate <= cap rows per bucket per batch, so the re-cap
+    # windows bound probe fan-out to O(cap) regardless of batch count, and
+    # under the probe plan they sort O(batch x cap x versions) touched
+    # rows, never the whole stored table (on Iceberg the full-table
+    # equivalent is periodic compaction instead of a per-read window)
+    st_buckets = _cap_buckets(
+        _touched(state.read("buckets", v_cur), new_nodes.select("band", "key"),
+                 ["band", "key"], use_probe), cfg)
     within = pairs_from_buckets(
         new_nodes, ["band", "key"], cfg.max_bucket_allpairs,
         salted_pass=cfg.hot_bucket_salted_pass, n_dims=cfg.num_bands,
@@ -429,7 +505,19 @@ def incremental_dedup(
     )
     all_sigs = sigs_new.select("content_sha256", "minhash").unionByName(
         st_sigs.select("content_sha256", "minhash"))
-    edges = verify_pairs(within.unionByName(cross), all_sigs, cfg).select("a", "b")
+    cand = within.unionByName(cross)
+    if use_probe:
+        # two consumers below (endpoint set for the signature slice + the
+        # verify join itself): eager persist, or candidate generation
+        # recomputes per consumer
+        cand = cand.persist()
+        cand.count()
+        pair_cleanup.append(cand)
+    # verify ships 2 truncated signatures per pair; slicing the corpus-wide
+    # signature table to the candidate endpoints first (broadcast semi)
+    # keeps that lookup O(candidates) instead of shuffling O(corpus) sigs
+    edges = verify_pairs(cand, _endpoint_slice(all_sigs, cand, use_probe),
+                         cfg).select("a", "b")
 
     if enable_simhash:
         # within-batch: identical operator as the batch pipeline's S6
@@ -439,7 +527,11 @@ def incremental_dedup(
             sigs_new, cfg, cleanup=pair_cleanup).select("a", "b")
         # new-vs-stored: chunk equi-join against the capped stored buckets,
         # then the exact Hamming confirm over stored+fresh simhash values
-        st_sim = _cap_buckets(state.read("simhash_buckets", v_cur), cfg)
+        st_sim = _cap_buckets(
+            _touched(state.read("simhash_buckets", v_cur),
+                     simhash_chunks(sigs_new, cfg)
+                     .select(F.col("chunk").alias("band"), "key"),
+                     ["band", "key"], use_probe), cfg)
         sim_cross_cand = (
             simhash_chunks(sigs_new, cfg)
             .join(st_sim.select(F.col("band").alias("chunk"), "key",
@@ -450,8 +542,14 @@ def incremental_dedup(
                     F.greatest("id", "old_id").alias("b"))
             .dropDuplicates(["a", "b"])
         )
-        sim_all = sigs_new.select("content_sha256", "simhash").unionByName(
-            st_sigs.select("content_sha256", "simhash"))
+        if use_probe:
+            sim_cross_cand = sim_cross_cand.persist()
+            sim_cross_cand.count()
+            pair_cleanup.append(sim_cross_cand)
+        sim_all = _endpoint_slice(
+            sigs_new.select("content_sha256", "simhash").unionByName(
+                st_sigs.select("content_sha256", "simhash")),
+            sim_cross_cand, use_probe)
         sim_cross = (
             sim_cross_cand
             .join(sim_all.withColumnsRenamed(
@@ -484,7 +582,9 @@ def incremental_dedup(
             fp_nodes, ["key"], cfg.max_bucket_allpairs,
             salted_pass=cfg.hot_bucket_salted_pass, cleanup=pair_cleanup,
         ).select("a", "b")
-        st_fps = _cap_fps(state.read("suffix_fps", v_cur), cfg)
+        st_fps = _cap_fps(
+            _touched(state.read("suffix_fps", v_cur), fp_nodes.select("key"),
+                     ["key"], use_probe), cfg)
         fp_cross = (
             fp_nodes.join(st_fps.withColumnRenamed("id", "old_id"), "key")
             .where(F.col("id") != F.col("old_id"))
@@ -497,13 +597,26 @@ def incremental_dedup(
     # -- contract old endpoints to their cluster labels, then CC ----------
     # an old sha's label IS the min sha of its cluster, so components over
     # (new shas + old labels) produce exactly the labels a full recompute
-    # would (module docstring).
+    # would (module docstring). Under the probe plan the corpus-wide label
+    # table is first sliced to the edge endpoints (broadcast semi — state
+    # scanned, not shuffled) and the resulting O(edges) lookup broadcast
+    # into the two label joins.
+    if use_probe:
+        edges = edges.persist()  # endpoint set + label joins both read it
+        edges.count()
+        pair_cleanup.append(edges)
+    lab = _endpoint_slice(st_clusters, edges, use_probe)
+
+    def _lab_as(mapping: dict[str, str]) -> DataFrame:
+        renamed = lab.withColumnsRenamed(mapping)
+        return F.broadcast(renamed) if use_probe else renamed
+
     old_labeled = (
-        edges.join(st_clusters.withColumnsRenamed(
-            {"content_sha256": "b", "cluster_id": "cb"}), "b", "left")
+        edges.join(_lab_as({"content_sha256": "b", "cluster_id": "cb"}),
+                   "b", "left")
         .withColumn("b2", F.coalesce("cb", "b"))
-        .join(st_clusters.withColumnsRenamed(
-            {"content_sha256": "a", "cluster_id": "ca"}), "a", "left")
+        .join(_lab_as({"content_sha256": "a", "cluster_id": "ca"}),
+              "a", "left")
         .withColumn("a2", F.coalesce("ca", "a"))
         .select(F.least("a2", "b2").alias("a"), F.greatest("a2", "b2").alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -519,10 +632,17 @@ def incremental_dedup(
     # -- relabel: merged old clusters become REMAP DELTA rows (O(merges)),
     # fresh content becomes a LABEL DELTA (O(batch)); the full corpus-wide
     # table is never rewritten — labels resolve at read (read_clusters)
+    stored_labels = st_clusters.select(F.col("cluster_id").alias("old_cluster"))
+    if use_probe:
+        # keep only stored labels that appear as CC node ids (broadcast
+        # semi streams the label table; <=|cc| rows survive) — the full
+        # table's .distinct() would shuffle O(corpus) every fold
+        stored_labels = stored_labels.join(
+            F.broadcast(cc.select(F.col("id").alias("old_cluster"))),
+            "old_cluster", "left_semi")
     remap = (
         cc.withColumnRenamed("id", "old_cluster")
-        .join(st_clusters.select(F.col("cluster_id").alias("old_cluster"))
-              .distinct(), "old_cluster")
+        .join(stored_labels.distinct(), "old_cluster")
         .where(F.col("old_cluster") != F.col("cluster_id"))
     )
     remap_delta = io.write(remap.select("old_cluster", "cluster_id"), "remaps")
@@ -548,10 +668,11 @@ def incremental_dedup(
     # reference memo-cache analog: already-seen inputs are served from
     # state, src/routes/email.rs:81-117)
     files_new = io.write(
-        membership.select("repo", "path", "commit", "content_sha256")
-        .dropDuplicates(["repo", "path", "commit"])
-        .join(state.read("files", v_cur).select("repo", "path", "commit"),
-              ["repo", "path", "commit"], "left_anti"),
+        _anti_state(
+            membership.select("repo", "path", "commit", "content_sha256")
+            .dropDuplicates(["repo", "path", "commit"]),
+            state.read("files", v_cur),
+            ["repo", "path", "commit"], use_probe),
         "files")
     metrics["new_files"] = files_new.count()
     state.commit(v_next)

@@ -324,3 +324,27 @@ def test_capped_hot_bucket_recall_across_batches(spark, tmp_path):
     parts = _partition(r2.files_clustered)
     assert len(parts) == 1, (
         f"hot family fragmented into {len(parts)} clusters under caps")
+
+
+def test_shuffle_fallback_equals_broadcast_probe(spark, tmp_path, inc_cfg):
+    """The broadcast state-probe plan (default) and the shuffle fallback
+    (``incremental_broadcast_probe_max=0`` forces every batch over the
+    threshold) must fold to identical labels — the probe is a pure
+    physical-plan substitution."""
+    import dataclasses
+
+    pdf = synthesize_code_files(CorpusSpec(n_base=90, seed=11))
+    b1 = spark.createDataFrame(pdf.iloc[::2])
+    b2 = spark.createDataFrame(pdf.iloc[1::2])
+    shuffle_cfg = dataclasses.replace(inc_cfg, incremental_broadcast_probe_max=0)
+
+    roots, labels, plans = {}, {}, {}
+    for name, cfg in (("probe", inc_cfg), ("shuffle", shuffle_cfg)):
+        root = str(tmp_path / name)
+        incremental_dedup(spark, b1, root, cfg)
+        r2 = incremental_dedup(spark, b2, root, cfg)
+        labels[name] = _labels(r2.files_clustered)
+        plans[name] = r2.metrics["state_probe_plan"]
+
+    assert plans == {"probe": "broadcast", "shuffle": "shuffle"}
+    assert labels["probe"] == labels["shuffle"]
