@@ -419,7 +419,7 @@ def _q_validate_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     n = F.length("text")
     code = (
-        F.when(F.col("text").isNull() | F.col("text").rlike("^\\s*$"), F.lit("EMPTY"))
+        F.when(F.col("text").isNull() | F.col("text").rlike("^[ \\t\\n\\x0B\\f\\r]*$"), F.lit("EMPTY"))
         .when(F.octet_length("text") > DOC_SIZE_CAP, F.lit("TOO_LARGE"))
         .when(F.col("text").contains("\x00"), F.lit("BINARY_CONTENT"))
         .when(F.regexp_count(F.col("text"), F.lit(CONTROL_CHAR_CLASS)) / n
@@ -433,7 +433,7 @@ def _q_validate_documents(spark, sf_dir):
 
 _SQL_VALIDATE_DOCUMENTS = f"""
 SELECT doc_id,
-       CASE WHEN text IS NULL OR regexp_matches(text, '^\\s*$') THEN 'EMPTY'
+       CASE WHEN text IS NULL OR regexp_matches(text, '^[ \\t\\n\\x0B\\f\\r]*$') THEN 'EMPTY'
             WHEN strlen(text) > {DOC_SIZE_CAP} THEN 'TOO_LARGE'
             WHEN instr(text, chr(0)) > 0 THEN 'BINARY_CONTENT'
             WHEN CAST(len(regexp_extract_all(text,
@@ -448,7 +448,7 @@ FROM documents
 
 def _q_validate_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    is_valid = (~(F.col("text").isNull() | F.col("text").rlike("^\\s*$"))
+    is_valid = (~(F.col("text").isNull() | F.col("text").rlike("^[ \\t\\n\\x0B\\f\\r]*$"))
                 & (F.octet_length("text") <= DOC_SIZE_CAP))
     return docs.agg(
         F.sum(F.when(is_valid, 1).otherwise(0)).cast("long").alias("valid_count"),
@@ -457,10 +457,10 @@ def _q_validate_counts(spark, sf_dir):
 
 
 _SQL_VALIDATE_COUNTS = f"""
-SELECT CAST(sum(CASE WHEN NOT (text IS NULL OR regexp_matches(text, '^\\s*$'))
+SELECT CAST(sum(CASE WHEN NOT (text IS NULL OR regexp_matches(text, '^[ \\t\\n\\x0B\\f\\r]*$'))
                       AND strlen(text) <= {DOC_SIZE_CAP}
                 THEN 1 ELSE 0 END) AS BIGINT) AS valid_count,
-       CAST(sum(CASE WHEN NOT (text IS NULL OR regexp_matches(text, '^\\s*$'))
+       CAST(sum(CASE WHEN NOT (text IS NULL OR regexp_matches(text, '^[ \\t\\n\\x0B\\f\\r]*$'))
                       AND strlen(text) <= {DOC_SIZE_CAP}
                 THEN 0 ELSE 1 END) AS BIGINT) AS invalid_count
 FROM documents
@@ -469,7 +469,7 @@ FROM documents
 
 def _q_normalize_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    canon = F.lower(F.regexp_replace(F.trim("text"), "\\s+", " "))
+    canon = F.lower(F.regexp_replace(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+", " "))
     return docs.select(
         "doc_id",
         F.md5(canon).alias("norm_md5"),
@@ -479,8 +479,8 @@ def _q_normalize_documents(spark, sf_dir):
 
 _SQL_NORMALIZE_DOCUMENTS = """
 SELECT doc_id,
-       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_md5,
-       CAST(length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+       md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm_md5,
+       CAST(length(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS BIGINT) AS norm_len
 FROM documents
 """
 
@@ -568,7 +568,7 @@ def _q_token_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang",
-        F.array_distinct(F.split(F.lower(F.trim("text")), "\\s+")).alias("toks"),
+        F.array_distinct(F.split(F.lower(F.trim("text")), "[ \\t\\n\\x0B\\f\\r]+")).alias("toks"),
     )
     pairs = token_set_similarity_join(
         toks, threshold=0.8, id_col="doc_id", tokens_col="toks",
@@ -580,7 +580,7 @@ def _q_token_jaccard_pairs(spark, sf_dir):
 _SQL_TOKEN_JACCARD_PAIRS = """
 WITH toks AS (
   SELECT doc_id, lang,
-         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         list_distinct(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t
   FROM documents)
 SELECT a.doc_id AS a, b.doc_id AS b,
        round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
@@ -840,7 +840,7 @@ WITH RECURSIVE v AS (
   SELECT source AS repo, 'doc/' || CAST(doc_id AS VARCHAR) AS path,
          {normalize_sql('text')} AS norm
   FROM documents
-  WHERE NOT (text IS NULL OR regexp_matches(text, '^\\s*$'))
+  WHERE NOT (text IS NULL OR regexp_matches(text, '^[ \\t\\n\\x0B\\f\\r]*$'))
     AND strlen(text) <= {cfg.max_content_bytes}),
 f AS (SELECT repo, path, sha256(norm) AS sha FROM v),
 s AS (SELECT DISTINCT sha256(norm) AS id, {shingle_set_sql('norm', 5)} AS sh
@@ -1218,7 +1218,7 @@ def _q_corpus_curation(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     n = F.length("text")
     vcode = (
-        F.when(F.col("text").isNull() | F.col("text").rlike("^\\s*$"), F.lit("EMPTY"))
+        F.when(F.col("text").isNull() | F.col("text").rlike("^[ \\t\\n\\x0B\\f\\r]*$"), F.lit("EMPTY"))
         .when(F.octet_length("text") > DOC_SIZE_CAP, F.lit("TOO_LARGE"))
         .when(F.col("text").contains("\x00"), F.lit("BINARY_CONTENT"))
         .when(F.regexp_count(F.col("text"), F.lit(CONTROL_CHAR_CLASS)) / n
@@ -1249,7 +1249,7 @@ def _curation_sql() -> str:
     return f"""
 WITH v AS (
   SELECT doc_id,
-         CASE WHEN text IS NULL OR regexp_matches(text, '^\\s*$') THEN 'EMPTY'
+         CASE WHEN text IS NULL OR regexp_matches(text, '^[ \\t\\n\\x0B\\f\\r]*$') THEN 'EMPTY'
               WHEN strlen(text) > {DOC_SIZE_CAP} THEN 'TOO_LARGE'
               WHEN instr(text, chr(0)) > 0 THEN 'BINARY_CONTENT'
               WHEN CAST(len(regexp_extract_all(text,
@@ -1281,7 +1281,7 @@ q AS (
              * 10000.0 + 0.5) AS BIGINT) AS q
   FROM qr),
 toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents),
 idx AS (
   SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i
   FROM toks),

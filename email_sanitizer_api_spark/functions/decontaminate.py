@@ -16,8 +16,10 @@ Plan shape (the one you'd run at 100 TB):
    of the exploded corpus;
  - per-doc aggregation is a partial-agg count on doc_id.
 
-The tokenizer (trim + split on ``\\s+``) is byte-identical between Spark and
-the DuckDB oracle (same contract as ``functions/text.token_count``).
+The tokenizer (trim + split on the explicit ``[ \\t\\n\\x0B\\f\\r]+`` class)
+is byte-identical between Spark and the DuckDB oracle — Java ``\\s`` includes
+U+000B, RE2's does not, so ``\\s+`` would diverge on vertical-tab input (same
+contract as ``functions/text.token_count``).
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ from pyspark.sql import functions as F
 def _with_grams(docs: DataFrame, n: int) -> DataFrame:
     """doc_id + exploded md5-hashed word n-grams (empty for short docs)."""
     toks = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        "doc_id", F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+").alias("toks")
     )
     # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], so short docs
     # must produce an explicit empty array, not sequence()
@@ -65,7 +67,7 @@ def contamination_report(docs: DataFrame, every: int = 41, n: int = 13) -> DataF
     totals = docs.select(
         "doc_id",
         F.greatest(
-            F.size(F.split(F.trim(F.col("text")), r"\s+")) - F.lit(n - 1),
+            F.size(F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")) - F.lit(n - 1),
             F.lit(0),
         ).cast("long").alias("n_grams"),
     )
@@ -84,7 +86,7 @@ def contamination_sql(every: int = 41, n: int = 13) -> str:
     """DuckDB oracle: same tokenizer, same md5 gram keys, same join."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ),
 idx AS (
   SELECT doc_id, t,

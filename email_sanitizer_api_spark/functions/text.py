@@ -14,7 +14,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
-BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
 # marker words per language for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, str] = {
@@ -31,7 +31,7 @@ def token_count_expr(text: Column) -> Column:
     """Whitespace token count; 0 for empty/blank text."""
     t = F.trim(text)
     return F.when(t == "", F.lit(0)).otherwise(
-        F.size(F.split(t, "\\s+"))
+        F.size(F.split(t, "[ \\t\\n\\x0B\\f\\r]+"))
     ).cast("long")
 
 
@@ -92,7 +92,7 @@ def fingerprint_expr(text: Column) -> Column:
     """Canonical document fingerprint: md5 of the whitespace-collapsed,
     lowercased text (md5 chosen over xxhash64 so the DuckDB oracle can
     reproduce it bit-for-bit)."""
-    canon = F.lower(F.regexp_replace(F.trim(text), "\\s+", " "))
+    canon = F.lower(F.regexp_replace(F.trim(text), "[ \\t\\n\\x0B\\f\\r]+", " "))
     return F.md5(canon)
 
 
@@ -100,7 +100,7 @@ def fingerprint_expr(text: Column) -> Column:
 
 def token_count_sql(col: str) -> str:
     return (f"CAST(CASE WHEN trim({col}) = '' THEN 0 "
-            f"ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END AS BIGINT)")
+            f"ELSE len(regexp_split_to_array(trim({col}), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT)")
 
 
 def bpe_token_count_sql(col: str) -> str:
@@ -118,7 +118,7 @@ def lang_id_sql(col: str) -> str:
 
 
 def fingerprint_sql(col: str) -> str:
-    return f"md5(lower(regexp_replace(trim({col}), '\\s+', ' ', 'g')))"
+    return f"md5(lower(regexp_replace(trim({col}), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
 
 
 # --- corpus-wide vocabulary top-k -------------------------------------------

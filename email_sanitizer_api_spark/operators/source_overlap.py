@@ -86,8 +86,11 @@ def source_overlap(docs: DataFrame, vendored_cap: int = 8,
              .join(sizes.withColumnRenamed("source", "src_b")
                         .withColumnRenamed("n_contents", "n_b"), "src_b")
     )
+    # multiply-then-divide in the SAME order as the SQL oracle
+    # (n_shared * 1e4 / least): a/b*c vs a*c/b can differ in the last ulp,
+    # which flips floor at exact boundaries (the ADVICE r02 ceil lesson)
     overlap = (
-        F.col("n_shared").cast("double")
+        F.col("n_shared").cast("double") * F.lit(10000.0)
         / F.least("n_a", "n_b").cast("double")
     )
     return out.select(
@@ -95,7 +98,7 @@ def source_overlap(docs: DataFrame, vendored_cap: int = 8,
         F.col("n_shared").cast("long").alias("n_shared"),
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.floor(overlap * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("overlap_q"),
+        F.floor(overlap + F.lit(0.5)).cast("long").alias("overlap_q"),
     )
 
 
@@ -107,7 +110,7 @@ def source_overlap_sql(vendored_cap: int = 8, min_shared: int = 1,
     else:
         sha_src = f"""
   WITH toks AS (
-    SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
     FROM documents),
   idx AS (
     SELECT doc_id, source, t,

@@ -56,7 +56,7 @@ def validation_verdict(content: Column, cfg: DedupConfig = DEFAULT_CONFIG) -> Co
     # trim() strips only spaces, so whitespace-only detection uses a regex
     return (
         F.when(
-            content.isNull() | content.rlike("^\\s*$"),
+            content.isNull() | content.rlike("^[ \\t\\n\\x0B\\f\\r]*$"),
             _verdict_struct(F.lit("EMPTY"), F.lit("content is empty or whitespace-only")),
         )
         .when(

@@ -1,0 +1,104 @@
+"""Cross-engine whitespace-class regression (ADVICE r02, generalized).
+
+Java regex ``\\s`` matches U+000B (vertical tab); RE2's (DuckDB) does not.
+Every paired Spark/DuckDB tokenizer or blank-matcher in the engine therefore
+uses the explicit class ``[ \\t\\n\\x0B\\f\\r]`` on BOTH sides.  These tests
+plant vertical-tab input — absent from the synthetic corpora, so the
+divergence was latent — and assert byte-identical results across engines for
+each surface that tokenizes or blank-tests text.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+VT_DOCS = pd.DataFrame({
+    "doc_id": [1, 2, 3, 4],
+    "lang": ["en", "en", "en", "en"],
+    "source": ["s1", "s1", "s2", "s2"],
+    "text": [
+        "alpha\x0bbeta gamma",       # VT between tokens
+        " \x0b \t ",                 # whitespace-only incl. VT
+        "alpha\x0bbeta gamma",       # exact dup of doc 1
+        "plain text no vt here",
+    ],
+})
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.register("documents", VT_DOCS)
+    return con
+
+
+def _spark_docs(spark):
+    return spark.createDataFrame(VT_DOCS)
+
+
+def test_token_count_vt_identical(spark, duck):
+    from email_sanitizer_api_spark.functions.text import (
+        token_count_expr, token_count_sql)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in _spark_docs(spark)
+        .select("doc_id", token_count_expr(F.col("text")).alias("n"))
+        .collect()
+    }
+    want = dict(duck.execute(
+        f"SELECT doc_id, {token_count_sql('text')} AS n FROM documents"
+    ).fetchall())
+    assert got == want
+    # VT splits tokens on both engines now
+    assert got[1] == 3
+
+
+def test_contamination_vt_identical(spark, duck):
+    from email_sanitizer_api_spark.functions.decontaminate import (
+        contamination_report, contamination_sql)
+    got = sorted(
+        tuple(r) for r in
+        contamination_report(_spark_docs(spark), every=1, n=2)
+        .select("doc_id", "n_grams", "n_contaminated").collect()
+    )
+    want = sorted(
+        tuple(r) for r in duck.execute(
+            "SELECT doc_id, n_grams, n_contaminated FROM (" +
+            contamination_sql(every=1, n=2) + ")").fetchall()
+    )
+    assert got == want
+
+
+def test_segment_dedup_vt_identical(spark, duck):
+    from email_sanitizer_api_spark.functions.segments import (
+        segment_dedup_report, segment_dedup_report_sql)
+    got = sorted(
+        tuple(r) for r in
+        segment_dedup_report(_spark_docs(spark), k=2).collect()
+    )
+    want = sorted(
+        tuple(r) for r in duck.execute(
+            segment_dedup_report_sql(k=2)).fetchall()
+    )
+    assert got == want
+
+
+def test_empty_verdict_vt_identical(spark, duck):
+    """A whitespace-only doc (including VT) is EMPTY on both engines."""
+    got = {
+        r["doc_id"]: r["is_empty"]
+        for r in _spark_docs(spark).select(
+            "doc_id",
+            (F.col("text").isNull()
+             | F.col("text").rlike("^[ \\t\\n\\x0B\\f\\r]*$")).alias("is_empty"),
+        ).collect()
+    }
+    want = dict(duck.execute(
+        "SELECT doc_id, text IS NULL OR "
+        "regexp_matches(text, '^[ \\t\\n\\x0B\\f\\r]*$') FROM documents"
+    ).fetchall())
+    assert got == want
+    assert got[2] is True
