@@ -2,11 +2,15 @@
 
 SURVEY.md §7.0: production targets Iceberg via catalog config
 (``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog`` with
-the runtime jar on the classpath — config, not code); this sandbox has no
-Iceberg jar, so TableIO falls back to a Parquet-directory warehouse with an
-identical table layout plus a JSON-lines manifest carrying the snapshot /
-lineage / metrics information Iceberg would hold. All pipeline code talks
-to TableIO only, never to a format directly.
+the runtime jar on the classpath). Passing ``catalog="dedup"`` routes every
+table through that catalog with the DataFrameWriterV2 API (``writeTo`` +
+``partitionedBy``/``bucket`` transforms) — the real Iceberg runtime path,
+exercised by tests/test_iceberg_gated.py whenever the jar is present. This
+sandbox has no Iceberg jar, so the default (``catalog=None``) falls back to
+a Parquet-directory warehouse with an identical table layout. Either way a
+JSON-lines manifest carries the job-status / lineage / metrics information
+(with Iceberg, snapshots additionally live in the table metadata). All
+pipeline code talks to TableIO only, never to a format directly.
 
 The manifest reproduces the reference's job-status semantics
 (src/job_queue.rs:16-22 Pending/Processing/Completed/Failed): a stage row
@@ -52,6 +56,11 @@ class TableIO:
     # measured inside executors and recorded on the stage's manifest row.
     # Off by default — the probe's Arrow round-trip breaks codegen fusion.
     collect_task_metrics: bool = False
+    # Iceberg catalog name (session must carry the matching
+    # spark.sql.catalog.<name> confs — session.session_confs wires them from
+    # SPARK_GRAFT_ICEBERG_WAREHOUSE). None → parquet-directory fallback.
+    catalog: str | None = None
+    namespace: str = "db"
 
     @property
     def manifest_path(self) -> str:
@@ -59,6 +68,19 @@ class TableIO:
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
+
+    def table_ident(self, name: str) -> str:
+        """Catalog identifier for ``name`` in Iceberg mode. The warehouse
+        path is folded into the namespace-unique table name the same way
+        catalog_name() does for bucketed session-catalog tables, so two
+        TableIOs (e.g. incremental state versions v1/v2) never collide."""
+        import hashlib
+        tag = hashlib.md5(self.warehouse.encode()).hexdigest()[:8]
+        return f"{self.catalog}.{self.namespace}.tio_{tag}_{name}"
+
+    def _ensure_namespace(self) -> None:
+        self.spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}")
 
     # -- manifest -----------------------------------------------------------
     def _append_manifest(self, row: dict[str, Any]) -> None:
@@ -107,17 +129,28 @@ class TableIO:
             probe = StageProbe(self.spark, name)
             df = probe.wrap(df)
         try:
-            writer = df.write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(path)
+            if self.catalog:
+                # DataFrameWriterV2: identity-partitioned Iceberg table.
+                # createOrReplace is snapshot-atomic — readers of the old
+                # snapshot are never exposed to a half-written table.
+                self._ensure_namespace()
+                w2 = df.writeTo(self.table_ident(name)).using("iceberg")
+                if partition_by:
+                    w2 = w2.partitionedBy(*[F.col(c) for c in partition_by])
+                w2.createOrReplace()
+            else:
+                writer = df.write.mode("overwrite")
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.parquet(path)
         except Exception as e:
             self._append_manifest({
                 "run_id": self.run_id, "stage": name, "status": "Failed",
                 "ts": time.time(), "error": str(e)[:500],
             })
             raise
-        out = self.spark.read.parquet(path)
+        out = (self.spark.table(self.table_ident(name)) if self.catalog
+               else self.spark.read.parquet(path))
         row = {
             "run_id": self.run_id, "stage": name, "status": "Completed",
             "ts": time.time(), "wall_s": round(time.time() - t0, 3),
@@ -150,22 +183,32 @@ class TableIO:
         Read back via ``read_bucketed`` (``spark.table`` — reading the bare
         parquet path would drop the bucketing metadata).
         """
-        cat_name = self.catalog_name(name)
+        cat_name = (self.table_ident(name) if self.catalog
+                    else self.catalog_name(name))
         path = self.table_path(name)
         self._append_manifest({
             "run_id": self.run_id, "stage": name, "status": "Processing",
             "ts": time.time(),
         })
         t0 = time.time()
-        self.spark.sql(f"DROP TABLE IF EXISTS {cat_name}")
-        writer = (
-            df.write.mode("overwrite").option("path", path)
-            .bucketBy(n_buckets, *bucket_cols)
-        )
-        if sort_cols:
-            writer = writer.sortBy(*sort_cols)
         try:
-            writer.saveAsTable(cat_name)
+            if self.catalog:
+                # Iceberg's native bucket transform: storage-partition joins
+                # on the same (N, cols) skip the exchange, same contract as
+                # the session-catalog bucketBy path below.
+                self._ensure_namespace()
+                w2 = df.writeTo(cat_name).using("iceberg").partitionedBy(
+                    *[F.bucket(n_buckets, F.col(c)) for c in bucket_cols])
+                w2.createOrReplace()
+            else:
+                self.spark.sql(f"DROP TABLE IF EXISTS {cat_name}")
+                writer = (
+                    df.write.mode("overwrite").option("path", path)
+                    .bucketBy(n_buckets, *bucket_cols)
+                )
+                if sort_cols:
+                    writer = writer.sortBy(*sort_cols)
+                writer.saveAsTable(cat_name)
         except Exception as e:
             self._append_manifest({
                 "run_id": self.run_id, "stage": name, "status": "Failed",
@@ -194,16 +237,24 @@ class TableIO:
         return f"tio_{tag}_{name}"
 
     def read_bucketed(self, name: str) -> DataFrame:
-        return self.spark.table(self.catalog_name(name))
+        return self.spark.table(
+            self.table_ident(name) if self.catalog else self.catalog_name(name))
 
     def read(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.table(self.table_ident(name))
         return self.spark.read.parquet(self.table_path(name))
+
+    def _table_exists(self, name: str) -> bool:
+        if self.catalog:
+            return self.spark.catalog.tableExists(self.table_ident(name))
+        return os.path.exists(self.table_path(name))
 
     def completed(self, name: str) -> bool:
         return (
             self.resume
             and self.stage_status(name) == "Completed"
-            and os.path.exists(self.table_path(name))
+            and self._table_exists(name)
         )
 
     def stage(self, name: str, compute, metrics: dict[str, Any] | None = None,

@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--task-metrics", action="store_true",
                     help="record per-partition in-task (rows, ms) on every "
                          "stage manifest row (audit mode; slower)")
+    ap.add_argument("--iceberg-catalog", default=None,
+                    help="route stage checkpoints through this Iceberg "
+                         "catalog (needs the runtime jar + catalog conf on "
+                         "the submit command) instead of parquet dirs")
     ap.add_argument("--set", dest="overrides", action="append", default=[],
                     metavar="KEY=VALUE", help="DedupConfig field override")
     args = ap.parse_args(argv)
@@ -152,7 +156,8 @@ def main(argv: list[str] | None = None) -> None:
     io = TableIO(spark, args.warehouse,
                  **({"run_id": args.run_id} if args.run_id else {}),
                  resume=not args.no_resume,
-                 collect_task_metrics=args.task_metrics)
+                 collect_task_metrics=args.task_metrics,
+                 catalog=args.iceberg_catalog)
     blocklist = spark.read.parquet(args.blocklist) if args.blocklist else None
     res = run_pipeline(
         spark, files, cfg, io=io,
