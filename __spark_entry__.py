@@ -831,6 +831,45 @@ def _q_dedup_pipeline_exact(spark, sf_dir):
         "repo", "path", "content_sha256", "cluster_id", "is_keeper")
 
 
+def _q_dedup_cluster_size_histogram(spark, sf_dir):
+    """Cluster-audit surface: the distribution of dedup cluster sizes from
+    the exact-verify flagship pipeline — the first skew diagnostic a corpus
+    owner reads (singleton mass vs mega-clusters; a fat tail here is what
+    the LSH hot-bucket caps and CC star-escalation exist for). Agg-of-agg:
+    per-cluster file count, then per-size cluster count — both partial-agg
+    shuffles on uniform keys."""
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+    docs = _docs_as_code_files(_t(spark, sf_dir, "documents"))
+    cfg = DedupConfig(verify_mode="exact")
+    res = run_pipeline(spark, docs, cfg,
+                       enable_simhash=False, enable_suffix=False)
+    sizes = res.files_clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long").alias("n_files"),
+        )
+    )
+
+
+def _cluster_size_histogram_sql() -> str:
+    return f"""
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_files
+FROM (
+  SELECT cluster_id, count(*) AS cluster_size
+  FROM ({_pipeline_exact_sql()}) base
+  GROUP BY cluster_id)
+GROUP BY cluster_size
+"""
+
+
 def _pipeline_exact_sql() -> str:
     from email_sanitizer_api_spark.functions.shingles import (
         normalize_sql, shingle_set_sql)
@@ -1533,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "connected_components_docs": _q_connected_components_docs,
         "dedup_pipeline_exact": _q_dedup_pipeline_exact,
+        "dedup_cluster_size_histogram": _q_dedup_cluster_size_histogram,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         # engine core — production estimate path (rows-only checks)
         "minhash_near_dup_pairs_est": _q_minhash_near_dup_pairs_est,
@@ -1602,6 +1642,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_pairs": _SQL_MINHASH_NEAR_DUP_PAIRS,
         "connected_components_docs": _SQL_CONNECTED_COMPONENTS_DOCS,
         "dedup_pipeline_exact": _pipeline_exact_sql(),
+        "dedup_cluster_size_histogram": _cluster_size_histogram_sql(),
         "suffix_array_spans": _SQL_SUFFIX_ARRAY_SPANS,
         "simhash_hamming_pairs": simhash_md5_pairs_sql(3),
         # corpus hygiene (r03)
