@@ -21,8 +21,9 @@ Scale design (the part that matters at 10^12 files):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _sha_src(docs: DataFrame, unit: str, n: int) -> DataFrame:
@@ -58,12 +59,23 @@ def source_overlap(docs: DataFrame, vendored_cap: int = 8,
     quality scores for cross-engine comparability).  Keys spread across more
     than ``vendored_cap`` sources are treated as boilerplate and excluded.
     """
-    sha_src = _sha_src(docs, unit, n)
-    spread = sha_src.groupBy("sha").agg(
-        F.count(F.lit(1)).alias("n_sources")
-    )
-    kept = sha_src.join(
-        spread.where(F.col("n_sources") <= vendored_cap).select("sha"), "sha"
+    # The (source, key) projection feeds FOUR consumers (spread filter, both
+    # sides of the self-join, sizes): unpersisted, Catalyst duplicates the
+    # whole subtree into each — at unit="chunk" that re-ran the shingle
+    # explode 6x (measured: 24 parquet scans / 12 Generate ops in the r02
+    # physical plan). Persist materializes it once; the self-join then reads
+    # the in-memory relation. The caller (driver/check_contract/bench) clears
+    # the cache between queries, so the persist does not outlive the query.
+    sha_src = _sha_src(docs, unit, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # boilerplate spread as a window count, not agg+rejoin: one shuffle on
+    # sha, and the window's hash-partitioning on sha is exactly what the
+    # pair self-join below needs — no second shuffle of the gram set.
+    kept = (
+        sha_src
+        .withColumn("_n_sources",
+                    F.count(F.lit(1)).over(Window.partitionBy("sha")))
+        .where(F.col("_n_sources") <= vendored_cap)
+        .drop("_n_sources")
     )
     pairs = (
         kept.alias("a")
