@@ -127,6 +127,21 @@ def main() -> None:
     # session spanned 289→1047 s; the min is the machine-limited number)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpus", type=int, nargs=2, default=[1, 4])
+    # don't start a timed run in a dirty window: before each run, a short
+    # busy-loop probe at that core count must reach the given Mops/s floor
+    # (defaults = 90%% of the clean-window samples embedded in
+    # BENCH_SCALING.json: 5.0-5.3 at 1 proc, 19.2-19.3 at 4). A 15-30 min
+    # Spark run burned in a throttled window is the #1 cost of this bench;
+    # a 2 s probe is cheap insurance. After --gate-max-wait the run starts
+    # anyway (flagged gated_clean=false) so the bench always terminates.
+    ap.add_argument("--gate-mops", type=float, nargs=2, default=None,
+                    metavar=("LO", "HI"),
+                    help="min busy-loop Mops/s at [lo, hi] cpus before a "
+                         "timed run may start (default: off)")
+    ap.add_argument("--gate-wait", type=float, default=60.0,
+                    help="seconds between gate re-probes")
+    ap.add_argument("--gate-max-wait", type=float, default=1800.0,
+                    help="max seconds to hold one run at the gate")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
 
@@ -137,13 +152,41 @@ def main() -> None:
 
     parquet = ensure_corpus(args.n_base, args.lines_lo, args.lines_hi, args.seed)
 
+    gate_floor = (dict(zip(args.cpus, args.gate_mops))
+                  if args.gate_mops else {})
+
+    def wait_for_clean_window(cpus: int) -> tuple[float, bool]:
+        """Block until the host delivers `gate_floor[cpus]` Mops/s at this
+        core count (or the wait budget runs out). Returns the last probe
+        value and whether the gate was actually satisfied."""
+        if cpus not in gate_floor:
+            return (-1.0, True)
+        t0 = time.time()
+        while True:
+            mops = probe([cpus], seconds=2.0)["aggregate_mops"][cpus]
+            if mops >= gate_floor[cpus]:
+                return (mops, True)
+            if time.time() - t0 > args.gate_max_wait:
+                print(f"[gate] cpus={cpus}: max wait exceeded "
+                      f"(last probe {mops} < {gate_floor[cpus]}), "
+                      f"running anyway", file=sys.stderr)
+                return (mops, False)
+            print(f"[gate] cpus={cpus}: host at {mops} Mops/s "
+                  f"< floor {gate_floor[cpus]}, waiting {args.gate_wait}s",
+                  file=sys.stderr)
+            time.sleep(args.gate_wait)
+
     # interleave the two levels (lo, hi, lo, hi, ...) so slow drift in
     # host contention (shared machine) hits both levels equally; min-of-k
     # then filters the transient spikes.
     runs_by_cpus: dict[int, list] = {c: [] for c in args.cpus}
     for r in range(args.repeats):
         for cpus in args.cpus:
+            probe_mops, clean = wait_for_clean_window(cpus)
             res = one_run(parquet, cpus)
+            if probe_mops >= 0:
+                res["pre_run_probe_mops"] = probe_mops
+                res["gated_clean"] = clean
             print(f"[run] cpus={cpus} repeat={r}: {res['elapsed_sec']}s "
                   f"({res['files_per_sec']} files/s)", file=sys.stderr)
             runs_by_cpus[cpus].append(res)
@@ -173,6 +216,9 @@ def main() -> None:
         # be read against this, not against an assumed-perfect 4x host
         "host_probe": host,
     }
+    if gate_floor:
+        summary["probe_gate_mops_floor"] = {str(k): v
+                                            for k, v in gate_floor.items()}
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
