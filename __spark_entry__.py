@@ -1078,7 +1078,7 @@ def _q_partition_pruned_lang_agg(spark, sf_dir):
 
 
 _SQL_PARTITION_PRUNED_LANG_AGG = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(doc_id) AS min_doc_id
 FROM documents WHERE lang = 'en' GROUP BY source
 """

@@ -18,6 +18,17 @@ levels (see tools/bench_scaling.py) are self-describing.
 
 Each query is forced end-to-end with a ``noop``-format write — full
 computation on executors, no driver collect bottleneck.
+
+This VM shares a host and identical jobs vary 3-6x between contended and
+quiet windows (BASELINE.md documents same-build runs of 32.0 s and 222.9 s
+totals). Two defences are built in: (1) a 2 s busy-loop host probe runs
+before and after the timed queries and its Mops/s readings are embedded in
+the output (``host_probe``), so a contended window is visible in the
+artifact itself — the documented quiet-window floor is ~4.6-5.5 Mops/s at
+1 proc; (2) per-query attempts are adaptive min-of-k: each query gets two
+attempts, plus up to two more while the best is still improving >15%
+per attempt (a contended early attempt triggers retries; a quiet window
+converges at the 2-attempt floor).
 """
 
 from __future__ import annotations
@@ -36,9 +47,22 @@ def force(df) -> int:
     return 0
 
 
+def host_probe(seconds: float = 2.0) -> dict:
+    """One busy-loop sample at 1 proc: the window's contention signature.
+    Quiet-window floor on this host is ~4.6-5.5 Mops/s (BASELINE.md)."""
+    try:
+        from tools.host_probe import probe
+        r = probe([1], seconds)
+        return {"mops_1proc": r["aggregate_mops"][1]}
+    except Exception as e:  # never let the probe sink the bench
+        return {"error": str(e)[:120]}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    probe_pre = host_probe()
 
     from email_sanitizer_api_spark.session import get_spark
 
@@ -85,21 +109,30 @@ def main() -> None:
     # warm-up: JVM/codegen/Arrow paths (cheapest headline query)
     force(queries["exact_dedup_documents"](spark, sf_dir))
 
-    # best-of-2 per query: this VM shares a host (identical jobs vary 3-6x
-    # between contended and quiet windows); min-of-k recovers the machine-
-    # limited number the same way the scaling harness does.
+    # adaptive min-of-k per query: this VM shares a host (identical jobs
+    # vary 3-6x between contended and quiet windows); min-of-k recovers the
+    # machine-limited number the same way the scaling harness does. Floor
+    # of 2 attempts, then keep retrying (max 4) while the best is still
+    # dropping >15% per attempt — a contended early attempt earns retries.
     per_query: dict[str, float] = {}
     for name in headline:
         best = float("inf")
-        # flagship gets a third attempt: it is the headline files/sec number
-        # and the longest query, so a contended window distorts it most
-        for _ in range(3 if name == "dedup_pipeline_full" else 2):
+        attempts = 0
+        # flagship gets a third guaranteed attempt: it is the headline
+        # files/sec number and the longest query, so a contended window
+        # distorts it most
+        floor = 3 if name == "dedup_pipeline_full" else 2
+        while attempts < floor or (attempts < 4 and improving):
             spark.catalog.clearCache()  # drop persists from the prior run
             t0 = time.perf_counter()
             force(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            took = time.perf_counter() - t0
+            improving = took < best * 0.85
+            best = min(best, took)
+            attempts += 1
         per_query[name] = round(best, 3)
 
+    probe_post = host_probe()
     total = round(sum(per_query.values()), 3)
     dedup_sec = per_query.get("dedup_pipeline_full", 0.0)
     out = {
@@ -111,6 +144,10 @@ def main() -> None:
         "cpus": cpus,
         "dedup_files": n_docs,
         "files_per_sec": round(n_docs / dedup_sec, 1) if dedup_sec else None,
+        # window-contention context: quiet-window floor ~4.6-5.5 Mops/s at
+        # 1 proc (BASELINE.md); readings well below mean the numbers above
+        # measure neighbor load, not the engine
+        "host_probe": {"pre": probe_pre, "post": probe_post},
     }
     print(json.dumps(out))
     spark.stop()

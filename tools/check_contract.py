@@ -78,7 +78,21 @@ def main() -> None:
             continue
         ok_rows = len(got) == len(want)
         ok_cols = sorted(got.columns) == sorted(want.columns)
-        ok_hash = ok_rows and ok_cols and value_hash(got) == value_hash(want)
+        # dtype-kind parity: the driver's value hash distinguishes int64 2187
+        # from float64 2187.0 (DuckDB sum(BIGINT) -> HUGEINT -> float64);
+        # %.6g formatting below would hide that, so check kinds explicitly
+        ok_kind = True
+        if ok_cols:
+            for c in got.columns:
+                gk = got[c].dtype.kind
+                wk = want[c].dtype.kind
+                if gk != wk and {gk, wk} <= {"i", "u", "f"}:
+                    ok_kind = False
+                    print(f"      dtype-kind mismatch on {c}: "
+                          f"spark {got[c].dtype} vs duck {want[c].dtype} "
+                          f"(CAST the oracle aggregate)")
+        ok_hash = (ok_rows and ok_cols and ok_kind
+                   and value_hash(got) == value_hash(want))
         status = "OK   " if (ok_rows and ok_cols and ok_hash) else "FAIL "
         if status.startswith("FAIL"):
             failures.append(name)

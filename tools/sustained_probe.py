@@ -27,13 +27,20 @@ import multiprocessing as mp
 import time
 
 
+_SENTINEL = ("DONE", 0, 0.0)
+
+
 def _burn_intervals(q, seconds: float, interval: float) -> None:
-    """Busy loop; push (interval_index, ops) per elapsed interval."""
+    """Busy loop; push (interval_index, ops, actual_elapsed) per interval,
+    then a sentinel so the parent knows this child has produced everything.
+    Actual elapsed is recorded because the 100k-op inner loop overshoots the
+    interval mark — dividing by the nominal interval would understate the
+    rate of partial/overshot buckets (ADVICE r03)."""
     t0 = time.perf_counter()
     deadline = t0 + seconds
     idx = 0
     ops_in_interval = 0
-    next_mark = t0 + interval
+    mark = t0
     x = 0
     while True:
         now = time.perf_counter()
@@ -42,30 +49,49 @@ def _burn_intervals(q, seconds: float, interval: float) -> None:
         for _ in range(100_000):
             x = (x * 1103515245 + 12345) % (2 ** 31)
         ops_in_interval += 100_000
-        if time.perf_counter() >= next_mark:
-            q.put((idx, ops_in_interval))
+        now = time.perf_counter()
+        if now - mark >= interval:
+            q.put((idx, ops_in_interval, now - mark))
             idx += 1
             ops_in_interval = 0
-            next_mark += interval
+            mark = now
     if ops_in_interval:
-        q.put((idx, ops_in_interval))
+        q.put((idx, ops_in_interval, time.perf_counter() - mark))
+    q.put(_SENTINEL)
 
 
 def sustained(procs: int, seconds: float, interval: float) -> dict:
+    if seconds / interval < 4:
+        raise SystemExit(
+            f"--seconds {seconds} / --interval {interval} yields "
+            f"<4 intervals; steady-state median needs at least 4")
     q: mp.Queue = mp.Queue()
     ps = [mp.Process(target=_burn_intervals, args=(q, seconds, interval))
           for _ in range(procs)]
     for p in ps:
         p.start()
+    # Drain WHILE children run: joining first can deadlock when a child's
+    # feeder thread blocks on a full pipe buffer, and q.empty() after join
+    # may miss trailing items (ADVICE r03).
+    ops_by_idx: dict[int, int] = {}
+    sec_by_idx: dict[int, float] = {}
+    done = 0
+    while done < procs:
+        idx, ops, el = q.get()
+        if idx == "DONE":
+            done += 1
+            continue
+        ops_by_idx[idx] = ops_by_idx.get(idx, 0) + ops
+        sec_by_idx[idx] = sec_by_idx.get(idx, 0.0) + el
     for p in ps:
         p.join()
-    per_interval: dict[int, int] = {}
-    while not q.empty():
-        idx, ops = q.get()
-        per_interval[idx] = per_interval.get(idx, 0) + ops
-    # drop the final partial interval
-    idxs = sorted(per_interval)[:-1] if len(per_interval) > 1 else sorted(per_interval)
-    curve = [round(per_interval[i] / interval / 1e6, 2) for i in idxs]
+    # keep only buckets every process completed in full (>=90% of the
+    # nominal interval each, i.e. aggregate elapsed >= 0.9 * procs * interval)
+    # so mid-interval process exits can't skew the tail
+    idxs = [i for i in sorted(ops_by_idx)
+            if sec_by_idx[i] >= 0.9 * procs * interval]
+    curve = [round(ops_by_idx[i] / (sec_by_idx[i] / procs) / 1e6, 2)
+             for i in idxs]
     tail = sorted(curve[len(curve) // 2:])
     steady = tail[len(tail) // 2] if tail else 0.0
     return {
