@@ -1531,6 +1531,83 @@ def _sql_vocab_topk() -> str:
     return vocab_topk_sql()
 
 
+def _q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality filter: char-bigram model (add-1/2
+    smoothing, V=96 printable-ASCII alphabet) trained on the corpus,
+    every doc scored by 1e-4-quantized average log-probability + an
+    integer-compare quality flag. Train = explode + partial agg (<=V^2
+    rows shuffle per task); score = explode + BROADCAST model join + one
+    per-doc agg (functions/lm_quality.py)."""
+    from email_sanitizer_api_spark.functions.lm_quality import (
+        lm_quality_scores)
+    return lm_quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lm_quality() -> str:
+    from email_sanitizer_api_spark.functions.lm_quality import lm_quality_sql
+    return lm_quality_sql()
+
+
+def _q_pii_scan(spark, sf_dir):
+    """Non-email PII scan + redaction digest: per-family counts
+    (SSN/phone/IPv4/UUID, Java-regex-cap-RE2 portable patterns) plus the
+    sha256 of the [PII]-redacted text. Pure regexp codegen — rides the
+    validate stage's scan at 100 TB, zero extra jobs (the email family
+    has its own RFC-validating scanner, email_pii_scan)."""
+    from email_sanitizer_api_spark.functions.sanitize import (
+        pii_count_cols, pii_redact_expr)
+    docs = _t(spark, sf_dir, "documents")
+    cols = pii_count_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in cols.items()],
+        F.sha2(pii_redact_expr(F.col("text")), 256).alias("redacted_sha"),
+    )
+
+
+def _sql_pii_scan() -> str:
+    from email_sanitizer_api_spark.functions.sanitize import (
+        pii_count_sql, pii_redact_sql)
+    parts = pii_count_sql("text")
+    sel = ",\n       ".join(f"{sql} AS {name}" for name, sql in parts.items())
+    return (f"SELECT doc_id, {sel},\n"
+            f"       sha256({pii_redact_sql('text')}) AS redacted_sha\n"
+            f"FROM documents")
+
+
+def _q_url_domain_stats(spark, sf_dir):
+    """Per-domain URL inventory (domain blocklist / per-domain-cap
+    input): regexp_extract_all + explode + one domain-keyed agg with
+    map-side combine; output O(distinct domains)
+    (functions/corpus_stats.py)."""
+    from email_sanitizer_api_spark.functions.corpus_stats import (
+        url_domain_stats)
+    return url_domain_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_url_domain_stats() -> str:
+    from email_sanitizer_api_spark.functions.corpus_stats import (
+        url_domain_stats_sql)
+    return url_domain_stats_sql()
+
+
+def _q_length_percentiles(spark, sf_dir):
+    """Exact per-language length percentiles (curation-threshold report),
+    1e-2-quantized. Spark `percentile` == DuckDB `quantile_cont` (sorted
+    linear interpolation); at 100 TB the production twin is
+    percentile_approx (t-digest, partial-aggregable) with this exact
+    version demoted to oracle duty (functions/corpus_stats.py)."""
+    from email_sanitizer_api_spark.functions.corpus_stats import (
+        length_percentiles)
+    return length_percentiles(_t(spark, sf_dir, "documents"))
+
+
+def _sql_length_percentiles() -> str:
+    from email_sanitizer_api_spark.functions.corpus_stats import (
+        length_percentiles_sql)
+    return length_percentiles_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -1599,6 +1676,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_report": _q_corpus_mix,
         "segment_dedup_documents": _q_segment_dedup,
         "vocab_topk_tokens": _q_vocab_topk,
+        # corpus analytics (r04): LM quality filter, PII families,
+        # domain-level stats, curation-threshold percentiles
+        "lm_quality_scores": _q_lm_quality,
+        "pii_scan_documents": _q_pii_scan,
+        "url_domain_stats": _q_url_domain_stats,
+        "length_percentiles_by_lang": _q_length_percentiles,
     }
 
 
@@ -1659,6 +1742,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix_report": _sql_corpus_mix(),
         "segment_dedup_documents": _sql_segment_dedup(),
         "vocab_topk_tokens": _sql_vocab_topk(),
+        # corpus analytics (r04)
+        "lm_quality_scores": _sql_lm_quality(),
+        "pii_scan_documents": _sql_pii_scan(),
+        "url_domain_stats": _sql_url_domain_stats(),
+        "length_percentiles_by_lang": _sql_length_percentiles(),
         # semantic_dedup_lsh: intentionally omitted — LSH pair generation is
         # probabilistic; semantic_dedup_embeddings is its exact oracle twin
         # minhash_near_dup_pairs_est / simhash_signatures /

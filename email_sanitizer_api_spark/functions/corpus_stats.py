@@ -1,0 +1,99 @@
+"""Corpus-level statistics ops: URL/domain inventory + length percentiles.
+
+Two more curation staples for a web-scale training pipeline:
+
+* **URL/domain stats** — web-derived corpora are filtered and mixed at the
+  *domain* level (domain blocklists, per-domain caps against SEO spam).
+  ``regexp_extract_all`` pulls every http(s) URL out of the text (JVM
+  codegen), one explode, then a per-domain aggregation with map-side
+  combine.  Shuffle key = domain; the output is O(distinct domains), tiny
+  next to the corpus.  Reference analog: the reference keys its memo and
+  blocklists on the email *domain* (src/routes/email.rs) — this is the
+  same domain-level rollup for document corpora.
+
+* **Length percentiles per language** — curation thresholds (min/max doc
+  length) are set from the corpus's own length distribution.  Spark's
+  ``percentile`` is the exact sorted-interpolation definition — identical
+  to DuckDB's ``quantile_cont`` — so the report is oracle-checkable.  The
+  grouped exact percentile is one shuffle on the group key; at 100 TB you
+  would swap in ``percentile_approx`` (t-digest, partial-aggregable) —
+  the exact version stays as the oracle twin, same pattern as the exact
+  vs LSH dedup paths.
+
+Values are quantized to 1e-2 BIGINTs (``floor(x*100+0.5)``) so the
+cross-engine compare is integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# portable Java-regex/RE2 subset (no lookarounds/backrefs)
+URL_PATTERN = r"https?://[0-9A-Za-z.-]+"
+_PCTS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def url_domain_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-domain URL inventory: (domain, n_urls, n_docs)."""
+    urls = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                                 F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    )
+    return (urls
+            .select("id",
+                    F.regexp_replace("url", r"^https?://", "").alias("domain"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("id").alias("n_docs")))
+
+
+def url_domain_stats_sql(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    return f"""
+WITH urls AS (
+  SELECT {id_col} AS id,
+         unnest(regexp_extract_all(coalesce({text_col}, ''),
+                                   '{URL_PATTERN}')) AS url
+  FROM {table})
+SELECT regexp_replace(url, '^https?://', '') AS domain,
+       count(*) AS n_urls,
+       count(DISTINCT id) AS n_docs
+FROM urls GROUP BY 1
+"""
+
+
+def length_percentiles(docs: DataFrame, group_col: str = "lang",
+                       value_col: str = "n_chars") -> DataFrame:
+    """Exact length percentiles per group, 1e-2-quantized BIGINTs:
+    (group_col, n_docs, p25_q, p50_q, p75_q, p90_q, p99_q)."""
+    pct_list = ", ".join(f"{p}D" for p in _PCTS)
+    agg = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"percentile({value_col}, array({pct_list}))").alias("ps"),
+    )
+    cols = [group_col, "n_docs"]
+    for i, p in enumerate(_PCTS):
+        name = f"p{int(p * 100)}_q"
+        cols.append(
+            F.floor(F.col("ps")[i] * F.lit(100.0) + F.lit(0.5))
+             .cast("long").alias(name))
+    return agg.select(*cols)
+
+
+def length_percentiles_sql(table: str = "documents",
+                           group_col: str = "lang",
+                           value_col: str = "n_chars") -> str:
+    sel = ",\n       ".join(
+        f"CAST(floor(quantile_cont({value_col}, {p}) * 100.0 + 0.5) "
+        f"AS BIGINT) AS p{int(p * 100)}_q"
+        for p in _PCTS)
+    return f"""
+SELECT {group_col}, count(*) AS n_docs,
+       {sel}
+FROM {table} GROUP BY {group_col}
+"""

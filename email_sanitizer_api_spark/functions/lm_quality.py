@@ -1,0 +1,151 @@
+"""Char-bigram language-model quality scoring (CCNet-style filter).
+
+The CCNet / Gopher curation recipes score each document with a small
+language model and drop the worst-perplexity tail — boilerplate, binary
+junk, and mojibake sit far from the corpus's character statistics.  This
+module implements the pipeline staple at its deterministic core: a
+character-bigram model with add-1/2 smoothing, trained on the corpus
+itself (or any reference slice), scoring every document by average
+log-probability.  Reference analog: the reference rejects emails whose
+*syntax statistics* deviate from the RFC grammar
+(src/handlers/validation/syntax.rs); here the grammar is learned from the
+corpus and deviation is measured in log-probability.
+
+Spark-first plan (no Python in the hot path):
+
+* **normalize** — one ``regexp_replace`` maps every char outside
+  ``[ -~\n]`` (printable ASCII + newline) to ``~``, fixing the alphabet at
+  V=96 so smoothing is closed-form on both engines;
+* **explode** — ``explode(sequence(1, length-1))`` + ``substring`` yields
+  one row per bigram position; whole-stage codegen, and the partial
+  HashAggregate collapses each task's output to ≤ V² rows **before** the
+  shuffle, so model training moves ~9k rows per task no matter the corpus
+  size;
+* **model** — ≤ V² = 9,216 rows: ``logp(a,b) = ln((c_ab + 0.5) /
+  (c_a + 0.5·V))``, with ``c_a = Σ_b c_ab`` derived from the bigram counts
+  (no second corpus pass);
+* **score** — bigram explode again, BROADCAST join to the model, one
+  per-doc aggregation.  At 100 TB: train once on a sample/slice, persist
+  the 9k-row model, and scoring is a single scan + broadcast join + agg.
+
+Cross-engine exactness: counts are integers, smoothing constants are
+binary-exact (0.5, 48.0), so every ``ln`` argument is bit-identical; the
+per-doc average is quantized to a 1e-4 BIGINT (``floor(x·1e4+0.5)``, the
+same rule as `repetition.py`) — float-sum association error ~1e-11 never
+reaches the 1e-4 quantum.  The quality flag compares the *quantized*
+integer, never a raw float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# chars kept verbatim: printable ASCII + newline; everything else -> '~'
+_NON_ALPHABET = "[^ -~\\n]"
+ALPHABET_SIZE = 96.0  # 95 printable + '\n'
+
+# lm_quality_ok threshold on the QUANTIZED average log-prob (1e-4 units):
+# avg logp >= -6.0 nats/char. Integer compare — no float boundary.
+OK_THRESHOLD_Q = -60000
+
+
+def _grams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per character-bigram position of the normalized text."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(
+            F.coalesce(F.col(text_col), F.lit("")), _NON_ALPHABET, "~"
+        ).alias("txt"),
+    ).where(F.length("txt") >= 2)
+    return base.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.length("txt") - 1)).alias("i"),
+        "txt",
+    ).select("id", F.expr("substring(txt, i, 2)").alias("g"))
+
+
+def train_char_bigram_lm(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Smoothed char-bigram model: (g, logp) with ≤ V² rows.
+
+    ``c_a`` (prev-char positional count) is ``Σ_b c(a,b)`` — derived from
+    the bigram counts with a second tiny aggregation over ≤ V² rows, never
+    a second corpus scan.
+    """
+    cab = (_grams(docs, id_col, text_col)
+           .groupBy("g").agg(F.count(F.lit(1)).cast("double").alias("c_ab")))
+    ca = (cab.groupBy(F.substring("g", 1, 1).alias("a"))
+          .agg(F.sum("c_ab").alias("c_a")))
+    return (cab.join(ca, F.substring(cab["g"], 1, 1) == ca["a"])
+            .select(
+                "g",
+                F.log((F.col("c_ab") + F.lit(0.5))
+                      / (F.col("c_a") + F.lit(0.5) * F.lit(ALPHABET_SIZE))
+                      ).alias("logp"),
+            ))
+
+
+def lm_quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      model: DataFrame | None = None) -> DataFrame:
+    """Per-document LM quality: (id_col, n_bigrams, avg_logp_q,
+    lm_quality_ok).
+
+    ``avg_logp_q`` is the 1e-4-quantized average bigram log-probability;
+    ``lm_quality_ok`` flags docs at or above ``OK_THRESHOLD_Q``.  Docs
+    shorter than one bigram get (0, 0, 0).  When ``model`` is None the
+    model is trained on ``docs`` itself (self-scoring mode — the
+    train-on-slice / score-corpus split just passes a prebuilt model).
+    """
+    if model is None:
+        model = train_char_bigram_lm(docs, id_col, text_col)
+    scored = (_grams(docs, id_col, text_col)
+              .join(F.broadcast(model), "g")
+              .groupBy("id")
+              .agg(
+                  F.count(F.lit(1)).alias("n_bigrams"),
+                  (F.sum("logp") / F.count(F.lit(1))).alias("avg_logp"),
+              ))
+    q = F.floor(F.col("avg_logp") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    return (docs.select(F.col(id_col))
+            .join(scored, F.col(id_col) == scored["id"], "left")
+            .select(
+                id_col,
+                F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                 .alias("n_bigrams"),
+                F.coalesce(q, F.lit(0)).alias("avg_logp_q"),
+                (F.coalesce(q, F.lit(OK_THRESHOLD_Q - 1))
+                 >= F.lit(OK_THRESHOLD_Q)).cast("int").alias("lm_quality_ok"),
+            ))
+
+
+def lm_quality_sql(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """DuckDB oracle: identical normalization, smoothing, quantization."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         regexp_replace(coalesce({text_col}, ''), '{_NON_ALPHABET}', '~', 'g')
+           AS txt
+  FROM {table}),
+pos AS (
+  SELECT id, txt, unnest(generate_series(1, length(txt) - 1)) AS i
+  FROM base WHERE length(txt) >= 2),
+grams AS (SELECT id, substr(txt, i, 2) AS g FROM pos),
+cab AS (SELECT g, CAST(count(*) AS DOUBLE) AS c_ab FROM grams GROUP BY g),
+ca AS (SELECT substr(g, 1, 1) AS a, sum(c_ab) AS c_a FROM cab GROUP BY 1),
+model AS (
+  SELECT g, ln((c_ab + 0.5) / (c_a + 0.5 * {ALPHABET_SIZE})) AS logp
+  FROM cab JOIN ca ON substr(cab.g, 1, 1) = ca.a),
+scored AS (
+  SELECT id, count(*) AS n_bigrams,
+         floor(sum(logp) / count(*) * 10000.0 + 0.5) AS q
+  FROM grams JOIN model USING (g) GROUP BY id)
+SELECT d.{id_col},
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.q, 0) AS BIGINT) AS avg_logp_q,
+       CAST(coalesce(s.q, {OK_THRESHOLD_Q - 1}) >= {OK_THRESHOLD_Q} AS INT)
+         AS lm_quality_ok
+FROM {table} d LEFT JOIN scored s ON d.{id_col} = s.id
+"""

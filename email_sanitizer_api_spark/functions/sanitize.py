@@ -78,6 +78,53 @@ def redact_expr(text: Column) -> Column:
     return out
 
 
+# Non-email PII token formats (emails have their own RFC-validating scanner
+# in functions/email_pii.py). Same portable Java-regex/RE2 subset rules as
+# SECRET_PATTERNS: no lookarounds, no backreferences, \b word boundaries.
+# Order matters for redaction: SSN before phone (a 3-2-4 digit group would
+# otherwise be half-eaten by the phone pattern's 3-3-4 shape).
+PII_PATTERNS: list[tuple[str, str]] = [
+    # US SSN shape (exact 3-2-4 with dashes)
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    # phone in 3-3-4 groups with -/./space separators, optional +CC prefix.
+    # \b sits AFTER the optional '+' ('+' is a non-word char, so a leading
+    # \b would never hold after a space); parenthesized area codes are out
+    # of scope for the same reason.
+    ("phone", r"\+?\b([0-9]{1,2}[-. ])?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"),
+    # IPv4 with strict octet ranges (no leading-zero octets beyond '0')
+    ("ipv4", r"\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+             r"(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b"),
+    # RFC 4122 UUID (any version, case-insensitive hex)
+    ("uuid", r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+             r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b"),
+]
+
+PII_REDACTED = "[PII]"
+
+
+def pii_count_cols(text: Column) -> dict[str, Column]:
+    """Per-family PII match counts + total + boolean flag."""
+    counts = {
+        f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    counts["n_pii"] = total
+    counts["has_pii"] = (total > 0).cast("int")
+    return counts
+
+
+def pii_redact_expr(text: Column) -> Column:
+    """Text with every PII pattern replaced by [PII], applied in
+    PII_PATTERNS order (SSN first — see ordering note above)."""
+    out = text
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, PII_REDACTED)
+    return out
+
+
 # --- matching ANSI-SQL fragments (DuckDB oracle side) -----------------------
 
 def secret_count_sql(col: str) -> dict[str, str]:
@@ -99,4 +146,22 @@ def redact_sql(col: str) -> str:
     out = col
     for _, pat in SECRET_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '{REDACTED}', 'g')"
+    return out
+
+
+def pii_count_sql(col: str) -> dict[str, str]:
+    out = {
+        f"n_{name}": f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
+        for name, pat in PII_PATTERNS
+    }
+    total = " + ".join(out.values())
+    out["n_pii"] = f"({total})"
+    out["has_pii"] = f"CAST(({total}) > 0 AS INT)"
+    return out
+
+
+def pii_redact_sql(col: str) -> str:
+    out = col
+    for _, pat in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{PII_REDACTED}', 'g')"
     return out

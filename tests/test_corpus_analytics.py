@@ -1,0 +1,263 @@
+"""Tests for the r04 corpus-analytics operators: char-bigram LM quality
+scoring, non-email PII scan/redaction, URL/domain stats, and exact length
+percentiles.
+
+Same strategy as test_corpus_hygiene: plant known content in a synthetic
+corpus, verify against brute-force python oracles, and pin Spark ↔ DuckDB
+cross-engine parity (the driver's contract gate then re-proves parity on
+the sf tables).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.corpus_stats import (
+    URL_PATTERN,
+    length_percentiles,
+    length_percentiles_sql,
+    url_domain_stats,
+    url_domain_stats_sql,
+)
+from email_sanitizer_api_spark.functions.lm_quality import (
+    ALPHABET_SIZE,
+    OK_THRESHOLD_Q,
+    lm_quality_scores,
+    lm_quality_sql,
+    train_char_bigram_lm,
+)
+from email_sanitizer_api_spark.functions.sanitize import (
+    PII_PATTERNS,
+    PII_REDACTED,
+    pii_count_cols,
+    pii_count_sql,
+    pii_redact_expr,
+    pii_redact_sql,
+)
+
+
+def _duck(pdf: pd.DataFrame, sql: str, view: str = "documents"):
+    con = duckdb.connect()
+    con.register(view, pdf)
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+# ---------------------------------------------------------------------------
+
+PII_PLANTED = [
+    ("no pii here\nint x = 1;", set()),
+    ("call me at 555-123-4567 ok", {"n_phone"}),
+    ("intl +1 555-123-4567 works too", {"n_phone"}),
+    ("ssn 123-45-6789 leaked", {"n_ssn"}),
+    ("host 192.168.0.1 port 80", {"n_ipv4"}),
+    ("bad ip 999.1.1.1 is not one", set()),
+    ("id 123e4567-e89b-12d3-a456-426614174000 row", {"n_uuid"}),
+    ("both 10.0.0.255 and 555-123-4567", {"n_ipv4", "n_phone"}),
+    # near-misses: 3-2-4 is SSN not phone; 2-3-4 digits is neither
+    ("digits 12-345-6789 dangle", set()),
+]
+
+
+def _pii_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_id": range(len(PII_PLANTED)), "text": [t for t, _ in PII_PLANTED]}
+    )
+
+
+def test_pii_scan_planted(spark):
+    df = spark.createDataFrame(_pii_pdf())
+    cols = pii_count_cols(F.col("text"))
+    out = (df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+           .orderBy("doc_id").toPandas())
+    fams = [f"n_{name}" for name, _ in PII_PATTERNS]
+    for i, (_, expected) in enumerate(PII_PLANTED):
+        row = out.iloc[i]
+        hit = {f for f in fams if row[f] > 0}
+        assert hit == expected, f"doc {i}: {hit} != {expected}"
+        assert row["has_pii"] == (1 if expected else 0)
+
+
+def test_pii_redaction_removes_all_matches(spark):
+    df = spark.createDataFrame(_pii_pdf())
+    red = df.select(pii_redact_expr(F.col("text")).alias("t")).toPandas()["t"]
+    for t in red:
+        for _, pat in PII_PATTERNS:
+            assert re.search(pat, t) is None, (pat, t)
+    n_expected = sum(1 for _, fams in PII_PLANTED if fams)
+    assert sum(PII_REDACTED in t for t in red) >= n_expected
+
+
+def test_pii_cross_engine_parity(spark):
+    pdf = _pii_pdf()
+    df = spark.createDataFrame(pdf)
+    cols = pii_count_cols(F.col("text"))
+    got = (df.select("doc_id", *[c.alias(n) for n, c in cols.items()],
+                     pii_redact_expr(F.col("text")).alias("redacted"))
+           .toPandas())
+    parts = pii_count_sql("text")
+    sel = ", ".join(f"{s} AS {n}" for n, s in parts.items())
+    want = _duck(pdf, f"SELECT doc_id, {sel}, {pii_redact_sql('text')} "
+                      f"AS redacted FROM documents")
+    g, w = _canon(got.drop(columns=["redacted"])), _canon(want.drop(columns=["redacted"]))
+    pd.testing.assert_frame_equal(g, w)
+    assert sorted(got["redacted"]) == sorted(want["redacted"])
+
+
+# ---------------------------------------------------------------------------
+# char-bigram LM quality
+# ---------------------------------------------------------------------------
+
+LM_DOCS = (
+    ["def get_%d(self):\n    return self.x + %d\n" % (i, i) * 4
+     for i in range(8)]                     # code-like, repetitive: likely
+    + ["qZ9@kP2!mW7#xR4$vT1%yU8&" * 6]     # junk: far from corpus stats
+    + ["", "a"]                             # too short for any bigram
+    + ["café 中文 text"]      # non-ASCII -> '~' mapping
+)
+
+
+def _lm_pdf() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": range(len(LM_DOCS)), "text": LM_DOCS})
+
+
+def _lm_oracle(docs: list[str]) -> dict[int, tuple[int, int]]:
+    """Brute-force python: (n_bigrams, avg_logp_q) per doc id."""
+    norm = [re.sub(r"[^ -~\n]", "~", d or "") for d in docs]
+    cab: dict[str, int] = {}
+    for t in norm:
+        for i in range(len(t) - 1):
+            cab[t[i:i + 2]] = cab.get(t[i:i + 2], 0) + 1
+    ca: dict[str, int] = {}
+    for g, c in cab.items():
+        ca[g[0]] = ca.get(g[0], 0) + c
+    out = {}
+    for j, t in enumerate(norm):
+        if len(t) < 2:
+            out[j] = (0, 0)
+            continue
+        s = 0.0
+        n = len(t) - 1
+        for i in range(n):
+            g = t[i:i + 2]
+            s += math.log((cab[g] + 0.5) / (ca[g[0]] + 0.5 * ALPHABET_SIZE))
+        out[j] = (n, math.floor(s / n * 10000.0 + 0.5))
+    return out
+
+
+def test_lm_quality_matches_python_oracle(spark):
+    df = spark.createDataFrame(_lm_pdf())
+    got = lm_quality_scores(df).orderBy("doc_id").toPandas()
+    want = _lm_oracle(LM_DOCS)
+    for i in range(len(LM_DOCS)):
+        nb, q = want[i]
+        assert got.iloc[i]["n_bigrams"] == nb, i
+        assert got.iloc[i]["avg_logp_q"] == q, i
+        expect_ok = 1 if (nb > 0 and q >= OK_THRESHOLD_Q) else 0
+        assert got.iloc[i]["lm_quality_ok"] == expect_ok, i
+
+
+def test_lm_quality_junk_scores_below_code(spark):
+    df = spark.createDataFrame(_lm_pdf())
+    got = lm_quality_scores(df).orderBy("doc_id").toPandas()
+    code_scores = got.iloc[:8]["avg_logp_q"]
+    junk_score = got.iloc[8]["avg_logp_q"]
+    assert junk_score < code_scores.min() - 5000  # >0.5 nat/char worse
+
+
+def test_lm_quality_cross_engine_parity(spark):
+    pdf = _lm_pdf()
+    got = lm_quality_scores(spark.createDataFrame(pdf)).toPandas()
+    want = _duck(pdf, lm_quality_sql())
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_lm_model_is_bounded(spark):
+    model = train_char_bigram_lm(spark.createDataFrame(_lm_pdf())).toPandas()
+    assert len(model) <= int(ALPHABET_SIZE) ** 2
+    assert (model["logp"] < 0).all()
+
+
+# ---------------------------------------------------------------------------
+# URL / domain stats
+# ---------------------------------------------------------------------------
+
+URL_DOCS = [
+    "see https://example.com/page and http://example.com/x",
+    "dup https://example.com again plus https://other.org/path?q=1",
+    "no urls at all",
+    "ftp://not-matched.com and https://sub.domain.example.com/deep",
+]
+
+
+def test_url_domain_stats_planted(spark):
+    pdf = pd.DataFrame({"doc_id": range(len(URL_DOCS)), "text": URL_DOCS})
+    got = url_domain_stats(spark.createDataFrame(pdf)).toPandas()
+    got = got.set_index("domain").sort_index()
+    assert got.loc["example.com", "n_urls"] == 3
+    assert got.loc["example.com", "n_docs"] == 2
+    assert got.loc["other.org", "n_urls"] == 1
+    assert got.loc["sub.domain.example.com", "n_docs"] == 1
+    assert "not-matched.com" not in got.index  # ftp:// excluded
+
+
+def test_url_domain_cross_engine_parity(spark):
+    pdf = pd.DataFrame({"doc_id": range(len(URL_DOCS)), "text": URL_DOCS})
+    got = url_domain_stats(spark.createDataFrame(pdf)).toPandas()
+    want = _duck(pdf, url_domain_stats_sql())
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_url_pattern_is_shared(spark):
+    # the module constant is what both engines compile — one source of truth
+    assert "https?://" in URL_PATTERN
+
+
+# ---------------------------------------------------------------------------
+# length percentiles
+# ---------------------------------------------------------------------------
+
+def _len_pdf() -> pd.DataFrame:
+    rng = np.random.RandomState(7)
+    langs = ["en"] * 40 + ["zh"] * 25 + ["de"] * 3  # incl. tiny group
+    return pd.DataFrame({
+        "doc_id": range(len(langs)),
+        "lang": langs,
+        "n_chars": rng.randint(10, 5000, size=len(langs)),
+    })
+
+
+def test_length_percentiles_match_numpy(spark):
+    pdf = _len_pdf()
+    got = (length_percentiles(spark.createDataFrame(pdf))
+           .orderBy("lang").toPandas().set_index("lang"))
+    for lang, grp in pdf.groupby("lang"):
+        assert got.loc[lang, "n_docs"] == len(grp)
+        for p in (25, 50, 75, 90, 99):
+            want = np.percentile(grp["n_chars"], p)  # linear interpolation
+            assert got.loc[lang, f"p{p}_q"] == math.floor(want * 100 + 0.5), (
+                lang, p)
+
+
+def test_length_percentiles_cross_engine_parity(spark):
+    pdf = _len_pdf()
+    got = length_percentiles(spark.createDataFrame(pdf)).toPandas()
+    want = _duck(pdf, length_percentiles_sql())
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
