@@ -1608,6 +1608,67 @@ def _sql_length_percentiles() -> str:
     return length_percentiles_sql()
 
 
+def _q_dedup_keeper_by_quality(spark, sf_dir):
+    """Keeper selection under the keep-highest-quality-duplicate policy:
+    fingerprint-clustered docs (ws/case-insensitive near-identity), ONE
+    keeper per cluster chosen by quality_score_q DESC with a doc_id
+    tiebreak (operators/prune.keepers_by_policy) — the curation rule that
+    beats first-seen when mirrors differ in formatting quality. One
+    window shuffle on the cluster key, same shape as the flagship
+    prune stage."""
+    from email_sanitizer_api_spark.functions.text import (
+        fingerprint_expr, quality_score_cols)
+    from email_sanitizer_api_spark.operators.prune import keepers_by_policy
+    docs = _t(spark, sf_dir, "documents")
+    cols = quality_score_cols(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        fingerprint_expr(F.col("text")).alias("fp"),
+        cols["quality_score_q"].alias("quality_score_q"),
+    )
+    return (keepers_by_policy(d, "fp", ["doc_id"], policy="quality",
+                              quality_col="quality_score_q")
+            .select("doc_id", "fp", "quality_score_q",
+                    F.col("is_keeper").cast("int").alias("is_keeper")))
+
+
+def _sql_dedup_keeper_by_quality() -> str:
+    from email_sanitizer_api_spark.functions.text import (
+        fingerprint_sql, token_count_sql)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         {fingerprint_sql('text')} AS fp,
+         CAST(length(text) AS DOUBLE) AS n_chars_d,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           AS n_alpha,
+         CAST({token_count_sql('text')} AS DOUBLE) AS n_tokens_d,
+         CAST(len(regexp_extract_all(lower(text),
+              '\\b(the|a|of|and|is|to|in)\\b')) AS DOUBLE) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, fp, n_alpha, n_stop, n_tokens_d,
+         CASE WHEN n_chars_d > 0 THEN n_chars_d ELSE CAST(1.0 AS DOUBLE) END
+           AS safe,
+         CASE WHEN n_tokens_d > 0 THEN n_tokens_d ELSE CAST(1.0 AS DOUBLE) END
+           AS tok_safe
+  FROM t),
+q AS (
+  SELECT doc_id, fp,
+         CAST(floor((CAST(0.4 AS DOUBLE) * (n_alpha / safe)
+             + CAST(0.3 AS DOUBLE) * least(n_stop / tok_safe
+                 * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE) * least(n_tokens_d / CAST(64.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)))
+             * 10000.0 + 0.5) AS BIGINT) AS quality_score_q
+  FROM r)
+SELECT doc_id, fp, quality_score_q,
+       CAST(row_number() OVER (PARTITION BY fp
+            ORDER BY quality_score_q DESC, doc_id) = 1 AS INT) AS is_keeper
+FROM q
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -1682,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_documents": _q_pii_scan,
         "url_domain_stats": _q_url_domain_stats,
         "length_percentiles_by_lang": _q_length_percentiles,
+        "dedup_keeper_by_quality": _q_dedup_keeper_by_quality,
     }
 
 
@@ -1747,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan_documents": _sql_pii_scan(),
         "url_domain_stats": _sql_url_domain_stats(),
         "length_percentiles_by_lang": _sql_length_percentiles(),
+        "dedup_keeper_by_quality": _sql_dedup_keeper_by_quality(),
         # semantic_dedup_lsh: intentionally omitted — LSH pair generation is
         # probabilistic; semantic_dedup_embeddings is its exact oracle twin
         # minhash_near_dup_pairs_est / simhash_signatures /

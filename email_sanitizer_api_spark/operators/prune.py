@@ -24,6 +24,41 @@ def prune_keepers(files_with_clusters: DataFrame) -> DataFrame:
     )
 
 
+KEEPER_POLICIES = ("first", "longest", "quality")
+
+
+def keepers_by_policy(df: DataFrame, cluster_col: str,
+                      tiebreak_cols: list[str], policy: str = "first",
+                      quality_col: str | None = None,
+                      length_col: str | None = None) -> DataFrame:
+    """Generalized keeper selection: adds ``is_keeper`` choosing ONE row
+    per ``cluster_col`` group under a policy real pipelines need beyond
+    first-seen:
+
+    - ``first``   — lexicographically first on ``tiebreak_cols`` (the
+      flagship default, `prune_keepers`);
+    - ``longest`` — keep the longest document (``length_col`` DESC) —
+      truncated mirrors lose to the full copy;
+    - ``quality`` — keep the best-scoring document (``quality_col`` DESC,
+      e.g. `text.quality_score_cols`'s quantized ``quality_score_q``) —
+      the keep-highest-quality-duplicate curation rule.
+
+    Ties always fall through to ``tiebreak_cols`` so the choice is total
+    and deterministic (oracle-checkable). Same single-window shape as
+    `prune_keepers`: one shuffle on cluster_col regardless of policy.
+    """
+    if policy not in KEEPER_POLICIES:
+        raise ValueError(f"policy must be one of {KEEPER_POLICIES}")
+    order = []
+    if policy == "longest":
+        order.append(F.col(length_col).desc())
+    elif policy == "quality":
+        order.append(F.col(quality_col).desc())
+    order += [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return df.withColumn("is_keeper", F.row_number().over(w) == F.lit(1))
+
+
 def cluster_summary(files_with_clusters: DataFrame) -> DataFrame:
     """Per-cluster stats: size, n_repos, keeper path — the batch-summary
     analog of the reference's valid_count/invalid_count (A1)."""

@@ -261,3 +261,50 @@ def test_length_percentiles_cross_engine_parity(spark):
     got = length_percentiles(spark.createDataFrame(pdf)).toPandas()
     want = _duck(pdf, length_percentiles_sql())
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+# ---------------------------------------------------------------------------
+# keeper policies
+# ---------------------------------------------------------------------------
+
+def _keeper_pdf() -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "cl": ["a", "a", "a", "b", "b"],
+        "content": ["short", "a much longer document body", "midlen doc",
+                    "x", "xx"],
+        "quality_q": [100, 900, 500, 300, 300],  # cluster b: tie
+    })
+
+
+def test_keepers_by_policy_all_policies(spark):
+    from email_sanitizer_api_spark.operators.prune import keepers_by_policy
+    import pyspark.sql.functions as SF
+    df = spark.createDataFrame(_keeper_pdf()).withColumn(
+        "len", SF.octet_length("content"))
+
+    def keepers(policy, **kw):
+        out = keepers_by_policy(df, "cl", ["doc_id"], policy=policy, **kw)
+        return set(out.where("is_keeper").toPandas()["doc_id"])
+
+    assert keepers("first") == {0, 3}
+    assert keepers("longest", length_col="len") == {1, 4}
+    # quality: cluster a -> best score; cluster b -> tie broken by doc_id
+    assert keepers("quality", quality_col="quality_q") == {1, 3}
+
+
+def test_keepers_by_policy_exactly_one_per_cluster(spark):
+    from email_sanitizer_api_spark.operators.prune import keepers_by_policy
+    df = spark.createDataFrame(_keeper_pdf())
+    out = keepers_by_policy(df, "cl", ["doc_id"], policy="quality",
+                            quality_col="quality_q").toPandas()
+    per = out.groupby("cl")["is_keeper"].sum()
+    assert (per == 1).all()
+
+
+def test_keepers_by_policy_rejects_unknown(spark):
+    from email_sanitizer_api_spark.operators.prune import keepers_by_policy
+    df = spark.createDataFrame(_keeper_pdf())
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        keepers_by_policy(df, "cl", ["doc_id"], policy="newest")
