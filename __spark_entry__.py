@@ -1041,17 +1041,27 @@ FROM documents
 
 
 def _partitioned_docs_path(spark, sf_dir) -> str:
-    """Write (once per sf_dir, resume-idempotent) the ``documents`` table
-    into a Hive-layout warehouse partitioned by ``lang`` via
-    ``TableIO.write(partition_by=("lang",))`` — the parquet-dir analog of
-    the input_hint's identity-partitioned Iceberg table. Returns the table
-    path."""
+    """Write (once per source-table VERSION, resume-idempotent) the
+    ``documents`` table into a Hive-layout warehouse partitioned by
+    ``lang`` via ``TableIO.write(partition_by=("lang",))`` — the
+    parquet-dir analog of the input_hint's identity-partitioned Iceberg
+    table. Returns the table path.
+
+    The warehouse key includes a fingerprint of the SOURCE parquet (size +
+    mtime), not just the sf tag: the test harness regenerates
+    /root/testdata between rounds, and a stale warehouse keyed only by
+    ``sf0.01`` would silently serve the previous round's rows — the
+    correctness gate would then hash-mismatch against the fresh oracle
+    while both sides look healthy."""
     import os
 
     from email_sanitizer_api_spark.tableio import TableIO
 
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}_{int(st.st_mtime)}"
     tag = os.path.basename(os.path.normpath(sf_dir))
-    io = TableIO(spark, f"/tmp/spark_graft_wh/{tag}", resume=True)
+    io = TableIO(spark, f"/tmp/spark_graft_wh/{tag}_{fp}", resume=True)
     name = "documents_by_lang"
     if not io.completed(name):
         io.write(_t(spark, sf_dir, "documents"), name, partition_by=("lang",))
