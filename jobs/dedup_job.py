@@ -93,6 +93,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="route stage checkpoints through this Iceberg "
                          "catalog (needs the runtime jar + catalog conf on "
                          "the submit command) instead of parquet dirs")
+    ap.add_argument("--analytics", default=None, metavar="DIR",
+                    help="also write per-file corpus analytics (PII scan + "
+                         "char-bigram LM quality) as parquet side outputs "
+                         "under DIR — both are scan-side passes that add "
+                         "no shuffle to the dedup job itself")
     ap.add_argument("--set", dest="overrides", action="append", default=[],
                     metavar="KEY=VALUE", help="DedupConfig field override")
     args = ap.parse_args(argv)
@@ -131,6 +136,28 @@ def main(argv: list[str] | None = None) -> None:
         files = spark.read.table(args.input)
     else:
         files = spark.read.parquet(args.input)
+
+    if args.analytics:
+        from pyspark.sql import functions as F
+
+        from email_sanitizer_api_spark.functions.lm_quality import (
+            lm_quality_scores)
+        from email_sanitizer_api_spark.functions.sanitize import (
+            pii_count_cols, pii_redact_expr)
+
+        keyed = files.withColumn(
+            "file_id",
+            F.sha2(F.concat_ws("\x01", "repo", "path", "commit"), 256))
+        pii_cols = pii_count_cols(F.col("content"))
+        (keyed.select("repo", "path", "commit",
+                      *[c.alias(n) for n, c in pii_cols.items()],
+                      F.sha2(pii_redact_expr(F.col("content")), 256)
+                       .alias("redacted_sha"))
+              .write.mode("overwrite").parquet(f"{args.analytics}/pii_scan"))
+        (lm_quality_scores(keyed, id_col="file_id", text_col="content")
+         .join(keyed.select("file_id", "repo", "path", "commit"), "file_id")
+         .drop("file_id")
+         .write.mode("overwrite").parquet(f"{args.analytics}/lm_quality"))
 
     if args.incremental:
         if not args.state_dir:

@@ -150,3 +150,30 @@ def test_coerce_overrides_types():
         coerce_overrides(base, {"hot_bucket_salted_pass": "yes"})
     with _pytest.raises(AttributeError):
         coerce_overrides(base, {"not_a_field": "1"})
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_analytics_side_outputs(tmp_path):
+    """--analytics writes PII-scan and LM-quality parquet side outputs,
+    one row per input file, without disturbing the dedup summary."""
+    import pandas as pd
+
+    from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+
+    corpus = str(tmp_path / "corpus.parquet")
+    pdf = synthesize_code_files(CorpusSpec(n_base=40, n_repos=5))
+    # plant one PII hit so has_pii isn't vacuously zero
+    pdf.loc[pdf.index[0], "content"] += "\ncall 555-123-4567 now"
+    pdf.to_parquet(corpus, index=False)
+
+    an_dir = tmp_path / "analytics"
+    summary = _submit(tmp_path, corpus, extra=("--analytics", str(an_dir)))
+    assert summary["files"] > 0
+
+    pii = pd.read_parquet(an_dir / "pii_scan")
+    lm = pd.read_parquet(an_dir / "lm_quality")
+    assert len(pii) == len(pdf)
+    assert len(lm) == len(pdf)
+    assert pii["has_pii"].sum() >= 1
+    assert {"n_bigrams", "avg_logp_q", "lm_quality_ok"} <= set(lm.columns)
+    assert {"repo", "path", "commit"} <= set(lm.columns)
