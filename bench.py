@@ -21,14 +21,16 @@ computation on executors, no driver collect bottleneck.
 
 This VM shares a host and identical jobs vary 3-6x between contended and
 quiet windows (BASELINE.md documents same-build runs of 32.0 s and 222.9 s
-totals). Two defences are built in: (1) a 2 s busy-loop host probe runs
-before and after the timed queries and its Mops/s readings are embedded in
-the output (``host_probe``), so a contended window is visible in the
-artifact itself — the documented quiet-window floor is ~4.6-5.5 Mops/s at
-1 proc; (2) per-query attempts are adaptive min-of-k: each query gets two
-attempts, plus up to two more while the best is still improving >15%
-per attempt (a contended early attempt triggers retries; a quiet window
-converges at the 2-attempt floor).
+totals, and single-query readings of 6.1 s vs 40.2 s hours apart). Two
+defences are built in: (1) busy-loop host probes run before/after the
+bench and before every pass, embedded in the output (``host_probe``), so
+a contended window is visible in the artifact itself — the documented
+quiet-window floor is ~4.6-5.5 Mops/s at 1 proc; (2) timing is
+INTERLEAVED min-of-k: three full passes over the headline list (stable
+queries skip the last), so a multi-minute window shift lands on different
+queries in different passes and the per-query min recovers the
+machine-limited number — per-query attempt bursts would trap all attempts
+of one query inside one window.
 """
 
 from __future__ import annotations
@@ -109,28 +111,34 @@ def main() -> None:
     # warm-up: JVM/codegen/Arrow paths (cheapest headline query)
     force(queries["exact_dedup_documents"](spark, sf_dir))
 
-    # adaptive min-of-k per query: this VM shares a host (identical jobs
-    # vary 3-6x between contended and quiet windows); min-of-k recovers the
-    # machine-limited number the same way the scaling harness does. Floor
-    # of 2 attempts, then keep retrying (max 4) while the best is still
-    # dropping >15% per attempt — a contended early attempt earns retries.
-    per_query: dict[str, float] = {}
-    for name in headline:
-        best = float("inf")
-        attempts = 0
-        # flagship gets a third guaranteed attempt: it is the headline
-        # files/sec number and the longest query, so a contended window
-        # distorts it most
-        floor = 3 if name == "dedup_pipeline_full" else 2
-        while attempts < floor or (attempts < 4 and improving):
+    # INTERLEAVED min-of-k: this VM shares a host whose throughput is
+    # bimodal by 3-6x on multi-minute scales (memory-bandwidth windows a
+    # 2 s register-only probe cannot see — measured same-build readings of
+    # 6.1 s and 40.2 s for one query, clean probes both times). Per-query
+    # attempt BURSTS put all of a query's attempts inside one window;
+    # running full PASSES over the headline list instead means a window
+    # shift hits different queries in different passes, and min-of-passes
+    # recovers each query's machine-limited number — the same interleaving
+    # defence the scaling harness uses across its two levels.
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    pass_probes: list[dict] = []
+    n_passes = 3
+    for p in range(n_passes):
+        pass_probes.append(host_probe(1.0))
+        for name in headline:
+            best = min(samples[name], default=float("inf"))
+            # skip a stable query's last pass: two readings within 15%
+            # are already machine-limited; the flagship (the headline
+            # files/sec number) always runs every pass
+            if (p == n_passes - 1 and name != "dedup_pipeline_full"
+                    and len(samples[name]) >= 2
+                    and sorted(samples[name])[1] <= best * 1.15):
+                continue
             spark.catalog.clearCache()  # drop persists from the prior run
             t0 = time.perf_counter()
             force(queries[name](spark, sf_dir))
-            took = time.perf_counter() - t0
-            improving = took < best * 0.85
-            best = min(best, took)
-            attempts += 1
-        per_query[name] = round(best, 3)
+            samples[name].append(time.perf_counter() - t0)
+    per_query = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     probe_post = host_probe()
     total = round(sum(per_query.values()), 3)
@@ -146,8 +154,10 @@ def main() -> None:
         "files_per_sec": round(n_docs / dedup_sec, 1) if dedup_sec else None,
         # window-contention context: quiet-window floor ~4.6-5.5 Mops/s at
         # 1 proc (BASELINE.md); readings well below mean the numbers above
-        # measure neighbor load, not the engine
-        "host_probe": {"pre": probe_pre, "post": probe_post},
+        # measure neighbor load, not the engine. per_pass probes bracket
+        # each interleaved pass over the headline list.
+        "host_probe": {"pre": probe_pre, "post": probe_post,
+                       "per_pass": pass_probes},
     }
     print(json.dumps(out))
     spark.stop()
