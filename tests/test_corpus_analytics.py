@@ -308,3 +308,14 @@ def test_keepers_by_policy_rejects_unknown(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         keepers_by_policy(df, "cl", ["doc_id"], policy="newest")
+
+
+def test_lm_quality_prebuilt_model_matches_self_train(spark):
+    """Train-on-slice mode: passing the model trained on the same corpus
+    must equal self-scoring (the API contract that lets production train
+    once and score many batches)."""
+    df = spark.createDataFrame(_lm_pdf())
+    model = train_char_bigram_lm(df)
+    a = _canon(lm_quality_scores(df).toPandas())
+    b = _canon(lm_quality_scores(df, model=model).toPandas())
+    pd.testing.assert_frame_equal(a, b)
