@@ -93,6 +93,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="route stage checkpoints through this Iceberg "
                          "catalog (needs the runtime jar + catalog conf on "
                          "the submit command) instead of parquet dirs")
+    ap.add_argument("--shard-max-records", type=int, default=None,
+                    metavar="N",
+                    help="size-balance the final output: hash-repartition "
+                         "on content_sha256 to ceil(rows/N) partitions and "
+                         "cap files at N records (maxRecordsPerFile). At "
+                         "100 TB this is the difference between a skewed "
+                         "heap of part files and a shard layout downstream "
+                         "loaders can stream")
     ap.add_argument("--analytics", default=None, metavar="DIR",
                     help="also write per-file corpus analytics (PII scan + "
                          "char-bigram LM quality) as parquet side outputs "
@@ -192,13 +200,22 @@ def main(argv: list[str] | None = None) -> None:
         enable_suffix=not args.no_suffix,
         blocklist=blocklist,
     )
-    res.files_clustered.write.mode("overwrite").parquet(args.output)
+    n_files = res.files_clustered.count()
+    out_df = res.files_clustered
+    writer_opts = {}
+    if args.shard_max_records:
+        n_shards = max(1, -(-n_files // args.shard_max_records))
+        # sha-hash repartition balances shards (uniform key by
+        # construction); maxRecordsPerFile caps any residual straggler
+        out_df = out_df.repartition(n_shards, "content_sha256")
+        writer_opts["maxRecordsPerFile"] = str(args.shard_max_records)
+    out_df.write.options(**writer_opts).mode("overwrite").parquet(args.output)
 
     summary = {
         "run_id": io.run_id,
         "input": args.input,
         "output": args.output,
-        "files": res.files_clustered.count(),
+        "files": n_files,
         "clusters": res.clusters.count(),
         "stages": [r["stage"] for r in io.manifest_rows()
                    if r.get("status") == "Completed"],

@@ -319,3 +319,29 @@ def test_lm_quality_prebuilt_model_matches_self_train(spark):
     a = _canon(lm_quality_scores(df).toPandas())
     b = _canon(lm_quality_scores(df, model=model).toPandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pii_redaction_idempotent_property():
+    """Property (python mirror of the regexp_replace chain): redaction is
+    idempotent — [PII] matches no pattern, so a second pass is a no-op."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pii_bits = ["555-123-4567", "+1 555-123-4567", "123-45-6789",
+                "10.0.0.255", "123e4567-e89b-12d3-a456-426614174000"]
+
+    def redact(t: str) -> str:
+        for _, pat in PII_PATTERNS:
+            t = re.sub(pat, PII_REDACTED, t)
+        return t
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(
+        st.one_of(st.sampled_from(pii_bits),
+                  st.text(alphabet=st.characters(codec="ascii"), max_size=20)),
+        max_size=8).map(" ".join))
+    def check(text):
+        once = redact(text)
+        assert redact(once) == once
+
+    check()

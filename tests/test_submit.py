@@ -46,10 +46,17 @@ def test_spark_submit_end_to_end(tmp_path):
     synthesize_code_files(CorpusSpec(n_base=40, n_repos=5)).to_parquet(
         corpus, index=False)
 
-    summary = _submit(tmp_path, corpus)
+    summary = _submit(tmp_path, corpus, extra=("--shard-max-records", "16"))
     assert summary["files"] > 0
     assert summary["clusters"] > 0
     assert "s9_clusters" in summary["stages"]
+
+    # sharded output: every part file capped at 16 records
+    import pyarrow.parquet as pq
+    parts = sorted((tmp_path / "out").glob("*.parquet"))
+    assert len(parts) >= -(-summary["files"] // 16)
+    for part in parts:
+        assert pq.ParquetFile(part).metadata.num_rows <= 16
 
     manifest = tmp_path / "wh" / "_manifest.jsonl"
     rows = [json.loads(l) for l in manifest.read_text().splitlines()]
