@@ -1589,16 +1589,20 @@ def _q_url_domain_stats(spark, sf_dir):
     """Per-domain URL inventory (domain blocklist / per-domain-cap
     input): regexp_extract_all + explode + one domain-keyed agg with
     map-side combine; output O(distinct domains)
-    (functions/corpus_stats.py)."""
+    (functions/corpus_stats.py). The URL-free synthetic corpus is
+    wrapped by `with_planted_urls` (URLs derived deterministically from
+    source/lang/doc_id, identical expression in the DuckDB oracle) so
+    the check is non-vacuous."""
     from email_sanitizer_api_spark.functions.corpus_stats import (
-        url_domain_stats)
-    return url_domain_stats(_t(spark, sf_dir, "documents"))
+        url_domain_stats, with_planted_urls)
+    return url_domain_stats(
+        with_planted_urls(_t(spark, sf_dir, "documents")))
 
 
 def _sql_url_domain_stats() -> str:
     from email_sanitizer_api_spark.functions.corpus_stats import (
-        url_domain_stats_sql)
-    return url_domain_stats_sql()
+        url_domain_stats_sql, with_planted_urls_sql)
+    return url_domain_stats_sql(table=with_planted_urls_sql())
 
 
 def _q_length_percentiles(spark, sf_dir):

@@ -67,6 +67,41 @@ FROM urls GROUP BY 1
 """
 
 
+def with_planted_urls(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Deterministically derive URL-bearing rows from the table's OWN
+    columns (no external data): every row with ``doc_id % 7 == 0`` gets a
+    footer URL whose domain is ``<source>-<lang>.example``; rows with
+    ``doc_id % 14 == 0`` get it twice (so n_urls > n_docs and the
+    count-vs-countDistinct split is exercised).  The synthetic testdata
+    corpus is URL-free, which made the `url_domain_stats` oracle check
+    vacuously 0-row; this wrapper keeps the check non-trivial while the
+    production op stays unchanged.  `with_planted_urls_sql` is the
+    character-identical DuckDB twin."""
+    url = F.concat(F.lit(" see https://"), F.col("source"), F.lit("-"),
+                   F.col("lang"), F.lit(".example/d"),
+                   F.col(id_col).cast("string"))
+    planted = (
+        F.when(F.col(id_col) % 14 == 0,
+               F.concat(F.col(text_col), url, url))
+        .when(F.col(id_col) % 7 == 0, F.concat(F.col(text_col), url))
+        .otherwise(F.col(text_col)))
+    return docs.withColumn(text_col, planted)
+
+
+def with_planted_urls_sql(table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """DuckDB twin of `with_planted_urls`, usable as a FROM subquery."""
+    url = (f"' see https://' || source || '-' || lang || '.example/d' "
+           f"|| CAST({id_col} AS VARCHAR)")
+    return f"""(
+  SELECT * REPLACE (
+    CASE WHEN {id_col} % 14 = 0 THEN {text_col} || {url} || {url}
+         WHEN {id_col} % 7 = 0 THEN {text_col} || {url}
+         ELSE {text_col} END AS {text_col})
+  FROM {table})"""
+
+
 def length_percentiles(docs: DataFrame, group_col: str = "lang",
                        value_col: str = "n_chars") -> DataFrame:
     """Exact length percentiles per group, 1e-2-quantized BIGINTs:

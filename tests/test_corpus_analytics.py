@@ -345,3 +345,25 @@ def test_pii_redaction_idempotent_property():
         assert redact(once) == once
 
     check()
+
+
+def test_with_planted_urls_cross_engine_parity(spark):
+    """The queries() wrapper that makes url_domain_stats non-vacuous on the
+    URL-free corpus: planted URLs (derived from source/lang/doc_id) must be
+    byte-identical across engines, including the %14 double-plant."""
+    from email_sanitizer_api_spark.functions.corpus_stats import (
+        with_planted_urls, with_planted_urls_sql)
+
+    pdf = pd.DataFrame({
+        "doc_id": range(30),
+        "text": [f"body {i}" for i in range(30)],
+        "lang": ["py", "go", "rs"] * 10,
+        "source": ["gh", "gl"] * 15,
+    })
+    got = url_domain_stats(
+        with_planted_urls(spark.createDataFrame(pdf))).toPandas()
+    want = _duck(pdf, url_domain_stats_sql(table=with_planted_urls_sql()))
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    # %7 rows plant one URL, %14 rows two: 30 rows -> ids 0,7,14,21,28
+    assert int(got["n_urls"].sum()) == 8   # 0,14,28 double + 7,21 single
+    assert int(got["n_docs"].sum()) == 5
