@@ -1683,6 +1683,64 @@ FROM q
 """
 
 
+def _split_docs(spark, sf_dir):
+    """Documents keyed by their deterministic fingerprint cluster (the
+    ws/case-insensitive near-identity used by dedup_keeper_by_quality),
+    with the leakage-safe split assigned from the CLUSTER key."""
+    from email_sanitizer_api_spark.functions.text import fingerprint_expr
+    from email_sanitizer_api_spark.operators.split import assign_split
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint_expr(F.col("text")).alias("cluster_key"))
+    return assign_split(docs, "cluster_key")
+
+
+def _q_cluster_split_assignment(spark, sf_dir):
+    """Leakage-safe train/valid/test assignment: split derived from
+    md5(salt:cluster_key) bucket cuts, so every member of a near-dup
+    cluster lands in the same split. Pure column math — no shuffle
+    (operators/split.py)."""
+    return _split_docs(spark, sf_dir)
+
+
+def _q_split_leakage_report(spark, sf_dir):
+    """Per-split doc/cluster counts + the leakage invariant computed
+    from the data: leaky_clusters = #clusters seen in >1 split, which
+    must be 0 for any cluster-keyed assignment (operators/split.py)."""
+    from email_sanitizer_api_spark.operators.split import split_report
+    return split_report(_split_docs(spark, sf_dir), "cluster_key")
+
+
+def _sql_split_base() -> str:
+    from email_sanitizer_api_spark.functions.text import fingerprint_sql
+    from email_sanitizer_api_spark.operators.split import assign_split_sql
+    return f"""
+t AS (SELECT doc_id, {fingerprint_sql('text')} AS cluster_key
+      FROM documents),
+s AS (SELECT doc_id, cluster_key,
+             {assign_split_sql('cluster_key')} AS split
+      FROM t)"""
+
+
+def _sql_cluster_split_assignment() -> str:
+    return f"WITH {_sql_split_base()}\nSELECT doc_id, cluster_key, split FROM s"
+
+
+def _sql_split_leakage_report() -> str:
+    return f"""
+WITH {_sql_split_base()},
+per AS (
+  SELECT split, count(*) AS n_docs,
+         count(DISTINCT cluster_key) AS n_clusters
+  FROM s GROUP BY split),
+leaky AS (
+  SELECT count(*) AS leaky_clusters FROM (
+    SELECT cluster_key FROM s GROUP BY cluster_key
+    HAVING count(DISTINCT split) > 1))
+SELECT per.split, per.n_docs, per.n_clusters, leaky.leaky_clusters
+FROM per CROSS JOIN leaky
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -1758,6 +1816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "length_percentiles_by_lang": _q_length_percentiles,
         "dedup_keeper_by_quality": _q_dedup_keeper_by_quality,
+        # leakage-safe splits (r04): cluster-consistent train/valid/test
+        "cluster_split_assignment": _q_cluster_split_assignment,
+        "split_leakage_report": _q_split_leakage_report,
     }
 
 
@@ -1824,6 +1885,8 @@ def oracle_sql() -> dict[str, str]:
         "url_domain_stats": _sql_url_domain_stats(),
         "length_percentiles_by_lang": _sql_length_percentiles(),
         "dedup_keeper_by_quality": _sql_dedup_keeper_by_quality(),
+        "cluster_split_assignment": _sql_cluster_split_assignment(),
+        "split_leakage_report": _sql_split_leakage_report(),
         # semantic_dedup_lsh: intentionally omitted — LSH pair generation is
         # probabilistic; semantic_dedup_embeddings is its exact oracle twin
         # minhash_near_dup_pairs_est / simhash_signatures /

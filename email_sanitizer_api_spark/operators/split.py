@@ -1,0 +1,107 @@
+"""Leakage-safe train/valid/test split assignment.
+
+When a deduplicated corpus feeds model training, the split must be
+*cluster-consistent*: every member of a near-dup cluster lands in the
+same split, or near-identical files leak from train into the eval sets
+and inflate every downstream metric.  The standard fix (The Pile,
+RefinedWeb, code-LM dedup pipelines) is to hash the cluster key — not
+the document — into a fixed bucket space and carve the buckets by the
+requested weights.
+
+Scale shape: assignment is pure column math (md5 + substr + CASE) on
+whatever table already carries the cluster key — NO shuffle, no join,
+no state; it composes with any upstream clusterer (exact sha, MinHash
+CC label, fingerprint).  The leakage invariant and the per-split report
+are one aggregation each on the cluster key / split key.
+
+Determinism contract: md5 lowercase hex is identical in Spark and
+DuckDB, substrings are 1-based in both, and 4-char lowercase-hex
+string comparison is plain ASCII ordering in both — so the assignment
+is oracle-checkable bit-for-bit and stable across rounds, languages
+and engines (the property RNG-based splitters lack).
+
+Reference analog: the reference keys its memo cache deterministically
+per domain (src/routes/email.rs:81-117) — the same derive-placement-
+from-a-stable-key pattern, applied to split placement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET_CHARS = 4          # 16^4 = 65536 buckets
+_SPACE = 16 ** _BUCKET_CHARS
+
+DEFAULT_WEIGHTS = (0.98, 0.01, 0.01)
+DEFAULT_NAMES = ("train", "valid", "test")
+DEFAULT_SALT = "split-v1"
+
+
+def split_thresholds(weights=DEFAULT_WEIGHTS) -> list:
+    """Cumulative bucket-space cut points as zero-padded lowercase-hex
+    strings, one per split boundary (len(weights)-1 entries)."""
+    if not weights or any(w < 0 for w in weights):
+        raise ValueError(f"bad weights {weights!r}")
+    total = float(sum(weights))
+    cuts, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        cuts.append(format(min(int(acc * _SPACE), _SPACE - 1),
+                           f"0{_BUCKET_CHARS}x"))
+    return cuts
+
+def _bucket_col(cluster_col: str, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(cluster_col))),
+        1, _BUCKET_CHARS)
+
+
+def assign_split(df: DataFrame, cluster_col: str,
+                 weights=DEFAULT_WEIGHTS, names=DEFAULT_NAMES,
+                 salt: str = DEFAULT_SALT,
+                 out_col: str = "split") -> DataFrame:
+    """Add `out_col`: the split every row of the cluster shares.
+
+    Buckets are substr(md5(salt ':' cluster_key), 1, 4) compared against
+    the cumulative-weight hex cut points; changing `salt` re-rolls the
+    entire assignment at once (epoch-style re-splits) without touching
+    upstream state.
+    """
+    if len(names) != len(weights):
+        raise ValueError("names/weights length mismatch")
+    cuts = split_thresholds(weights)
+    bucket = _bucket_col(cluster_col, salt)
+    expr = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        expr = F.when(bucket < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def assign_split_sql(cluster_col: str, weights=DEFAULT_WEIGHTS,
+                     names=DEFAULT_NAMES, salt: str = DEFAULT_SALT) -> str:
+    """DuckDB twin of `assign_split` as a scalar CASE expression."""
+    cuts = split_thresholds(weights)
+    bucket = (f"substr(md5('{salt}' || ':' || {cluster_col}), "
+              f"1, {_BUCKET_CHARS})")
+    whens = " ".join(
+        f"WHEN {bucket} < '{cut}' THEN '{name}'"
+        for name, cut in zip(names[:-1], cuts))
+    return f"CASE {whens} ELSE '{names[-1]}' END"
+
+
+def split_report(df: DataFrame, cluster_col: str,
+                 split_col: str = "split") -> DataFrame:
+    """Per-split report + global leakage invariant:
+    (split, n_docs, n_clusters, leaky_clusters) — `leaky_clusters` is
+    the number of clusters observed in >1 split and MUST be 0 for any
+    cluster-keyed assignment; it is computed from the data, not assumed,
+    so a broken upstream join shows up here."""
+    per = (df.groupBy(split_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct(cluster_col).alias("n_clusters")))
+    leaky = (df.groupBy(cluster_col)
+             .agg(F.countDistinct(split_col).alias("n_splits"))
+             .where(F.col("n_splits") > 1)
+             .agg(F.count(F.lit(1)).alias("leaky_clusters")))
+    return per.crossJoin(F.broadcast(leaky))

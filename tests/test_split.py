@@ -1,0 +1,93 @@
+"""Leakage-safe cluster-consistent split assignment (operators/split.py)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from email_sanitizer_api_spark.operators.split import (
+    DEFAULT_NAMES,
+    assign_split,
+    assign_split_sql,
+    split_report,
+    split_thresholds,
+)
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _pdf(n=400, n_clusters=80):
+    return pd.DataFrame({
+        "doc_id": range(n),
+        "cluster_key": [f"c{i % n_clusters:04d}" for i in range(n)],
+    })
+
+
+def test_thresholds_cumulative_hex():
+    cuts = split_thresholds((0.98, 0.01, 0.01))
+    assert cuts == ["fae1", "fd70"]
+    assert split_thresholds((0.5, 0.5)) == ["8000"]
+    with pytest.raises(ValueError):
+        split_thresholds((0.5, -0.1))
+
+
+def test_cluster_consistency_and_determinism(spark):
+    out = assign_split(
+        spark.createDataFrame(_pdf()), "cluster_key").toPandas()
+    # every cluster maps to exactly one split, repeatably
+    per = out.groupby("cluster_key")["split"].nunique()
+    assert (per == 1).all()
+    again = assign_split(
+        spark.createDataFrame(_pdf()), "cluster_key").toPandas()
+    pd.testing.assert_frame_equal(_canon(out), _canon(again))
+    assert set(out["split"]).issubset(set(DEFAULT_NAMES))
+
+
+def test_weights_respected_at_scale(spark):
+    # 5000 clusters, 50/25/25: binomial(5000, .5) is within ±5% of the
+    # mean at >5 sigma, so a deterministic assertion is safe
+    pdf = pd.DataFrame({"doc_id": range(5000),
+                        "cluster_key": [f"k{i}" for i in range(5000)]})
+    out = assign_split(spark.createDataFrame(pdf), "cluster_key",
+                       weights=(0.5, 0.25, 0.25),
+                       names=("a", "b", "c")).toPandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["a"] - 0.5) < 0.05
+    assert abs(frac["b"] - 0.25) < 0.05
+
+
+def test_salt_rerolls_assignment(spark):
+    df = spark.createDataFrame(_pdf())
+    a = assign_split(df, "cluster_key", salt="epoch-1").toPandas()
+    b = assign_split(df, "cluster_key", salt="epoch-2").toPandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] != merged["split_b"]).any()
+
+
+def test_cross_engine_parity(spark):
+    pdf = _pdf()
+    got = assign_split(spark.createDataFrame(pdf), "cluster_key").toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(
+        f"SELECT doc_id, cluster_key, "
+        f"{assign_split_sql('cluster_key')} AS split FROM t").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_split_report_leakage_zero_and_detected(spark):
+    df = assign_split(spark.createDataFrame(_pdf()), "cluster_key")
+    rep = split_report(df, "cluster_key").toPandas()
+    assert (rep["leaky_clusters"] == 0).all()
+    assert int(rep["n_docs"].sum()) == 400
+    assert int(rep["n_clusters"].sum()) == 80
+
+    # a row-keyed (WRONG) assignment must show up as leakage
+    bad = assign_split(spark.createDataFrame(_pdf()), "doc_id")
+    rep_bad = split_report(bad, "cluster_key").toPandas()
+    assert (rep_bad["leaky_clusters"] > 0).all()
