@@ -1741,6 +1741,59 @@ FROM per CROSS JOIN leaky
 """
 
 
+def _distinct_docs(spark, sf_dir):
+    from email_sanitizer_api_spark.functions.text import fingerprint_expr
+    return _t(spark, sf_dir, "documents").select(
+        "lang", fingerprint_expr(F.col("text")).alias("fp"))
+
+
+def _q_distinct_fp_by_lang(spark, sf_dir):
+    """Per-language distinct fingerprint counts — the EXACT oracle twin
+    (two-level distinct agg). Production twin at 100 TB is
+    `distinct_fp_by_lang_approx` (functions/corpus_stats.distinct_stats)."""
+    from email_sanitizer_api_spark.functions.corpus_stats import distinct_stats
+    return distinct_stats(_distinct_docs(spark, sf_dir))
+
+
+def _q_distinct_fp_by_lang_approx(spark, sf_dir):
+    """HyperLogLog++ production twin: approx_count_distinct sketches
+    partial-aggregate map-side, shuffle volume O(groups x sketch) —
+    independent of distinct-key cardinality. Probabilistic by design
+    (rows-only driver check); relative error vs the exact twin is pinned
+    <= 3*rsd by pytest."""
+    from email_sanitizer_api_spark.functions.corpus_stats import distinct_stats
+    return distinct_stats(_distinct_docs(spark, sf_dir), approx=True)
+
+
+def _sql_distinct_fp_by_lang() -> str:
+    from email_sanitizer_api_spark.functions.corpus_stats import (
+        distinct_stats_sql)
+    from email_sanitizer_api_spark.functions.text import fingerprint_sql
+    table = (f"(SELECT lang, {fingerprint_sql('text')} AS fp "
+             f"FROM documents)")
+    return distinct_stats_sql(table=table)
+
+
+def _q_key_skew_profile(spark, sf_dir):
+    """Join-key skew profiler over the fingerprint cluster key: top-20
+    heavy hitters + (n_keys, total_rows, max_over_mean_q,
+    recommended_salt). The diagnostic half of the engine's hot-bucket
+    caps / salting — one count shuffle, TakeOrdered top-k, broadcast
+    1-row summary (operators/skew.py)."""
+    from email_sanitizer_api_spark.functions.text import fingerprint_expr
+    from email_sanitizer_api_spark.operators.skew import key_skew_profile
+    docs = _t(spark, sf_dir, "documents").select(
+        fingerprint_expr(F.col("text")).alias("fp"))
+    return key_skew_profile(docs, "fp")
+
+
+def _sql_key_skew_profile() -> str:
+    from email_sanitizer_api_spark.functions.text import fingerprint_sql
+    from email_sanitizer_api_spark.operators.skew import key_skew_profile_sql
+    table = f"(SELECT {fingerprint_sql('text')} AS fp FROM documents)"
+    return key_skew_profile_sql(table, "fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -1819,6 +1872,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-safe splits (r04): cluster-consistent train/valid/test
         "cluster_split_assignment": _q_cluster_split_assignment,
         "split_leakage_report": _q_split_leakage_report,
+        # shuffle-key skew diagnostics (r04)
+        "key_skew_profile_fp": _q_key_skew_profile,
+        # sketch-based distinct counting: exact oracle twin + HLL++ twin
+        "distinct_fp_by_lang": _q_distinct_fp_by_lang,
+        "distinct_fp_by_lang_approx": _q_distinct_fp_by_lang_approx,
     }
 
 
@@ -1887,6 +1945,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keeper_by_quality": _sql_dedup_keeper_by_quality(),
         "cluster_split_assignment": _sql_cluster_split_assignment(),
         "split_leakage_report": _sql_split_leakage_report(),
+        "key_skew_profile_fp": _sql_key_skew_profile(),
+        "distinct_fp_by_lang": _sql_distinct_fp_by_lang(),
+        # distinct_fp_by_lang_approx: intentionally omitted — HLL++ sketch
+        # is probabilistic; distinct_fp_by_lang is its exact oracle twin
+        # and pytest pins the estimate's relative error
         # semantic_dedup_lsh: intentionally omitted — LSH pair generation is
         # probabilistic; semantic_dedup_embeddings is its exact oracle twin
         # minhash_near_dup_pairs_est / simhash_signatures /

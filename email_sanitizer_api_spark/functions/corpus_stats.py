@@ -102,6 +102,38 @@ def with_planted_urls_sql(table: str = "documents", id_col: str = "doc_id",
   FROM {table})"""
 
 
+def distinct_stats(docs: DataFrame, group_col: str = "lang",
+                   key_col: str = "fp", approx: bool = False,
+                   rsd: float = 0.01) -> DataFrame:
+    """Per-group distinct-key counts: (group_col, n_docs, n_distinct).
+
+    ``approx=False`` is the exact oracle twin: count(DISTINCT key) is a
+    two-level agg (distinct (group,key) pre-shuffle, then the group agg).
+    ``approx=True`` is the 100-TB production path: HyperLogLog++ via
+    ``approx_count_distinct(key, rsd)`` — a FIXED-size sketch per group
+    that partial-aggregates map-side, so the shuffle volume is
+    O(groups * sketch), independent of the number of distinct keys
+    (the exact path shuffles every distinct (group,key) pair).  Same
+    exact-twin-vs-production-twin pattern as percentile vs
+    percentile_approx and the dedup exact/LSH paths; the estimate's
+    relative error is pinned by test (tests/test_corpus_analytics.py)."""
+    n_distinct = (F.approx_count_distinct(key_col, rsd) if approx
+                  else F.countDistinct(key_col))
+    return (docs.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 n_distinct.cast("long").alias("n_distinct")))
+
+
+def distinct_stats_sql(table: str = "documents", group_col: str = "lang",
+                       key_col: str = "fp") -> str:
+    """DuckDB twin of the exact path."""
+    return f"""
+SELECT {group_col}, count(*) AS n_docs,
+       count(DISTINCT {key_col}) AS n_distinct
+FROM {table} GROUP BY {group_col}
+"""
+
+
 def length_percentiles(docs: DataFrame, group_col: str = "lang",
                        value_col: str = "n_chars") -> DataFrame:
     """Exact length percentiles per group, 1e-2-quantized BIGINTs:

@@ -1,0 +1,89 @@
+"""Join/group-key skew profiler: heavy hitters + salting recommendation.
+
+Every shuffle in the engine keys on something — sha256, fingerprint,
+LSH band key, cluster id — and at 100 TB the question "is this key
+skewed, and by how much?" decides whether a join needs salting or a
+hot-bucket cap (the LSH path caps buckets at 64 for exactly this
+reason, operators/lsh.py).  This op is the *diagnostic* half: one
+aggregation over the key column produces
+
+  * the top-k heavy hitters (rank, n_rows), and
+  * corpus-wide shape numbers every row carries: n_keys, total_rows,
+    max_over_mean_q (hottest key vs mean, 1e-2-quantized), and
+    recommended_salt = max(1, ceil(max_count / (4 * mean_count))) —
+    the salt factor that splits the hottest key into chunks of at most
+    ~4x the mean, the point where AQE skew-join or manual salting stops
+    mattering.
+
+Scale shape: groupBy(key).count() with map-side combine is the only
+full shuffle; the summary is a second agg over the (already tiny)
+per-key counts; top-k is orderBy().limit(k) = TakeOrderedAndProject
+(each partition keeps k, never a global sort); the 1-row summary is
+broadcast back onto <= k rows.  All column math, fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SALT_HEADROOM = 4.0  # hottest key may exceed the mean by this factor
+
+
+def key_skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """(key, n_rows, rank, n_keys, total_rows, max_over_mean_q,
+    recommended_salt) for the k hottest values of `key_col`."""
+    counts = (df.groupBy(F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("_max"),
+    ).select(
+        "n_keys",
+        F.col("total_rows").cast("long").alias("total_rows"),
+        F.floor(F.col("_max") * F.col("n_keys") / F.col("total_rows")
+                * F.lit(100.0) + F.lit(0.5))
+         .cast("long").alias("max_over_mean_q"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("_max") * F.col("n_keys")
+                   / (F.lit(_SALT_HEADROOM) * F.col("total_rows")))
+             .cast("long")).alias("recommended_salt"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key").asc()).limit(k)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return (top
+            .select("key", F.col("n_rows").cast("long").alias("n_rows"),
+                    F.row_number().over(w).cast("long").alias("rank"))
+            .crossJoin(F.broadcast(summary)))
+
+
+def key_skew_profile_sql(table: str, key_col: str, k: int = 20) -> str:
+    """DuckDB twin: identical counts, tie-break, quantization, salt rule."""
+    return f"""
+WITH counts AS (
+  SELECT {key_col} AS key, count(*) AS n_rows FROM {table} GROUP BY 1),
+summary AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(max(n_rows) AS BIGINT) AS _max
+  FROM counts),
+s AS (
+  SELECT n_keys, total_rows,
+         CAST(floor(_max * n_keys / total_rows * 100.0 + 0.5) AS BIGINT)
+           AS max_over_mean_q,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(ceil(_max * n_keys
+                            / ({_SALT_HEADROOM} * total_rows)) AS BIGINT))
+           AS recommended_salt
+  FROM summary),
+top AS (
+  SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC) AS BIGINT)
+           AS rank
+  FROM counts ORDER BY n_rows DESC, key ASC LIMIT {k})
+SELECT top.key, top.n_rows, top.rank,
+       s.n_keys, s.total_rows, s.max_over_mean_q, s.recommended_salt
+FROM top CROSS JOIN s
+"""

@@ -97,11 +97,20 @@ def split_report(df: DataFrame, cluster_col: str,
     the number of clusters observed in >1 split and MUST be 0 for any
     cluster-keyed assignment; it is computed from the data, not assumed,
     so a broken upstream join shows up here."""
-    per = (df.groupBy(split_col)
-           .agg(F.count(F.lit(1)).alias("n_docs"),
-                F.countDistinct(cluster_col).alias("n_clusters")))
-    leaky = (df.groupBy(cluster_col)
-             .agg(F.countDistinct(split_col).alias("n_splits"))
+    # ONE pass over the input: pre-aggregate to (cluster, split) — output
+    # O(clusters) — and derive both the per-split report and the leak
+    # probe from it.  The pre-agg is persisted because Catalyst rewrites
+    # the leak branch's copy to a distinct-only aggregate (count elided),
+    # so the two exchanges don't canonicalize equal and ReusedExchange
+    # can't kick in; without the persist the corpus is scanned twice.
+    g = (df.groupBy(cluster_col, split_col)
+         .agg(F.count(F.lit(1)).alias("n"))
+         .persist())
+    per = (g.groupBy(split_col)
+           .agg(F.sum("n").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_clusters")))
+    leaky = (g.groupBy(cluster_col)
+             .agg(F.count(F.lit(1)).alias("n_splits"))
              .where(F.col("n_splits") > 1)
              .agg(F.count(F.lit(1)).alias("leaky_clusters")))
     return per.crossJoin(F.broadcast(leaky))

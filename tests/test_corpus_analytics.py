@@ -367,3 +367,41 @@ def test_with_planted_urls_cross_engine_parity(spark):
     # %7 rows plant one URL, %14 rows two: 30 rows -> ids 0,7,14,21,28
     assert int(got["n_urls"].sum()) == 8   # 0,14,28 double + 7,21 single
     assert int(got["n_docs"].sum()) == 5
+
+
+# ---------------------------------------------------------------------------
+# distinct-count sketches (HLL++ twin)
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_stats_exact_and_approx_error_pinned(spark):
+    """Exact twin matches the known construction AND the DuckDB oracle;
+    the HLL++ twin's relative error is pinned <= 3*rsd per group."""
+    from email_sanitizer_api_spark.functions.corpus_stats import (
+        distinct_stats, distinct_stats_sql)
+
+    # 3 groups x known distinct cardinalities (800/400/200), with repeats
+    rows = []
+    for g, n_distinct, reps in (("py", 800, 2), ("go", 400, 3),
+                                ("rs", 200, 5)):
+        rows += [{"lang": g, "fp": f"{g}-{i}"}
+                 for i in range(n_distinct) for _ in range(reps)]
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+
+    exact = distinct_stats(df).toPandas().set_index("lang")
+    assert exact.loc["py", "n_distinct"] == 800
+    assert exact.loc["go", "n_docs"] == 1200
+    want = _duck(pdf, distinct_stats_sql(table="documents"))
+    pd.testing.assert_frame_equal(
+        _canon(exact.reset_index()), _canon(want))
+
+    rsd = 0.01
+    approx = distinct_stats(df, approx=True, rsd=rsd).toPandas() \
+        .set_index("lang")
+    for g in ("py", "go", "rs"):
+        rel = abs(approx.loc[g, "n_distinct"] - exact.loc[g, "n_distinct"]) \
+            / exact.loc[g, "n_distinct"]
+        assert rel <= 3 * rsd, (g, rel)
+    # sketches partial-aggregate: schema identical to the exact twin
+    assert list(approx.columns) == list(exact.columns)

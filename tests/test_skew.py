@@ -1,0 +1,53 @@
+"""Shuffle-key skew profiler (operators/skew.py)."""
+
+import duckdb
+import pandas as pd
+
+from email_sanitizer_api_spark.operators.skew import (
+    key_skew_profile,
+    key_skew_profile_sql,
+)
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _skewed_pdf():
+    # 1 hot key with 300 rows, 99 uniform keys with 3 rows each
+    keys = ["hot"] * 300 + [f"k{i:03d}" for i in range(99) for _ in range(3)]
+    return pd.DataFrame({"key": keys, "v": range(len(keys))})
+
+
+def test_heavy_hitter_and_salt_recommendation(spark):
+    out = key_skew_profile(
+        spark.createDataFrame(_skewed_pdf()), "key", k=5).toPandas()
+    assert len(out) == 5
+    top = out[out["rank"] == 1].iloc[0]
+    assert top["key"] == "hot" and top["n_rows"] == 300
+    assert (out["n_keys"] == 100).all()
+    assert (out["total_rows"] == 597).all()
+    # mean = 5.97; hot/mean = 50.25 -> q 5025; salt = ceil(50.25/4) = 13
+    assert (out["max_over_mean_q"] == 5025).all()
+    assert (out["recommended_salt"] == 13).all()
+
+
+def test_uniform_keys_need_no_salt(spark):
+    pdf = pd.DataFrame({"key": [f"k{i % 50}" for i in range(500)]})
+    out = key_skew_profile(spark.createDataFrame(pdf), "key", k=3).toPandas()
+    assert (out["recommended_salt"] == 1).all()
+    assert (out["max_over_mean_q"] == 100).all()
+
+
+def test_cross_engine_parity(spark):
+    pdf = _skewed_pdf()
+    got = key_skew_profile(
+        spark.createDataFrame(pdf), "key", k=10).toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(key_skew_profile_sql("t", "key", k=10)).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
