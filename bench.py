@@ -102,6 +102,11 @@ def main() -> None:
         "decontamination_report",
         # distinct-lift + capped self-join + pair agg (fork detection)
         "source_overlap_chunks",
+        # r04 scale-diagnostics additions (same caveat: per-query compare):
+        # one count shuffle + AQE-reused exchange + TakeOrdered top-k
+        "key_skew_profile_fp",
+        # HLL++ sketch distinct — ONE exchange, O(groups x sketch) shuffle
+        "distinct_fp_by_lang_approx",
     ]
     headline = [q for q in headline if q in queries]
 
