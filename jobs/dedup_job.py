@@ -101,6 +101,18 @@ def main(argv: list[str] | None = None) -> None:
                          "100 TB this is the difference between a skewed "
                          "heap of part files and a shard layout downstream "
                          "loaders can stream")
+    ap.add_argument("--splits", default=None, metavar="SPEC",
+                    help="add a leakage-safe train/valid/test column to the "
+                         "batch output: 'train:0.98,valid:0.01,test:0.01'. "
+                         "Split is md5-bucketed on cluster_id (pure column "
+                         "math, zero extra shuffle) so near-dup clusters "
+                         "never straddle splits. Batch mode only: "
+                         "incremental cluster-label remaps would silently "
+                         "migrate docs between splits — run splitting on "
+                         "compacted snapshots instead")
+    ap.add_argument("--split-salt", default="split-v1",
+                    help="re-roll the --splits assignment without touching "
+                         "upstream state")
     ap.add_argument("--analytics", default=None, metavar="DIR",
                     help="also write per-file corpus analytics (PII scan + "
                          "char-bigram LM quality) as parquet side outputs "
@@ -202,6 +214,20 @@ def main(argv: list[str] | None = None) -> None:
     )
     n_files = res.files_clustered.count()
     out_df = res.files_clustered
+    split_spec = None
+    if args.splits:
+        from email_sanitizer_api_spark.operators.split import assign_split
+        try:
+            pairs = [p.split(":") for p in args.splits.split(",")]
+            split_spec = {n: float(w) for n, w in pairs}
+        except ValueError:
+            raise SystemExit(
+                f"--splits expects name:weight[,name:weight...], "
+                f"got {args.splits!r}")
+        out_df = assign_split(out_df, "cluster_id",
+                              weights=tuple(split_spec.values()),
+                              names=tuple(split_spec),
+                              salt=args.split_salt)
     writer_opts = {}
     if args.shard_max_records:
         n_shards = max(1, -(-n_files // args.shard_max_records))
@@ -220,6 +246,8 @@ def main(argv: list[str] | None = None) -> None:
         "stages": [r["stage"] for r in io.manifest_rows()
                    if r.get("status") == "Completed"],
     }
+    if split_spec:
+        summary["splits"] = split_spec
     print(json.dumps(summary))
     spark.stop()
 

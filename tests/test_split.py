@@ -91,3 +91,23 @@ def test_split_report_leakage_zero_and_detected(spark):
     bad = assign_split(spark.createDataFrame(_pdf()), "doc_id")
     rep_bad = split_report(bad, "cluster_key").toPandas()
     assert (rep_bad["leaky_clusters"] > 0).all()
+
+
+def test_threshold_properties_hypothesis():
+    """Cuts are monotone nondecreasing 4-hex strings, one per boundary,
+    for ANY positive weight vector (normalization is internal)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.floats(min_value=1e-6, max_value=1e6,
+                              allow_nan=False, allow_infinity=False),
+                    min_size=1, max_size=8))
+    def check(weights):
+        cuts = split_thresholds(tuple(weights))
+        assert len(cuts) == len(weights) - 1
+        for c in cuts:
+            assert len(c) == 4 and int(c, 16) < 16 ** 4
+        assert cuts == sorted(cuts)
+
+    check()

@@ -46,10 +46,13 @@ def test_spark_submit_end_to_end(tmp_path):
     synthesize_code_files(CorpusSpec(n_base=40, n_repos=5)).to_parquet(
         corpus, index=False)
 
-    summary = _submit(tmp_path, corpus, extra=("--shard-max-records", "16"))
+    summary = _submit(tmp_path, corpus,
+                      extra=("--shard-max-records", "16",
+                             "--splits", "train:0.9,valid:0.05,test:0.05"))
     assert summary["files"] > 0
     assert summary["clusters"] > 0
     assert "s9_clusters" in summary["stages"]
+    assert summary["splits"] == {"train": 0.9, "valid": 0.05, "test": 0.05}
 
     # sharded output: every part file capped at 16 records
     import pyarrow.parquet as pq
@@ -57,6 +60,12 @@ def test_spark_submit_end_to_end(tmp_path):
     assert len(parts) >= -(-summary["files"] // 16)
     for part in parts:
         assert pq.ParquetFile(part).metadata.num_rows <= 16
+
+    # --splits: leakage-safe split column, cluster-consistent
+    import pandas as pd
+    out = pd.read_parquet(str(tmp_path / "out"))
+    assert set(out["split"]).issubset({"train", "valid", "test"})
+    assert (out.groupby("cluster_id")["split"].nunique() == 1).all()
 
     manifest = tmp_path / "wh" / "_manifest.jsonl"
     rows = [json.loads(l) for l in manifest.read_text().splitlines()]
