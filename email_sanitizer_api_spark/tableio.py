@@ -229,6 +229,76 @@ class TableIO:
         self._append_manifest(row)
         return out
 
+    def _data_files(self, name: str) -> list[tuple[str, int]]:
+        """(path, bytes) for every parquet data file of a parquet-dir table."""
+        out: list[tuple[str, int]] = []
+        for root, _dirs, files in os.walk(self.table_path(name)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out.append((p, os.path.getsize(p)))
+        return out
+
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024,
+                partition_by: tuple[str, ...] = ()) -> DataFrame:
+        """Bin-pack small data files into ~``target_file_bytes`` files —
+        the parquet-dir analog of Iceberg's ``rewrite_data_files`` action.
+
+        Why this exists: incremental dedup appends a batch per run, and at
+        100 TB a year of hourly batches leaves each partition with tens of
+        thousands of tiny files; scan planning then costs more than the scan
+        (every file is a footer read + a task). Compaction is the standard
+        maintenance pass: rewrite each partition's files into
+        size(partition)/target files, preserving the Hive layout so
+        partition pruning still holds.
+
+        Plan shape: for a partitioned table, ``repartition(n, *partition_by)``
+        hashes rows by partition value so each value lands in few tasks and
+        ``partitionBy`` then emits ~1 file per (task, value) — no global
+        sort, one exchange total. Unpartitioned tables just rebalance to n
+        even slices. The manifest records before/after file counts + bytes
+        so the effect is auditable (same role as Iceberg's snapshot summary
+        for a rewrite action).
+
+        In catalog (Iceberg) mode, compaction is the engine's
+        ``rewrite_data_files`` procedure — delegated, not reimplemented.
+        """
+        if self.catalog:
+            raise NotImplementedError(
+                "Iceberg mode: use CALL <catalog>.system.rewrite_data_files")
+        before = self._data_files(name)
+        total = sum(b for _, b in before)
+        n = max(1, -(-total // target_file_bytes))  # ceil
+        df = self.read(name)
+        if partition_by:
+            df = df.repartition(n, *[F.col(c) for c in partition_by])
+        else:
+            df = df.repartition(n)
+        # stage the rewrite next to the table, then swap atomically-enough
+        # for a single-writer maintenance job (Iceberg mode gets true
+        # snapshot atomicity from the engine instead).
+        tmp_name = f"{name}__compacting"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.table_path(tmp_name))
+        import shutil
+        old = self.table_path(f"{name}__precompact")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.table_path(name), old)
+        os.rename(self.table_path(tmp_name), self.table_path(name))
+        shutil.rmtree(old, ignore_errors=True)
+        after = self._data_files(name)
+        self._append_manifest({
+            "run_id": self.run_id, "stage": f"{name}__compact",
+            "status": "Completed", "ts": time.time(),
+            "metrics": {
+                "files_before": len(before), "files_after": len(after),
+                "bytes": total, "target_file_bytes": target_file_bytes,
+            },
+        })
+        return self.read(name)
+
     def catalog_name(self, name: str) -> str:
         """Session-catalog identifier for a bucketed table, unique per
         warehouse (two TableIOs in one session must not collide)."""

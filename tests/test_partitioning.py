@@ -118,3 +118,46 @@ def test_stage_resume_with_partitioning(spark, tmp_path):
     assert len(calls) == 1
     assert os.path.isdir(
         os.path.join(io_.table_path("documents_by_lang"), "lang=en"))
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    """Compaction rewrites a many-tiny-files table into few right-sized
+    files, preserves content + Hive layout, and records the effect in the
+    manifest (Iceberg rewrite_data_files analog)."""
+    io_ = TableIO(spark, str(tmp_path), resume=False)
+    docs = _docs(spark).repartition(16)  # force 16 files/partition-value
+    io_.write(docs, "documents_by_lang", partition_by=("lang",))
+    before = len(io_._data_files("documents_by_lang"))
+    assert before > 10
+
+    io_.compact("documents_by_lang", target_file_bytes=64 * 1024 * 1024,
+                partition_by=("lang",))
+    after_files = io_._data_files("documents_by_lang")
+    assert len(after_files) < before
+    # layout intact: every file still under a lang= dir
+    assert all("lang=" in p for p, _ in after_files)
+    # content round-trips exactly
+    back = spark.read.parquet(io_.table_path("documents_by_lang"))
+    a = {tuple(r) for r in _docs(spark).select(*sorted(docs.columns)).collect()}
+    b = {tuple(r) for r in back.select(*sorted(docs.columns)).collect()}
+    assert a == b
+    # pruning still plans on the compacted table
+    plan = _explain(
+        spark.read.parquet(io_.table_path("documents_by_lang"))
+        .where(F.col("lang") == "en").groupBy("source").count())
+    assert any("PartitionFilters" in l and "lang" in l
+               for l in plan.splitlines()), plan
+    # manifest audit row
+    rows = [r for r in io_.manifest_rows()
+            if r.get("stage") == "documents_by_lang__compact"]
+    assert rows and rows[-1]["metrics"]["files_before"] == before
+    assert rows[-1]["metrics"]["files_after"] == len(after_files)
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    io_ = TableIO(spark, str(tmp_path), resume=False)
+    io_.write(_docs(spark).repartition(24), "flat_docs")
+    before = len(io_._data_files("flat_docs"))
+    out = io_.compact("flat_docs")
+    assert len(io_._data_files("flat_docs")) < before
+    assert out.count() == 60
