@@ -1,0 +1,97 @@
+"""Machine-checked plan hygiene for the production query surface.
+
+PLANS.md audits the expensive plans by hand; this test lints EVERY
+``queries()`` entry's physical plan automatically so a regression that
+degenerates a join into a cartesian / nested-loop product (the classic
+100-TB scale-killer: an equi-join whose key predicate stops being an
+equality, a broadcast hint lost behind a cast) fails CI instead of
+surfacing in a bench artifact three rounds later.
+
+Allowed nested-loop joins are whitelisted BY NAME with the reason the
+plan is safe at scale (documented exact/oracle baselines, or joins whose
+broadcast side is a bounded aggregate of O(1)/O(k) rows).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF", "/root/testdata/sf0.001")
+
+# Queries whose callable EXECUTES work during construction (checkpointed
+# pipelines, iterative CC, stateful folds): the returned DataFrame is a
+# re-read of materialized output, so there is no end-to-end lazy plan to
+# lint — their plans are audited stage-by-stage in PLANS.md instead.
+EAGER = {
+    "dedup_pipeline_full",
+    "dedup_pipeline_exact",
+    "dedup_cluster_size_histogram",
+    "connected_components_docs",
+    "incremental_dedup_two_batches",
+    "minhash_near_dup_pairs",
+    "simhash_hamming_pairs",
+    "suffix_array_spans",
+    "semantic_dedup_embeddings",
+    "semantic_dedup_lsh",
+    "cluster_split_assignment",
+    "split_leakage_report",
+}
+
+# name -> reason a BroadcastNestedLoopJoin / CartesianProduct is safe.
+NLJ_OK = {
+    # documented exact baselines (oracle twins of LSH/IVF production paths)
+    "cosine_topk_embeddings": "exact brute-force baseline; LSH/IVF twins are the production path",
+    "embedding_cosine_near_dup": "exact all-pairs baseline; embedding_near_dup_lsh is the production path",
+    # broadcast side is a bounded aggregate, not a table
+    "key_skew_profile_fp": "crossJoin with a broadcast 1-row global summary",
+}
+
+LINT_NAMES = sorted(set(entry.queries()) - EAGER)
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry.queries()
+    return {name: _explain(qs[name](spark, SF_DIR)) for name in LINT_NAMES}
+
+
+@pytest.mark.parametrize("name", LINT_NAMES)
+def test_no_scale_killer_joins(plans, name):
+    plan = plans[name]
+    if name in NLJ_OK:
+        pytest.skip(f"whitelisted: {NLJ_OK[name]}")
+    for killer in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert killer not in plan, (
+            f"{name}: {killer} in physical plan — an equi-join degenerated; "
+            f"whitelist only with a scale justification.\n{plan}"
+        )
+
+
+@pytest.mark.parametrize("name", LINT_NAMES)
+def test_no_rdd_scans(plans, name):
+    # 'Scan ExistingRDD' means a createDataFrame/RDD source snuck into a
+    # production plan (driver-materialized data — fine only for tiny dims
+    # like the blocklist, which is broadcast).
+    plan = plans[name]
+    for line in plan.splitlines():
+        if "Scan ExistingRDD" in line and "broadcast" not in plan.lower():
+            pytest.fail(f"{name}: non-broadcast driver-side RDD scan\n{plan}")
+
+
+def test_whitelist_is_tight():
+    # every whitelisted name must still exist in the query surface
+    assert set(NLJ_OK) <= set(entry.queries())
+    assert EAGER <= set(entry.queries())
