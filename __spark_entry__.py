@@ -1774,6 +1774,30 @@ def _sql_distinct_fp_by_lang() -> str:
     return distinct_stats_sql(table=table)
 
 
+def _q_code_curation_flags(spark, sf_dir):
+    """Code-corpus curation flags per document: license-header detection
+    + strip (clean_sha = sha256 of the de-boilerplated text — the content
+    key you'd shingle on to kill license-header hot bands at the source),
+    vendored/lockfile path rules, generated-marker and minified-line
+    heuristics (functions/code_curation.py). All native column math, one
+    projection, zero exchanges. The prose testdata has none of these
+    artifacts, so the table is wrapped by `with_planted_code_artifacts`
+    (deterministic plants derived from doc_id; character-identical DuckDB
+    twin) to make every flag non-vacuous."""
+    from email_sanitizer_api_spark.functions.code_curation import (
+        curation_flags, with_planted_code_artifacts)
+    docs = with_planted_code_artifacts(_t(spark, sf_dir, "documents"))
+    return curation_flags(docs).select(
+        "doc_id", "had_license_header", "is_vendored", "is_lockfile",
+        "is_generated", "is_minified", "clean_sha")
+
+
+def _sql_code_curation_flags() -> str:
+    from email_sanitizer_api_spark.functions.code_curation import (
+        curation_flags_sql, with_planted_code_artifacts_sql)
+    return curation_flags_sql(table=with_planted_code_artifacts_sql())
+
+
 def _q_key_skew_profile(spark, sf_dir):
     """Join-key skew profiler over the fingerprint cluster key: top-20
     heavy hitters + (n_keys, total_rows, max_over_mean_q,
@@ -1872,6 +1896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-safe splits (r04): cluster-consistent train/valid/test
         "cluster_split_assignment": _q_cluster_split_assignment,
         "split_leakage_report": _q_split_leakage_report,
+        # code-corpus curation flags (r04): license strip + vendored /
+        # generated / minified / lockfile rules
+        "code_curation_flags": _q_code_curation_flags,
         # shuffle-key skew diagnostics (r04)
         "key_skew_profile_fp": _q_key_skew_profile,
         # sketch-based distinct counting: exact oracle twin + HLL++ twin
@@ -1945,6 +1972,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keeper_by_quality": _sql_dedup_keeper_by_quality(),
         "cluster_split_assignment": _sql_cluster_split_assignment(),
         "split_leakage_report": _sql_split_leakage_report(),
+        "code_curation_flags": _sql_code_curation_flags(),
         "key_skew_profile_fp": _sql_key_skew_profile(),
         "distinct_fp_by_lang": _sql_distinct_fp_by_lang(),
         # distinct_fp_by_lang_approx: intentionally omitted — HLL++ sketch
