@@ -112,6 +112,13 @@ class DedupConfig:
     #   — deterministic, equal to the brute-force pair set, hash-checkable
     #   against a SQL oracle; costs content shuffle per candidate.
     verify_mode: str = "estimate"
+    # strip recognized license headers from the SIGNATURE input (minhash/
+    # simhash/suffix shingles) so shared boilerplate stops minting LSH hot
+    # bands; content_sha256 / exact dedup always hash the UNstripped text
+    # (per-row sha parity vs the reference is preserved). Off by default:
+    # boilerplate-only near-dups are then treated as distinct, which is
+    # the reference-parity behavior.
+    strip_license_headers: bool = False
 
     # --- clustering (S9) ---
     cc_max_iterations: int = 50

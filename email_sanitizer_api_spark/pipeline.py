@@ -147,7 +147,17 @@ def run_pipeline(
     membership = cut("s3_membership", lambda: exact_dedup(normalized)[1])
 
     # S4/S6 signatures on distinct content only — 5-way fan-out
-    sigs = cut("s4_signatures", lambda: add_signatures(reps_mem, cfg).select(
+    # Optional pre-shingle boilerplate strip (cfg.strip_license_headers):
+    # signatures + downstream verify/suffix shingles see the de-headered
+    # text; content_sha256 above already hashed the full text, so exact
+    # dedup and the reference sha parity are untouched.
+    sig_input = reps_mem
+    if cfg.strip_license_headers:
+        from email_sanitizer_api_spark.functions.code_curation import (
+            strip_license_expr)
+        sig_input = reps_mem.withColumn(
+            "content_norm", strip_license_expr(F.col("content_norm")))
+    sigs = cut("s4_signatures", lambda: add_signatures(sig_input, cfg).select(
         "content_sha256", "lang", "content_norm", "minhash", "simhash"))
     if io is None:
         normalized.unpersist()  # text lives on only as sigs.content_norm reps
