@@ -1159,6 +1159,17 @@ def _q_decontamination_report(spark, sf_dir):
     return contamination_report(docs)
 
 
+def _q_neardup_decontamination(spark, sf_dir):
+    """Near-dup benchmark decontamination: lightly-edited benchmark
+    leakage that exact 13-gram matching misses. Candidates from the
+    prefix-filtered exact-Jaccard join (PPJoin equi-join, complete at the
+    threshold — functions/similarity.py), verified exactly; the oracle is
+    the brute-force O(n^2) definition (functions/decontaminate.py)."""
+    from email_sanitizer_api_spark.functions.decontaminate import (
+        neardup_contamination_report)
+    return neardup_contamination_report(_t(spark, sf_dir, "documents"))
+
+
 def _q_source_overlap(spark, sf_dir):
     """Source-level (fork/vendored-tree) duplicate detection: pairs of
     sources by shared distinct content sha256, boilerplate shas capped out
@@ -1875,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan_documents": _q_secret_scan,
         "redact_secrets_documents": _q_redact_secrets,
         "decontamination_report": _q_decontamination_report,
+        "neardup_decontamination_report": _q_neardup_decontamination,
         "source_overlap_pairs": _q_source_overlap,
         "source_overlap_chunks": _q_source_overlap_chunks,
         "semantic_dedup_embeddings": _q_semantic_dedup,
@@ -1909,7 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from email_sanitizer_api_spark.functions.decontaminate import (
-        contamination_sql as _contamination_sql)
+        contamination_sql as _contamination_sql,
+        neardup_contamination_sql as _neardup_contamination_sql)
     from email_sanitizer_api_spark.operators.simhash import simhash_md5_pairs_sql
     from email_sanitizer_api_spark.operators.source_overlap import (
         source_overlap_sql as _source_overlap_sql)
@@ -1954,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "secret_scan_documents": _sql_secret_scan(),
         "redact_secrets_documents": _sql_redact_secrets(),
         "decontamination_report": _contamination_sql(),
+        "neardup_decontamination_report": _neardup_contamination_sql(),
         "source_overlap_pairs": _source_overlap_sql(),
         "source_overlap_chunks": _source_overlap_sql(unit="chunk"),
         "semantic_dedup_embeddings": _SQL_SEMANTIC_DEDUP,

@@ -109,3 +109,94 @@ SELECT t.doc_id AS doc_id, t.n_grams AS n_grams,
        CAST(coalesce(h.n_contaminated, 0) > 0 AS INT) AS is_contaminated
 FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
+
+
+def neardup_contamination_report(docs: DataFrame, every: int = 41,
+                                 threshold: float = 0.8,
+                                 cleanup: list | None = None) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: flag corpus documents
+    whose token-set Jaccard vs any benchmark document is >= ``threshold``.
+
+    Exact n-gram decontamination (``contamination_report``) misses
+    benchmark material that was lightly edited before it leaked into the
+    corpus — the standard fix is a near-dup pass at the document level.
+    Candidates come from the SAME prefix-filtered exact-Jaccard join the
+    engine uses for ``token_jaccard_pairs`` (functions/similarity.py:
+    AllPairs/PPJoin — an equi-join on rarest-first prefix tokens, complete
+    at the threshold, no cross join), so the result equals the brute-force
+    O(n²) definition while shuffling only prefix-collision candidates.
+    Benchmark membership is the same deterministic ``doc_id % every == 0``
+    rule as the exact pass, so tests and oracles need no external data.
+
+    Returns one row per corpus document: (doc_id, is_benchmark,
+    n_bench_neighbors, max_jaccard, is_near_contaminated). Benchmark rows
+    themselves are never flagged (a real pass drops them outright);
+    bench-bench pairs are ignored for the same reason.
+    """
+    from email_sanitizer_api_spark.functions.similarity import (
+        token_set_similarity_join)
+
+    toks = docs.select(
+        "doc_id", "lang",
+        F.array_distinct(
+            F.split(F.lower(F.trim("text")), "[ \\t\\n\\x0B\\f\\r]+")
+        ).alias("toks"),
+    )
+    pairs = token_set_similarity_join(
+        toks, threshold=threshold, id_col="doc_id", tokens_col="toks",
+        partition_cols=("lang",), cleanup=cleanup,
+    )
+    a_bench = (F.col("a") % every == 0)
+    b_bench = (F.col("b") % every == 0)
+    hits = (
+        pairs.where(a_bench & ~b_bench)
+        .select(F.col("b").alias("doc_id"), "jaccard")
+        .unionByName(
+            pairs.where(b_bench & ~a_bench)
+            .select(F.col("a").alias("doc_id"), "jaccard"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bench_neighbors"),
+             F.round(F.max("jaccard"), 5).alias("max_jaccard"))
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") % every == 0).alias("is_benchmark"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "is_benchmark",
+            F.coalesce("n_bench_neighbors", F.lit(0)).cast("long")
+             .alias("n_bench_neighbors"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_bench_neighbors", F.lit(0)) > 0)
+             .alias("is_near_contaminated"),
+        )
+    )
+
+
+def neardup_contamination_sql(every: int = 41, threshold: float = 0.8) -> str:
+    """DuckDB oracle: brute-force O(n²) same-lang Jaccard join — the
+    definition the prefix-filtered production join must reproduce."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) AS j
+  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_bench_neighbors, round(max(j), 5) AS max_jaccard
+  FROM (
+    SELECT b AS doc_id, j FROM pairs
+    WHERE a % {every} = 0 AND b % {every} <> 0 AND j >= {threshold}
+    UNION ALL
+    SELECT a AS doc_id, j FROM pairs
+    WHERE b % {every} = 0 AND a % {every} <> 0 AND j >= {threshold})
+  GROUP BY doc_id)
+SELECT d.doc_id, d.doc_id % {every} = 0 AS is_benchmark,
+       CAST(coalesce(h.n_bench_neighbors, 0) AS BIGINT) AS n_bench_neighbors,
+       coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+       coalesce(h.n_bench_neighbors, 0) > 0 AS is_near_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""

@@ -256,3 +256,57 @@ def test_semantic_dedup_lsh_refines_exact_on_sf0001(spark):
     for df in (exact, lsh):
         keepers = df.groupby("cluster_id")["is_keeper"].sum()
         assert (keepers == 1).all()
+
+
+def test_neardup_contamination_catches_edited_benchmark_copy(spark):
+    """The motivating case: a benchmark doc lightly edited (a few tokens
+    swapped) evades exact 13-gram decontamination but is caught by the
+    near-dup pass; unrelated docs and the benchmark rows themselves are
+    never flagged."""
+    from email_sanitizer_api_spark.functions.decontaminate import (
+        contamination_report, neardup_contamination_report)
+
+    bench_words = [f"tok{i}" for i in range(40)]
+    bench = " ".join(bench_words)
+    # swap one token every 10 — kills every 13-gram, Jaccard stays ~0.9
+    edited_words = [w if i % 10 != 5 else f"alt{i}"
+                    for i, w in enumerate(bench_words)]
+    edited = " ".join(edited_words)
+    rows = [
+        (0, "en", bench),                 # benchmark member (0 % 41 == 0)
+        (1, "en", edited),                # leaked, lightly edited
+        (2, "en", " ".join(f"other{i}" for i in range(40))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+    exact = {r["doc_id"]: r for r in
+             contamination_report(df, every=41, n=13).collect()}
+    assert exact[1]["is_contaminated"] == 0  # exact n-grams miss the edit
+
+    near = {r["doc_id"]: r for r in
+            neardup_contamination_report(df, every=41, threshold=0.8)
+            .collect()}
+    assert near[1]["is_near_contaminated"]
+    assert near[1]["max_jaccard"] >= 0.8
+    assert not near[2]["is_near_contaminated"]
+    assert near[0]["is_benchmark"] and not near[0]["is_near_contaminated"]
+
+
+def test_neardup_contamination_spark_duckdb_parity(spark):
+    from email_sanitizer_api_spark.functions.decontaminate import (
+        neardup_contamination_report, neardup_contamination_sql)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (neardup_contamination_report(docs).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    want = (con.execute(neardup_contamination_sql() + " ORDER BY d.doc_id")
+            .df().reset_index(drop=True))
+    assert len(got) == len(want) == docs.count()
+    assert got["n_bench_neighbors"].tolist() == want["n_bench_neighbors"].tolist()
+    assert [round(x, 5) for x in got["max_jaccard"]] == \
+           [round(x, 5) for x in want["max_jaccard"]]
+    assert got["is_near_contaminated"].tolist() == \
+           want["is_near_contaminated"].astype(bool).tolist()
