@@ -969,6 +969,39 @@ def _q_incremental_dedup_two_batches(spark, sf_dir):
     return out
 
 
+def _q_incremental_delete_fold(spark, sf_dir):
+    """Takedown deletion against versioned dedup state
+    (operators/incremental.incremental_delete, Iceberg equality-delete
+    analog): bootstrap-fold the documents table, delete a deterministic
+    slice of file identities (every 7th path by hash), return the
+    post-delete corpus-wide assignments. Tombstones mask the deleted
+    identities and any content whose last reference departed; surviving
+    members of touched clusters get bucket reps regenerated from stored
+    signatures. Stateful/multi-invocation — not SQL-expressible
+    (rows-only check); tests/test_delete.py pins partition equality with
+    a full recompute over the remaining corpus, physical purge at
+    compact_state, and sequence-semantics re-adds."""
+    import shutil
+    import tempfile
+
+    from email_sanitizer_api_spark.operators.incremental import (
+        incremental_dedup, incremental_delete)
+
+    docs = _docs_as_code_files(_t(spark, sf_dir, "documents"))
+    root = tempfile.mkdtemp(prefix="del_state_")
+    try:
+        incremental_dedup(spark, docs, root, DedupConfig())
+        doomed = docs.where(F.xxhash64("path") % 7 == 0).select(
+            "repo", "path", "commit")
+        res = incremental_delete(spark, doomed, root, DedupConfig())
+        out = res.files_clustered.select(
+            "repo", "path", "content_sha256", "cluster_id", "is_keeper")
+        out = out.localCheckpoint()  # materialize before the state dir dies
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _q_embedding_near_dup_lsh(spark, sf_dir):
     """Bucketed (hyperplane-LSH, OR-amplified, multi-probe) embedding
     near-dup pairs — the scale path twin of embedding_cosine_near_dup's
@@ -1881,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "suffix_array_spans": _q_suffix_array_spans,
         "incremental_dedup_two_batches": _q_incremental_dedup_two_batches,
+        "incremental_delete_fold": _q_incremental_delete_fold,
         # corpus hygiene (r03): sanitize / decontaminate / fork-detect /
         # semantic dedup
         "secret_scan_documents": _q_secret_scan,
@@ -1996,7 +2030,10 @@ def oracle_sql() -> dict[str, str]:
         # probabilistic; semantic_dedup_embeddings is its exact oracle twin
         # minhash_near_dup_pairs_est / simhash_signatures /
         # dedup_pipeline_full / cosine_topk_lsh /
-        # incremental_dedup_two_batches: intentionally omitted — these are
-        # the probabilistic / stateful production paths (driver rows-only
-        # check); each has an oracle-checked exact twin above
+        # incremental_dedup_two_batches / incremental_delete_fold:
+        # intentionally omitted — these are the probabilistic / stateful
+        # production paths (driver rows-only check); each has an
+        # oracle-checked exact twin above (deletion's exactness gate is
+        # tests/test_delete.py: partition equality vs a full recompute
+        # over the remaining corpus)
     }

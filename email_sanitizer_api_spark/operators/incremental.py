@@ -82,6 +82,31 @@ smallest-id representatives). Fingerprint collisions are direct edges, so
 the fp cap loses NO recall: every past member of a fingerprint bucket is
 connected to its batch-time representative, and any surviving rep links a
 future batch to the whole component.
+
+Deletion (r04, ``incremental_delete``): takedown / opt-out removal, the
+Iceberg equality-delete model. A delete commits two tombstone delta tables
+— ``file_tombstones`` (repo, path, commit) and ``sha_tombstones`` (content
+whose LAST file reference was removed) — and every state read masks rows
+whose key is tombstoned at a version >= the row's version (Iceberg
+sequence-number semantics: a delete masks only rows committed at or before
+it, so re-adding the same identity or content later just works). Masked
+content can never mint candidate edges again (its sigs / bucket reps /
+fingerprints all disappear from the probe tables); surviving members of
+touched clusters get their minhash/simhash bucket reps REGENERATED from
+their stored signatures (O(touched clusters)), so a future near-dup of a
+survivor still finds the cluster even when the departed doc was the stored
+rep. Suffix-fp reps cannot be regenerated (state stores sketches, never
+content — by design); buckets that lose their last rep are counted in
+``metrics["fp_buckets_lost_last_rep"]`` and heal as future folds re-winnow
+colliding content. Cluster labels are treated as OPAQUE ids: deletion
+never rewrites labels (no remap rows → the remap chain stays monotone
+decreasing → acyclic), so a cluster whose min-sha doc departed keeps its
+label; co-membership — the thing dedup consumes — matches a full recompute
+over the remaining corpus, and keepers are re-picked at read. Deletion is
+logical immediately and physical at ``compact_state`` (the
+rewrite_data_files + snapshot-expiration analog): all tables are rewritten
+with tombstones applied and older version dirs are expired, after which no
+trace of the deleted content remains on disk.
 """
 
 from __future__ import annotations
@@ -123,12 +148,29 @@ _SCHEMAS = {
     "files": "repo string, path string, commit string, content_sha256 string",
     "sha_clusters": "content_sha256 string, cluster_id string",
     "remaps": "old_cluster string, cluster_id string",
+    # deletion tombstones (Iceberg equality-delete analog): a tombstone at
+    # version T masks matching rows committed at versions <= T
+    "file_tombstones": "repo string, path string, commit string",
+    "sha_tombstones": "content_sha256 string",
 }
 #: read = union of version deltas (sha_clusters/remaps from the latest
 #: compaction marker; see DedupState.read)
 _DELTA_TABLES = ("sigs", "buckets", "simhash_buckets", "suffix_fps", "files",
-                 "sha_clusters", "remaps")
-_BASE_MARKER = "CLUSTERS_BASE"  # version dir holds a resolved full snapshot
+                 "sha_clusters", "remaps", "file_tombstones", "sha_tombstones")
+_BASE_MARKER = "CLUSTERS_BASE"  # version dir holds a resolved label snapshot
+_FULL_BASE_MARKER = "STATE_BASE"  # version dir holds EVERY table, purged
+#: table -> (tombstone table, key columns in the masked table). Tombstone
+#: key columns map positionally onto the masked table's key columns.
+_TOMBSTONED = {
+    "files": ("file_tombstones", ("repo", "path", "commit")),
+    "sigs": ("sha_tombstones", ("content_sha256",)),
+    "sha_clusters": ("sha_tombstones", ("content_sha256",)),
+    "buckets": ("sha_tombstones", ("id",)),
+    "simhash_buckets": ("sha_tombstones", ("id",)),
+    "suffix_fps": ("sha_tombstones", ("id",)),
+}
+_TOMBSTONE_KEYS = {"file_tombstones": ("repo", "path", "commit"),
+                   "sha_tombstones": ("content_sha256",)}
 
 
 @dataclass
@@ -155,22 +197,30 @@ class DedupState:
         with open(self._pointer) as f:
             return int(json.load(f)["version"])
 
-    def base_version(self, upto: int) -> int:
-        """Latest version <= upto carrying a compacted resolved snapshot
-        (CLUSTERS_BASE marker); 1 if none (deltas start at v1)."""
+    def _marker_version(self, marker: str, upto: int) -> int:
         for v in range(upto, 1, -1):
-            if os.path.exists(os.path.join(self.root, f"v{v}", _BASE_MARKER)):
+            if os.path.exists(os.path.join(self.root, f"v{v}", marker)):
                 return v
         return 1
 
-    def _table_paths(self, name: str, upto: int) -> list[str]:
-        start = 1
+    def base_version(self, upto: int) -> int:
+        """Latest version <= upto carrying a compacted resolved label
+        snapshot (CLUSTERS_BASE marker); 1 if none (deltas start at v1)."""
+        return self._marker_version(_BASE_MARKER, upto)
+
+    def _versioned_paths(self, name: str, upto: int) -> list[tuple[int, str]]:
+        # a full-state compaction (STATE_BASE) folded EVERY table — deltas
+        # before it are expired; a label compaction (CLUSTERS_BASE) folded
+        # only sha_clusters/remaps
+        start = self._marker_version(_FULL_BASE_MARKER, upto)
         if name in ("sha_clusters", "remaps"):
-            # compaction folded older deltas + remaps into the base snapshot
-            start = self.base_version(upto)
+            start = max(start, self.base_version(upto))
+        return [(v, p) for v in range(start, upto + 1)
+                if os.path.exists(p := os.path.join(self.root, f"v{v}", name))]
+
+    def _table_paths(self, name: str, upto: int) -> list[str]:
         if name in _DELTA_TABLES:
-            return [p for v in range(start, upto + 1)
-                    if os.path.exists(p := os.path.join(self.root, f"v{v}", name))]
+            return [p for _, p in self._versioned_paths(name, upto)]
         return [os.path.join(self.root, f"v{upto}", name)]
 
     def read(self, name: str, version: int | None = None) -> DataFrame:
@@ -178,7 +228,36 @@ class DedupState:
         paths = self._table_paths(name, v) if v > 0 else []
         if not paths:
             return self.spark.createDataFrame([], _SCHEMAS[name])
+        mask = _TOMBSTONED.get(name)
+        if mask is not None and self._versioned_paths(mask[0], v):
+            return self._masked_read(name, v, *mask)
         return self.spark.read.parquet(*paths)
+
+    def _masked_read(self, name: str, upto: int, tomb_name: str,
+                     keys: tuple[str, ...]) -> DataFrame:
+        """Read ``name`` with equality-delete tombstones applied under
+        Iceberg sequence-number semantics: a tombstone committed at version
+        T masks matching rows from versions <= T only, so rows re-added
+        AFTER a delete survive. Tombstone sets are maintenance-sized
+        (takedowns, not crawls) and are broadcast; `compact_state` folds
+        them away physically, restoring the single-scan fast path."""
+        rows = None
+        for v, p in self._versioned_paths(name, upto):
+            df = self.spark.read.parquet(p).withColumn("_v", F.lit(v))
+            rows = df if rows is None else rows.unionByName(df)
+        tomb = None
+        for v, p in self._versioned_paths(tomb_name, upto):
+            df = self.spark.read.parquet(p).withColumn("_tv", F.lit(v))
+            tomb = df if tomb is None else tomb.unionByName(df)
+        for tk, k in zip(_TOMBSTONE_KEYS[tomb_name], keys):
+            if tk != k:
+                tomb = tomb.withColumnRenamed(tk, k)
+        tomb = tomb.groupBy(*keys).agg(F.max("_tv").alias("_tv"))
+        return (
+            rows.join(F.broadcast(tomb), list(keys), "left")
+            .where(F.col("_tv").isNull() | (F.col("_v") > F.col("_tv")))
+            .drop("_v", "_tv")
+        )
 
     def commit(self, version: int) -> None:
         """Flip CURRENT after all v{version} tables are written — the
@@ -262,6 +341,179 @@ def compact_clusters(spark: SparkSession, state_root: str,
         f.write("{}")
     state.commit(v_next)
     return v_next
+
+
+def compact_state(spark: SparkSession, state_root: str,
+                  cfg: DedupConfig = DEFAULT_CONFIG) -> int:
+    """Full-state compaction: rewrite EVERY table into one base snapshot
+    with tombstones applied and bucket caps re-enforced, then expire the
+    older version dirs. The Iceberg analog is rewrite_data_files +
+    rewrite_position_delete_files + expire_snapshots in one maintenance
+    job: after it returns, deleted content is PHYSICALLY gone from disk
+    (the GDPR / takedown guarantee — logical delete is immediate at
+    ``incremental_delete``, physical erasure happens here), reads are back
+    on the single-scan fast path (no tombstone join, one version dir), and
+    the stored bucket tables are re-capped so their size stays O(distinct
+    buckets x cap) regardless of how many deltas accumulated. O(corpus) by
+    design — run on a maintenance cadence, not per batch."""
+    import shutil
+
+    state = DedupState(spark, state_root)
+    v_cur = state.version()
+    if v_cur == 0:
+        raise ValueError(f"no committed state at {state_root}")
+    v_next = v_cur + 1
+    _clear_uncommitted(state_root, v_next)
+    io = TableIO(spark, os.path.join(state_root, f"v{v_next}"), resume=False)
+    # masked reads apply the tombstones; remaps fold into the labels and
+    # tombstones are fully applied, so neither table is carried forward
+    io.write(read_clusters(state, v_cur), "sha_clusters")
+    io.write(state.read("sigs", v_cur), "sigs")
+    io.write(state.read("files", v_cur), "files")
+    io.write(_cap_buckets(state.read("buckets", v_cur), cfg), "buckets")
+    io.write(_cap_buckets(state.read("simhash_buckets", v_cur), cfg),
+             "simhash_buckets")
+    io.write(_cap_fps(state.read("suffix_fps", v_cur), cfg), "suffix_fps")
+    for marker in (_BASE_MARKER, _FULL_BASE_MARKER):
+        with open(os.path.join(state_root, f"v{v_next}", marker), "w") as f:
+            f.write("{}")
+    state.commit(v_next)
+    # expire: readers pinned to old versions lose them (snapshot-expiration
+    # contract); the deleted rows' bytes are what must not outlive this job
+    for v in range(1, v_next):
+        shutil.rmtree(os.path.join(state_root, f"v{v}"), ignore_errors=True)
+    return v_next
+
+
+def incremental_delete(
+    spark: SparkSession,
+    doomed_files: DataFrame,
+    state_root: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    repair_buckets: bool = True,
+) -> IncrementalResult:
+    """Remove files (takedown / opt-out, Iceberg equality-delete analog)
+    from the dedup state: ``doomed_files`` is (repo, path, commit) rows.
+
+    Commits one new state version containing: a ``file_tombstones`` delta
+    (only identities actually present — re-deleting is a no-op), a
+    ``sha_tombstones`` delta for content whose LAST reference was removed
+    (its signatures / bucket reps / fingerprints all vanish from every
+    masked read, so it can never mint candidate edges again), and — with
+    ``repair_buckets`` — regenerated minhash/simhash bucket reps for the
+    SURVIVING members of touched clusters, rebuilt from their stored
+    signatures (the departed doc may have been the capped bucket's only
+    stored rep; without repair a future near-dup of a survivor could miss
+    the cluster). Suffix-fp reps are not regenerable (state stores
+    sketches, never content); buckets losing their last rep are reported
+    in ``metrics["fp_buckets_lost_last_rep"]``.
+
+    Labels are opaque: survivors keep their cluster_id even when the
+    min-sha doc departed (no remap rows → the chain stays acyclic), so
+    co-membership equals a full recompute over the remaining corpus and
+    keepers re-pick at read. Deletion never splits a cluster: the state
+    stores labels, not edges, so two survivors bridged ONLY through a
+    deleted doc stay co-clustered — conservative in the safe direction
+    (never emits a duplicate that isn't; may keep one file fewer than a
+    fresh recompute would). Tombstone/touched sets are maintenance-sized
+    and broadcast. Physical erasure = ``compact_state``."""
+    cfg.validate()
+    state = DedupState(spark, state_root)
+    v_cur = state.version()
+    if v_cur == 0:
+        raise ValueError(f"no committed state at {state_root}")
+    v_next = v_cur + 1
+    _clear_uncommitted(state_root, v_next)
+    io = TableIO(spark, os.path.join(state_root, f"v{v_next}"), resume=False)
+    io.log_config(cfg.to_dict())
+    metrics: dict[str, Any] = {"state_version": v_next, "mode": "delete"}
+
+    keys = ["repo", "path", "commit"]
+    files_view = state.read("files", v_cur)
+    doomed = (
+        files_view.join(
+            F.broadcast(doomed_files.select(*keys).dropDuplicates(keys)),
+            keys, "left_semi")
+        .persist()
+    )
+    metrics["files_deleted"] = doomed.count()
+    if metrics["files_deleted"]:
+        io.write(doomed.select(*keys), "file_tombstones")
+
+    # content losing its last reference: doomed shas minus shas still
+    # referenced by a surviving file (all sets here are O(delete)-sized;
+    # the files table is scanned once, never shuffled)
+    doomed_shas = doomed.select("content_sha256").dropDuplicates()
+    still_referenced = (
+        files_view.join(F.broadcast(doomed.select(*keys)), keys, "left_anti")
+        .join(F.broadcast(doomed_shas), "content_sha256", "left_semi")
+        .select("content_sha256").dropDuplicates()
+    )
+    gone = doomed_shas.join(
+        F.broadcast(still_referenced), "content_sha256", "left_anti").persist()
+    n_gone = gone.count()
+    metrics["content_forgotten"] = n_gone
+    if n_gone:
+        io.write(gone, "sha_tombstones")
+
+        # suffix-fp buckets whose every stored rep departs (metric only —
+        # see docstring): one scan of the stored fp table
+        st_fps = state.read("suffix_fps", v_cur)
+        gone_ids = gone.withColumnRenamed("content_sha256", "id")
+        touched_fp = (st_fps.join(F.broadcast(gone_ids), "id", "left_semi")
+                      .select("key").dropDuplicates())
+        survived_fp = (
+            st_fps.join(F.broadcast(gone_ids), "id", "left_anti")
+            .join(F.broadcast(touched_fp), "key", "left_semi")
+            .select("key").dropDuplicates()
+        )
+        metrics["fp_buckets_lost_last_rep"] = touched_fp.join(
+            F.broadcast(survived_fp), "key", "left_anti").count()
+
+    if repair_buckets and n_gone:
+        clusters = read_clusters(state, v_cur)
+        touched_clusters = (
+            clusters.join(F.broadcast(gone), "content_sha256", "left_semi")
+            .select("cluster_id").dropDuplicates()
+        )
+        survivors = (
+            clusters.join(F.broadcast(touched_clusters), "cluster_id",
+                          "left_semi")
+            .join(F.broadcast(gone), "content_sha256", "left_anti")
+            .select("content_sha256")
+        )
+        surv_sigs = (
+            state.read("sigs", v_cur)
+            .join(F.broadcast(survivors), "content_sha256", "left_semi")
+            .persist()
+        )
+        metrics["repair_sources"] = surv_sigs.count()
+        if metrics["repair_sources"]:
+            # regenerate reps from stored signatures; drop rows already
+            # stored for a surviving member (touched-bucket-sliced anti)
+            for tbl, rows in (
+                ("buckets", _bucket_rows(surv_sigs, cfg)),
+                ("simhash_buckets", _simhash_bucket_rows(surv_sigs, cfg)),
+            ):
+                fresh_reps = _cap_buckets(rows, cfg)
+                existing = _touched(state.read(tbl, v_cur),
+                                    fresh_reps.select("band", "key"),
+                                    ["band", "key"], True)
+                io.write(fresh_reps.join(existing,
+                                         ["band", "key", "sec", "id"],
+                                         "left_anti"), tbl)
+        surv_sigs.unpersist()
+
+    doomed.unpersist()
+    gone.unpersist()
+    state.commit(v_next)
+
+    all_files = state.read("files", v_next)
+    files_clustered = prune_keepers(
+        all_files.join(read_clusters(state, v_next), "content_sha256", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "content_sha256"))
+    )
+    return IncrementalResult(files_clustered, v_next, metrics)
 
 
 def _anti_state(batch: DataFrame, state_tbl: DataFrame, on: list[str],

@@ -86,6 +86,17 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--compact-state", action="store_true",
                     help="maintenance mode: fold the cluster-label deltas of "
                          "--state-dir into a resolved base snapshot and exit")
+    ap.add_argument("--delete", default=None, metavar="PATH",
+                    help="takedown mode: parquet of (repo, path, commit) "
+                         "rows to remove from --state-dir (Iceberg "
+                         "equality-delete analog; logical immediately, "
+                         "physical at --purge-state). Writes the post-delete "
+                         "clustered corpus to --output")
+    ap.add_argument("--purge-state", action="store_true",
+                    help="maintenance mode: rewrite EVERY state table with "
+                         "tombstones applied + caps re-enforced, expire old "
+                         "versions (physical erasure of deleted content), "
+                         "and exit")
     ap.add_argument("--task-metrics", action="store_true",
                     help="record per-partition in-task (rows, ms) on every "
                          "stage manifest row (audit mode; slower)")
@@ -139,19 +150,38 @@ def main(argv: list[str] | None = None) -> None:
     cfg = DedupConfig(**typed) if typed else base
     cfg.validate()
 
-    if args.compact_state:
+    if args.compact_state or args.purge_state:
         if not args.state_dir:
-            raise SystemExit("--compact-state requires --state-dir")
+            raise SystemExit("--compact-state/--purge-state require --state-dir")
         from email_sanitizer_api_spark.operators.incremental import (
-            compact_clusters)
-        v = compact_clusters(spark, args.state_dir, cfg)
-        print(json.dumps({"mode": "compact", "state_dir": args.state_dir,
+            compact_clusters, compact_state)
+        if args.purge_state:
+            v = compact_state(spark, args.state_dir, cfg)
+            mode = "purge"
+        else:
+            v = compact_clusters(spark, args.state_dir, cfg)
+            mode = "compact"
+        print(json.dumps({"mode": mode, "state_dir": args.state_dir,
                           "state_version": v}))
         spark.stop()
         return
 
+    if args.delete:
+        if not args.state_dir or not args.output:
+            raise SystemExit("--delete requires --state-dir and --output")
+        from email_sanitizer_api_spark.operators.incremental import (
+            incremental_delete)
+        doomed = spark.read.parquet(args.delete)
+        res = incremental_delete(spark, doomed, args.state_dir, cfg)
+        res.files_clustered.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"delete": args.delete, "output": args.output,
+                          **res.metrics}))
+        spark.stop()
+        return
+
     if not args.input or not args.output:
-        raise SystemExit("--input/--output required (except with --compact-state)")
+        raise SystemExit("--input/--output required (except with "
+                         "--compact-state/--purge-state)")
     if args.input_format == "iceberg":
         files = spark.read.table(args.input)
     else:

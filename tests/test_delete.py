@@ -1,0 +1,248 @@
+"""Incremental deletion (operators/incremental.incremental_delete):
+takedown/opt-out removal with Iceberg equality-delete semantics —
+tombstone masking, sequence-number re-adds, bucket-rep repair from stored
+signatures, and physical purge at compact_state.
+
+Reference analog: the service deletes nothing (stateless per-request), but
+its memo-cache invalidation contract (src/job_queue.rs:87-106 — a cached
+verdict must never outlive its input) is the same obligation state-side:
+deleted content must never influence a future fold.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+from email_sanitizer_api_spark.operators.incremental import (
+    DedupState,
+    compact_state,
+    incremental_dedup,
+    incremental_delete,
+)
+from email_sanitizer_api_spark.pipeline import run_pipeline
+from tests.conftest import normalize_oracle
+
+DDL = "repo string, path string, commit string, lang string, content string"
+
+
+def _partition(files_clustered) -> set[frozenset]:
+    rows = files_clustered.select("repo", "path", "cluster_id").collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add((r["repo"], r["path"]))
+    return {frozenset(v) for v in by_cluster.values()}
+
+
+def _labels(files_clustered) -> dict:
+    return {(r["repo"], r["path"]): r["cluster_id"]
+            for r in files_clustered.select("repo", "path", "cluster_id").collect()}
+
+
+@pytest.fixture(scope="module")
+def del_cfg() -> DedupConfig:
+    c = DedupConfig(max_content_bytes=100_000)
+    c.validate()
+    return c
+
+
+def _sha(content: str) -> str:
+    return hashlib.sha256(
+        normalize_oracle(content).encode("utf-8")).hexdigest()
+
+
+def test_delete_matches_recompute_and_repicks_keepers(spark, tmp_path, del_cfg):
+    """Deleting files (including every copy of one content AND a cluster's
+    keeper) leaves exactly the partition a full batch recompute over the
+    remaining corpus produces, with one keeper re-picked per cluster."""
+    pdf = synthesize_code_files(CorpusSpec(n_base=100, invalid_rows=3, seed=19))
+    df = spark.createDataFrame(pdf)
+    root = str(tmp_path / "state")
+    r1 = incremental_dedup(spark, df, root, del_cfg)
+
+    # doom: every current keeper of a multi-file cluster (forces re-pick)
+    clustered = r1.files_clustered.persist()
+    multi = (clustered.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n")).where("n > 1"))
+    doomed = (clustered.join(multi.select("cluster_id"), "cluster_id", "left_semi")
+              .where("is_keeper").select("repo", "path", "commit"))
+    n_doomed = doomed.count()
+    assert n_doomed > 0, "corpus must contain multi-file clusters"
+
+    res = incremental_delete(spark, doomed, root, del_cfg)
+    assert res.metrics["files_deleted"] == n_doomed
+    out = res.files_clustered.persist()
+
+    # deleted identities are gone
+    assert out.join(doomed, ["repo", "path", "commit"], "left_semi").count() == 0
+    # exactly one keeper per remaining cluster
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_keeper").cast("int")).alias("k")).collect()
+    assert all(r["k"] == 1 for r in per)
+
+    # co-membership == full recompute over the remaining corpus. (Labels
+    # may differ where a cluster's min-sha doc departed — deletion keeps
+    # labels opaque — so compare partitions, not label strings.)
+    doomed_keys = {(r["repo"], r["path"]) for r in doomed.collect()}
+    remaining_pdf = pdf[~pdf.apply(
+        lambda row: (row["repo"], row["path"]) in doomed_keys, axis=1)]
+    ref = run_pipeline(spark, spark.createDataFrame(remaining_pdf), del_cfg)
+    assert _partition(out) == _partition(ref.files_clustered)
+    clustered.unpersist()
+    out.unpersist()
+
+
+def test_forgotten_content_cannot_mint_candidates(spark, tmp_path, del_cfg):
+    """Delete the only file of content X, then fold Z ~ X: Z must NOT
+    inherit X's cluster through leftover signatures/buckets — it lands as
+    its own singleton, exactly like a recompute over {survivors, Z}."""
+    x = "\n".join(f"unique payload line {i} q{i * 17}" for i in range(150))
+    z = "\n".join(f"unique payload line {i} q{i * 17}" for i in range(140)
+                  ) + "\nz tail\n"
+    other = "\n".join(f"unrelated doc line {i} r{i * 23}" for i in range(100))
+    root = str(tmp_path / "state")
+    incremental_dedup(spark, spark.createDataFrame(
+        [("r", "x.py", "c1", "python", x), ("r", "o.py", "c1", "python", other)],
+        DDL), root, del_cfg)
+
+    res = incremental_delete(spark, spark.createDataFrame(
+        [("r", "x.py", "c1")], "repo string, path string, commit string"),
+        root, del_cfg)
+    assert res.metrics["files_deleted"] == 1
+    assert res.metrics["content_forgotten"] == 1
+
+    r2 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "z.py", "c2", "python", z)], DDL), root, del_cfg)
+    labels = _labels(r2.files_clustered)
+    assert ("r", "x.py") not in labels
+    assert labels[("r", "z.py")] != labels[("r", "o.py")]
+    # Z formed a fresh singleton cluster (its own sha), not X's old label
+    assert labels[("r", "z.py")] == _sha(z)
+
+
+def test_delete_stored_rep_then_repair_keeps_cluster_reachable(
+        spark, tmp_path, del_cfg):
+    """Make the cluster's min-sha member the stored bucket rep (reps=1),
+    delete it, then fold a near-dup of a survivor: the repaired bucket
+    reps (regenerated from the survivors' stored signatures) must route
+    the newcomer into the surviving cluster."""
+    cfg = DedupConfig(max_content_bytes=100_000, incremental_bucket_reps=1)
+    cfg.validate()
+    base = [f"rep repair corpus line {i} s{i * 31}" for i in range(150)]
+    variants = {
+        f"v{j}.py": "\n".join(base + [f"tail {j}"]) for j in range(3)
+    }
+    # the min-sha member is the one every capped (band,key,sec) bucket
+    # keeps when reps=1 (deterministic orderBy id)
+    min_sha_path = min(variants, key=lambda p: _sha(variants[p]))
+    root = str(tmp_path / "state")
+    r1 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", p, "c1", "python", c) for p, c in variants.items()], DDL),
+        root, cfg)
+    l1 = _labels(r1.files_clustered)
+    assert len({l1[("r", p)] for p in variants}) == 1, "must start as one cluster"
+
+    res = incremental_delete(spark, spark.createDataFrame(
+        [("r", min_sha_path, "c1")], "repo string, path string, commit string"),
+        root, cfg)
+    assert res.metrics["content_forgotten"] == 1
+    assert res.metrics.get("repair_sources", 0) == 2  # both survivors re-repped
+
+    newcomer = "\n".join(base + ["tail newcomer"])
+    r2 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "new.py", "c2", "python", newcomer)], DDL), root, cfg)
+    l2 = _labels(r2.files_clustered)
+    survivors = [p for p in variants if p != min_sha_path]
+    assert l2[("r", "new.py")] == l2[("r", survivors[0])] == l2[("r", survivors[1])]
+
+
+def test_compact_state_physically_purges(spark, tmp_path, del_cfg):
+    """After compact_state, no state table contains a tombstoned sha or
+    file identity, older version dirs are expired from disk, and a
+    subsequent fold still matches a full recompute."""
+    pdf = synthesize_code_files(CorpusSpec(n_base=60, invalid_rows=2, seed=29))
+    df = spark.createDataFrame(pdf)
+    root = str(tmp_path / "state")
+    incremental_dedup(spark, df, root, del_cfg)
+
+    doomed = spark.createDataFrame(
+        pdf[["repo", "path", "commit"]].iloc[:7])
+    res = incremental_delete(spark, doomed, root, del_cfg)
+    gone_shas = {
+        r["content_sha256"]
+        for r in DedupState(spark, root).read("sha_tombstones").collect()}
+    assert gone_shas, "the deleted slice must forget at least one content"
+
+    v = compact_state(spark, root, del_cfg)
+    state = DedupState(spark, root)
+    assert state.version() == v
+    # snapshot expiration: only the base version dir remains
+    vdirs = [d for d in os.listdir(root) if d.startswith("v")]
+    assert vdirs == [f"v{v}"]
+    # no table — including raw parquet, bypassing masked reads — retains a
+    # forgotten sha or a tombstoned identity
+    for name, col in (("sigs", "content_sha256"), ("sha_clusters", "content_sha256"),
+                      ("files", "content_sha256"), ("buckets", "id"),
+                      ("simhash_buckets", "id"), ("suffix_fps", "id")):
+        path = os.path.join(root, f"v{v}", name)
+        if not os.path.exists(path):
+            continue
+        vals = {r[col] for r in spark.read.parquet(path).select(col).collect()}
+        assert not (vals & gone_shas), f"{name} retains forgotten content"
+    assert not os.path.exists(os.path.join(root, f"v{v}", "sha_tombstones"))
+    assert not os.path.exists(os.path.join(root, f"v{v}", "file_tombstones"))
+
+    # the compacted state still folds correctly
+    extra = synthesize_code_files(CorpusSpec(n_base=30, invalid_rows=1, seed=31))
+    r2 = incremental_dedup(spark, spark.createDataFrame(extra), root, del_cfg)
+    doomed_keys = {(r["repo"], r["path"]) for r in doomed.collect()}
+    remaining = pdf[~pdf.apply(
+        lambda row: (row["repo"], row["path"]) in doomed_keys, axis=1)]
+    import pandas as pd
+    ref = run_pipeline(
+        spark, spark.createDataFrame(pd.concat([remaining, extra])), del_cfg)
+    assert _partition(r2.files_clustered) == _partition(ref.files_clustered)
+
+
+def test_delete_is_idempotent(spark, tmp_path, del_cfg):
+    pdf = synthesize_code_files(CorpusSpec(n_base=40, invalid_rows=2, seed=37))
+    root = str(tmp_path / "state")
+    incremental_dedup(spark, spark.createDataFrame(pdf), root, del_cfg)
+    doomed = spark.createDataFrame(pdf[["repo", "path", "commit"]].iloc[:5])
+    r1 = incremental_delete(spark, doomed, root, del_cfg)
+    r2 = incremental_delete(spark, doomed, root, del_cfg)
+    assert r2.metrics["files_deleted"] == 0
+    assert r2.metrics["content_forgotten"] == 0
+    assert _partition(r2.files_clustered) == _partition(r1.files_clustered)
+
+
+def test_readd_after_delete_sequence_semantics(spark, tmp_path, del_cfg):
+    """Iceberg sequence-number rule: a tombstone masks only rows committed
+    at or before it. Re-adding the SAME identity and content after a
+    delete makes it visible again and re-clusters it with its old peers
+    (labels converge back to the min-sha fixpoint)."""
+    body = "\n".join(f"readd body line {i} t{i * 41}" for i in range(120))
+    near = "\n".join(f"readd body line {i} t{i * 41}" for i in range(114)
+                     ) + "\npeer tail\n"
+    rows = [("r", "a.py", "c1", "python", body),
+            ("r", "b.py", "c1", "python", near)]
+    root = str(tmp_path / "state")
+    r1 = incremental_dedup(spark, spark.createDataFrame(rows, DDL), root, del_cfg)
+    l1 = _labels(r1.files_clustered)
+    assert l1[("r", "a.py")] == l1[("r", "b.py")]
+
+    incremental_delete(spark, spark.createDataFrame(
+        [("r", "a.py", "c1")], "repo string, path string, commit string"),
+        root, del_cfg)
+
+    r3 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "a.py", "c1", "python", body)], DDL), root, del_cfg)
+    assert r3.metrics["fresh_content"] == 1  # X re-signs: its sigs were masked
+    l3 = _labels(r3.files_clustered)
+    assert ("r", "a.py") in l3
+    assert l3[("r", "a.py")] == l3[("r", "b.py")] == l1[("r", "a.py")]

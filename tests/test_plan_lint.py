@@ -34,6 +34,7 @@ EAGER = {
     "dedup_cluster_size_histogram",
     "connected_components_docs",
     "incremental_dedup_two_batches",
+    "incremental_delete_fold",
     "minhash_near_dup_pairs",
     "simhash_hamming_pairs",
     "suffix_array_spans",

@@ -193,3 +193,55 @@ def test_spark_submit_analytics_side_outputs(tmp_path):
     assert pii["has_pii"].sum() >= 1
     assert {"n_bigrams", "avg_logp_q", "lm_quality_ok"} <= set(lm.columns)
     assert {"repo", "path", "commit"} <= set(lm.columns)
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_delete_and_purge(tmp_path):
+    """Takedown via the CLI across JVMs: fold a batch, --delete a slice,
+    --purge-state; the deleted identities never reappear and the purged
+    warehouse retains no forgotten sha."""
+    from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+
+    pdf = synthesize_code_files(CorpusSpec(n_base=30, n_repos=4, seed=13))
+    src = str(tmp_path / "b.parquet")
+    pdf.to_parquet(src, index=False)
+    doomed_pdf = pdf[["repo", "path", "commit"]].iloc[:4]
+    doomed = str(tmp_path / "doomed.parquet")
+    doomed_pdf.to_parquet(doomed, index=False)
+    state = str(tmp_path / "state")
+
+    zip_path = str(tmp_path / "engine.zip")
+    subprocess.run([sys.executable, os.path.join(REPO, "tools/make_pyfiles.py"),
+                    zip_path], check=True, capture_output=True)
+
+    def submit(*extra):
+        out = subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]",
+             "--conf", "spark.ui.enabled=false",
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--py-files", zip_path,
+             os.path.join(REPO, "jobs/dedup_job.py"), *extra],
+            capture_output=True, text=True, timeout=900, cwd=REPO)
+        assert out.returncode == 0, out.stderr[-3000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    s1 = submit("--incremental", "--state-dir", state, "--input", src,
+                "--output", str(tmp_path / "out1"))
+    assert s1["state_version"] == 1
+
+    s2 = submit("--delete", doomed, "--state-dir", state,
+                "--output", str(tmp_path / "out2"))
+    assert s2["files_deleted"] > 0
+
+    import pandas as pd
+    out2 = pd.read_parquet(str(tmp_path / "out2"))
+    doomed_keys = set(map(tuple, doomed_pdf.itertuples(index=False)))
+    kept_keys = set(map(tuple, out2[["repo", "path", "commit"]]
+                        .itertuples(index=False)))
+    assert not (kept_keys & doomed_keys)
+
+    s3 = submit("--purge-state", "--state-dir", state)
+    assert s3["mode"] == "purge" and s3["state_version"] == 3
+    assert os.listdir(state) == ["CURRENT", "v3"] or sorted(
+        os.listdir(state)) == ["CURRENT", "v3"]
+    assert not os.path.exists(os.path.join(state, "v3", "sha_tombstones"))
