@@ -55,6 +55,53 @@ NLJ_OK = {
 
 LINT_NAMES = sorted(set(entry.queries()) - EAGER)
 
+# Shuffle budget per query: the number of Exchange operators its physical
+# plan is ALLOWED to contain (measured on the audited plans backing
+# PLANS.md). Every exchange is a full shuffle of its input at 100 TB, so
+# a regression that adds one (a lost broadcast hint, a distinct that
+# stopped riding an existing partitioning, an agg split out of its
+# window) must fail CI, not surface in a bench artifact later. Ceilings,
+# not exact pins: dropping below budget is an improvement. A new query
+# MUST declare its budget here — budgets are the machine-checked twin of
+# PLANS.md's hand audits.
+EXCHANGE_BUDGET = {
+    # map-only scans (the exchange-free family PLANS.md headlines)
+    "code_curation_flags": 0, "email_pii_scan": 0, "email_validation_rfc": 0,
+    "lang_id_documents": 0, "multimodal_media_meta": 0,
+    "multimodal_real_decode": 0, "normalize_documents": 0,
+    "pii_scan_documents": 0, "quality_score_documents": 0,
+    "quote_aware_scan_docs": 0, "redact_secrets_documents": 0,
+    "secret_scan_documents": 0, "simhash_signatures": 0,
+    "token_count_documents": 0, "validate_documents": 0,
+    "embedding_norms": 0,
+    # broadcast dim joins: zero shuffles by construction
+    "bcast_anti_join_blocklist": 0, "bcast_semi_join_customers_in_region": 0,
+    # documented exact baselines (broadcast cross joins: 0-1 exchanges)
+    "embedding_cosine_near_dup": 0, "cosine_topk_embeddings": 1,
+    # single-shuffle aggs / windows
+    "blocklist_filtered_docs": 1, "candidate_pair_selfjoin": 1,
+    "conditional_counts_by_flag": 1, "corpus_mix_report": 1,
+    "dedup_keeper_by_quality": 1, "dedup_keeper_window": 1,
+    "distinct_fp_by_lang_approx": 1, "doc_fingerprint_groups": 1,
+    "embedding_near_dup_lsh": 1, "events_hourly_agg": 1,
+    "events_sessionized": 1, "exact_dedup_documents": 1,
+    "length_percentiles_by_lang": 1, "partition_pruned_lang_agg": 1,
+    "tpch_q1_pricing_summary": 1, "union_pair_sets": 1,
+    "validate_counts": 1, "window_topk_orders_per_cust": 1,
+    # two-stage aggs / bucketed ANN probes
+    "cosine_topk_ivf": 2, "cosine_topk_lsh": 2, "decontamination_report": 2,
+    "dedup_collapse_metrics": 2, "distinct_fp_by_lang": 2,
+    "url_domain_stats": 2,
+    # multi-stage composites (each stage audited in PLANS.md)
+    "corpus_curation_verdicts": 3, "intersect_except_custs": 3,
+    "key_skew_profile_fp": 3, "vocab_topk_tokens": 3,
+    "lm_quality_scores": 4, "repetition_quality_report": 4,
+    "segment_dedup_documents": 4,
+    "source_overlap_pairs": 6, "source_overlap_chunks": 8,
+    "minhash_near_dup_pairs_est": 9, "token_jaccard_pairs": 10,
+    "neardup_decontamination_report": 12,
+}
+
 
 def _explain(df) -> str:
     buf = io.StringIO()
@@ -92,7 +139,22 @@ def test_no_rdd_scans(plans, name):
             pytest.fail(f"{name}: non-broadcast driver-side RDD scan\n{plan}")
 
 
+@pytest.mark.parametrize("name", LINT_NAMES)
+def test_exchange_budget(plans, name):
+    import re
+    n = len(re.findall(r"^\(\d+\) Exchange", plans[name], re.M))
+    budget = EXCHANGE_BUDGET.get(name)
+    assert budget is not None, (
+        f"{name}: no shuffle budget declared — measure its plan and add it "
+        f"to EXCHANGE_BUDGET (currently {n} exchanges)")
+    assert n <= budget, (
+        f"{name}: {n} exchanges > budgeted {budget} — a shuffle crept into "
+        f"the plan (lost broadcast? distinct off its partitioning?); fix "
+        f"the plan or re-justify the budget in PLANS.md.\n{plans[name]}")
+
+
 def test_whitelist_is_tight():
-    # every whitelisted name must still exist in the query surface
+    # every whitelisted / budgeted name must still exist in the query surface
     assert set(NLJ_OK) <= set(entry.queries())
     assert EAGER <= set(entry.queries())
+    assert set(EXCHANGE_BUDGET) == set(LINT_NAMES)
