@@ -171,6 +171,19 @@ _TOMBSTONED = {
 }
 _TOMBSTONE_KEYS = {"file_tombstones": ("repo", "path", "commit"),
                    "sha_tombstones": ("content_sha256",)}
+#: Config fields the STORED sketches depend on. Folding a batch with a
+#: different value for any of these silently corrupts recall — the new
+#: batch's signatures / band keys / pigeonhole chunks / winnowed
+#: fingerprints are incomparable with what the state holds, so cross-batch
+#: candidates quietly stop appearing (the north rule's "same
+#: shingle/signature config" clause, enforced rather than assumed).
+#: Non-member fields (caps, thresholds, CC knobs, validation limits) only
+#: change FUTURE decisions, never the meaning of stored artifacts, and may
+#: drift freely between folds.
+_SIG_FIELDS = ("shingle_k", "num_hashes", "seed", "minhash_scheme",
+               "num_bands", "rows_per_band", "simhash_bits", "simhash_chunks",
+               "suffix_min_len", "strip_license_headers")
+_STATE_CONFIG = "CONFIG"
 
 
 @dataclass
@@ -267,6 +280,48 @@ class DedupState:
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
         os.replace(tmp, self._pointer)
+
+
+def _check_state_config(state: DedupState, cfg: DedupConfig,
+                        allow_config_change: bool = False) -> None:
+    """Refuse to fold/delete with a signature config different from the
+    one the state was built with (see ``_SIG_FIELDS``). The pinned config
+    lives in ``<state_root>/CONFIG`` — written at bootstrap, preserved by
+    compaction/expiry, compared on every subsequent stateful call.
+    ``allow_config_change=True`` re-pins to the new values (an explicit
+    migration acknowledgment: the caller accepts that sketches stored
+    before the change cannot match sketches stored after it)."""
+    path = os.path.join(state.root, _STATE_CONFIG)
+    current = {k: getattr(cfg, k) for k in _SIG_FIELDS}
+
+    def _pin() -> None:
+        os.makedirs(state.root, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(current, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+    # bootstrap (no committed state yet): (re)pin — a crashed first attempt
+    # must not lock a later bootstrap into its config
+    if state.version() == 0 or not os.path.exists(path):
+        _pin()
+        return
+    with open(path) as f:
+        stored = json.load(f)
+    drift = {k: {"state": stored.get(k), "requested": current[k]}
+             for k in _SIG_FIELDS if stored.get(k) != current[k]}
+    if not drift:
+        return
+    if allow_config_change:
+        _pin()
+        return
+    raise ValueError(
+        f"signature-config drift vs state at {state.root}: {drift} — the "
+        f"stored signatures/buckets/fingerprints were built with the "
+        f"pinned values and are incomparable with this config (cross-batch "
+        f"candidates would silently vanish). Rebuild the state, or pass "
+        f"allow_config_change=True to re-pin if you accept that sketches "
+        f"from before the change cannot match sketches from after it.")
 
 
 def _clear_uncommitted(state_root: str, version: int) -> None:
@@ -391,6 +446,7 @@ def incremental_delete(
     state_root: str,
     cfg: DedupConfig = DEFAULT_CONFIG,
     repair_buckets: bool = True,
+    allow_config_change: bool = False,
 ) -> IncrementalResult:
     """Remove files (takedown / opt-out, Iceberg equality-delete analog)
     from the dedup state: ``doomed_files`` is (repo, path, commit) rows.
@@ -422,6 +478,9 @@ def incremental_delete(
     v_cur = state.version()
     if v_cur == 0:
         raise ValueError(f"no committed state at {state_root}")
+    # rep repair regenerates band keys / chunks from stored signatures —
+    # the signature config must match what built them
+    _check_state_config(state, cfg, allow_config_change)
     v_next = v_cur + 1
     _clear_uncommitted(state_root, v_next)
     io = TableIO(spark, os.path.join(state_root, f"v{v_next}"), resume=False)
@@ -662,11 +721,14 @@ def incremental_dedup(
     cfg: DedupConfig = DEFAULT_CONFIG,
     enable_simhash: bool = True,
     enable_suffix: bool = True,
+    allow_config_change: bool = False,
 ) -> IncrementalResult:
     """Fold ``new_files`` (repo, path, commit, lang, content) into the
     dedup state at ``state_root``; returns cluster assignments for the
     whole corpus-so-far. First call on an empty ``state_root`` bootstraps
-    (equivalent to the batch pipeline over the first batch).
+    (equivalent to the batch pipeline over the first batch). Raises on
+    signature-config drift vs the state's pinned config
+    (``_check_state_config``) unless ``allow_config_change``.
 
     Feature parity with the batch pipeline (VERDICT r02 item 3): all three
     candidate generators fold incrementally — MinHash/LSH buckets, SimHash
@@ -676,6 +738,7 @@ def incremental_dedup(
     O(batch x cap), never O(corpus))."""
     cfg.validate()
     state = DedupState(spark, state_root)
+    _check_state_config(state, cfg, allow_config_change)
     v_cur = state.version()
     v_next = v_cur + 1
     # a crashed earlier attempt may have left a partial v{v_next} (tables

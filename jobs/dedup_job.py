@@ -129,6 +129,11 @@ def main(argv: list[str] | None = None) -> None:
                          "char-bigram LM quality) as parquet side outputs "
                          "under DIR — both are scan-side passes that add "
                          "no shuffle to the dedup job itself")
+    ap.add_argument("--allow-config-change", action="store_true",
+                    help="incremental/delete modes: accept a signature "
+                         "config different from the state's pinned one "
+                         "(re-pins; sketches stored before the change "
+                         "cannot match sketches stored after it)")
     ap.add_argument("--set", dest="overrides", action="append", default=[],
                     metavar="KEY=VALUE", help="DedupConfig field override")
     args = ap.parse_args(argv)
@@ -172,7 +177,8 @@ def main(argv: list[str] | None = None) -> None:
         from email_sanitizer_api_spark.operators.incremental import (
             incremental_delete)
         doomed = spark.read.parquet(args.delete)
-        res = incremental_delete(spark, doomed, args.state_dir, cfg)
+        res = incremental_delete(spark, doomed, args.state_dir, cfg,
+                                 allow_config_change=args.allow_config_change)
         res.files_clustered.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"delete": args.delete, "output": args.output,
                           **res.metrics}))
@@ -216,7 +222,8 @@ def main(argv: list[str] | None = None) -> None:
 
         res = incremental_dedup(spark, files, args.state_dir, cfg,
                                 enable_simhash=not args.no_simhash,
-                                enable_suffix=not args.no_suffix)
+                                enable_suffix=not args.no_suffix,
+                                allow_config_change=args.allow_config_change)
         res.files_clustered.write.mode("overwrite").parquet(args.output)
         print(json.dumps({
             "mode": "incremental",

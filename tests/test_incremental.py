@@ -348,3 +348,40 @@ def test_shuffle_fallback_equals_broadcast_probe(spark, tmp_path, inc_cfg):
 
     assert plans == {"probe": "broadcast", "shuffle": "shuffle"}
     assert labels["probe"] == labels["shuffle"]
+
+
+def test_signature_config_drift_rejected(spark, tmp_path, inc_cfg):
+    """Folding with a different signature config than the state was built
+    with must raise (stored sketches would be incomparable — cross-batch
+    candidates silently vanish). Non-signature fields may drift freely;
+    allow_config_change re-pins explicitly."""
+    from email_sanitizer_api_spark.operators.incremental import (
+        incremental_delete)
+
+    pdf = synthesize_code_files(CorpusSpec(n_base=30, invalid_rows=1, seed=23))
+    b1 = spark.createDataFrame(pdf.iloc[:20])
+    b2 = spark.createDataFrame(pdf.iloc[20:])
+    root = str(tmp_path / "state")
+    incremental_dedup(spark, b1, root, inc_cfg)
+
+    drifted = DedupConfig(max_content_bytes=100_000, shingle_k=7)
+    drifted.validate()
+    with pytest.raises(ValueError, match="shingle_k"):
+        incremental_dedup(spark, b2, root, drifted)
+    # deletion regenerates bucket reps from stored sigs: same guard
+    with pytest.raises(ValueError, match="signature-config drift"):
+        incremental_delete(spark, b2.select("repo", "path", "commit"),
+                           root, drifted)
+
+    # non-signature knobs (caps, thresholds) may change between folds
+    tuned = DedupConfig(max_content_bytes=100_000, max_bucket_allpairs=32,
+                        jaccard_threshold=0.8)
+    tuned.validate()
+    incremental_dedup(spark, b2, root, tuned)
+
+    # explicit migration: re-pins, so the NEW config passes and the
+    # original one now drifts
+    b3 = spark.createDataFrame(pdf.iloc[:5])
+    incremental_dedup(spark, b3, root, drifted, allow_config_change=True)
+    with pytest.raises(ValueError, match="signature-config drift"):
+        incremental_dedup(spark, b3, root, inc_cfg)

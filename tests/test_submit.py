@@ -242,6 +242,8 @@ def test_spark_submit_delete_and_purge(tmp_path):
 
     s3 = submit("--purge-state", "--state-dir", state)
     assert s3["mode"] == "purge" and s3["state_version"] == 3
-    assert os.listdir(state) == ["CURRENT", "v3"] or sorted(
-        os.listdir(state)) == ["CURRENT", "v3"]
+    # only the base version dir survives expiry (plus the CURRENT pointer
+    # and the pinned signature CONFIG)
+    vdirs = [d for d in os.listdir(state) if d.startswith("v")]
+    assert vdirs == ["v3"]
     assert not os.path.exists(os.path.join(state, "v3", "sha_tombstones"))
