@@ -1,0 +1,130 @@
+"""Incremental-fold benchmark: is per-fold cost really O(batch)?
+
+Folds the sf documents corpus into a fresh state dir as K equal batches
+and reports, per fold: wall seconds (host-noisy — pre/post busy-loop
+probes embedded so a contended window is visible in the artifact) and the
+state DELTA bytes the fold wrote (host-noise-FREE — the direct measure of
+the O(batch)-writes design claim: if writes were O(corpus), delta bytes
+would grow linearly with fold index; the design says they stay ~flat).
+
+Prints ONE JSON line:
+
+    {"metric": "incremental_fold_per_batch", "folds": [...],
+     "flat_ratio_bytes": last_delta/first_delta,
+     "flat_ratio_sec": last_sec/first_sec, ...}
+
+Usage:
+    python tools/fold_bench.py [--sf-dir /root/testdata/sf0.1]
+                               [--batches 5] [--cpus 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, names in os.walk(path):
+        for n in names:
+            total += os.path.getsize(os.path.join(root, n))
+    return total
+
+
+def _probe() -> float:
+    """Single-process busy-loop Mops — a RELATIVE window marker (its loop
+    body differs from tools/host_probe.py, so values are comparable only
+    within this artifact) making contended readings self-reporting."""
+    n, t0 = 0, time.perf_counter()
+    deadline = t0 + 0.5
+    while time.perf_counter() < deadline:
+        for _ in range(10_000):
+            n += 1
+    return round(n / (time.perf_counter() - t0) / 1e6, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--batches", type=int, default=5)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    ap.add_argument("--state-dir", default=None,
+                    help="default: a fresh temp dir (removed afterwards)")
+    args = ap.parse_args()
+
+    from email_sanitizer_api_spark.config import DedupConfig
+    from email_sanitizer_api_spark.operators.incremental import (
+        DedupState, incremental_dedup)
+    from email_sanitizer_api_spark.session import get_spark
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="fold-bench", master=f"local[{args.cpus}]",
+                      shuffle_partitions=max(8, args.cpus))
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    files = entry._docs_as_code_files(docs).withColumn(
+        "_b", F.pmod(F.xxhash64("path"), F.lit(args.batches)))
+    cfg = DedupConfig()
+
+    own_tmp = args.state_dir is None
+    root = args.state_dir or tempfile.mkdtemp(prefix="fold_bench_")
+    folds = []
+    try:
+        for b in range(args.batches):
+            batch = files.where(F.col("_b") == b).drop("_b")
+            pre = _probe()
+            t0 = time.perf_counter()
+            res = incremental_dedup(spark, batch, root, cfg)
+            # materialize the corpus-wide result like a real consumer would
+            n_total = res.files_clustered.count()
+            sec = round(time.perf_counter() - t0, 2)
+            delta = _dir_bytes(os.path.join(root, f"v{res.state_version}"))
+            folds.append({
+                "fold": b + 1,
+                "batch_rows": res.metrics["batch_rows"],
+                "fresh_content": res.metrics["fresh_content"],
+                "corpus_files_so_far": n_total,
+                "sec": sec,
+                "delta_bytes": delta,
+                "probe_mops": pre,
+                "state_probe_plan": res.metrics["state_probe_plan"],
+            })
+            spark.catalog.clearCache()
+        state_bytes = _dir_bytes(root)
+        v = DedupState(spark, root).version()
+    finally:
+        if own_tmp:
+            import shutil
+            shutil.rmtree(root, ignore_errors=True)
+
+    first, last = folds[0], folds[-1]
+    out = {
+        "metric": "incremental_fold_per_batch",
+        "sf_dir": args.sf_dir,
+        "cpus": args.cpus,
+        "batches": args.batches,
+        "folds": folds,
+        # the O(batch) claims, one noise-free and one wall-clock:
+        # delta bytes per fold must not grow with corpus age (writes are
+        # O(batch + merges)); seconds are window-dependent, read with the
+        # embedded probes
+        "flat_ratio_bytes": round(last["delta_bytes"] / first["delta_bytes"], 3),
+        "flat_ratio_sec": round(last["sec"] / first["sec"], 3),
+        "state_bytes_final": state_bytes,
+        "state_versions": v,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
