@@ -977,10 +977,14 @@ def _q_incremental_delete_fold(spark, sf_dir):
     post-delete corpus-wide assignments. Tombstones mask the deleted
     identities and any content whose last reference departed; surviving
     members of touched clusters get bucket reps regenerated from stored
-    signatures. Stateful/multi-invocation — not SQL-expressible
-    (rows-only check); tests/test_delete.py pins partition equality with
-    a full recompute over the remaining corpus, physical purge at
-    compact_state, and sequence-semantics re-adds."""
+    signatures, and (rebuild_splits=True, r04) the touched clusters are
+    re-PARTITIONED from stored sketches with labels rewritten to the min
+    surviving sha per component — bridge deletions split, matching a
+    fresh recompute over the remaining corpus. Stateful/multi-invocation
+    — not SQL-expressible (rows-only check); tests/test_delete.py pins
+    label-value equality with a full recompute over the remaining corpus,
+    the stale-remap poisoning case, physical purge at compact_state, and
+    sequence-semantics re-adds."""
     import shutil
     import tempfile
 
@@ -993,7 +997,8 @@ def _q_incremental_delete_fold(spark, sf_dir):
         incremental_dedup(spark, docs, root, DedupConfig())
         doomed = docs.where(F.xxhash64("path") % 7 == 0).select(
             "repo", "path", "commit")
-        res = incremental_delete(spark, doomed, root, DedupConfig())
+        res = incremental_delete(spark, doomed, root, DedupConfig(),
+                                 rebuild_splits=True)
         out = res.files_clustered.select(
             "repo", "path", "content_sha256", "cluster_id", "is_keeper")
         out = out.localCheckpoint()  # materialize before the state dir dies

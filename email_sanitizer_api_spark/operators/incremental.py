@@ -98,11 +98,19 @@ survivor still finds the cluster even when the departed doc was the stored
 rep. Suffix-fp reps cannot be regenerated (state stores sketches, never
 content — by design); buckets that lose their last rep are counted in
 ``metrics["fp_buckets_lost_last_rep"]`` and heal as future folds re-winnow
-colliding content. Cluster labels are treated as OPAQUE ids: deletion
-never rewrites labels (no remap rows → the remap chain stays monotone
-decreasing → acyclic), so a cluster whose min-sha doc departed keeps its
-label; co-membership — the thing dedup consumes — matches a full recompute
-over the remaining corpus, and keepers are re-picked at read. Deletion is
+colliding content. By default cluster labels are treated as OPAQUE ids:
+deletion never rewrites labels (no remap rows → the remap chain stays
+monotone decreasing → acyclic), so a cluster whose min-sha doc departed
+keeps its label; co-membership — the thing dedup consumes — matches a full
+recompute over the remaining corpus EXCEPT for bridge deletions (two
+survivors connected only through the departed doc stay merged —
+conservative). ``rebuild_splits=True`` closes even that: touched clusters
+are re-partitioned from the stored sketches and their labels REWRITTEN to
+the min surviving sha per component via ``label_tombstones`` /
+``remap_tombstones`` (sequence masks whose same-version fresh rows
+survive), restoring FULL parity — partition and label values — with a
+fresh recompute over the remaining corpus. Keepers re-pick at read either
+way. Deletion is
 logical immediately and physical at ``compact_state`` (the
 rewrite_data_files + snapshot-expiration analog): all tables are rewritten
 with tombstones applied and older version dirs are expired, after which no
@@ -152,25 +160,41 @@ _SCHEMAS = {
     # version T masks matching rows committed at versions <= T
     "file_tombstones": "repo string, path string, commit string",
     "sha_tombstones": "content_sha256 string",
+    # label-rewrite tombstones (rebuild_splits): a rewrite at version T
+    # supersedes label/remap rows from versions STRICTLY BEFORE T — the
+    # fresh rows the rewrite commits in the SAME version survive
+    "label_tombstones": "content_sha256 string",
+    "remap_tombstones": "old_cluster string",
 }
 #: read = union of version deltas (sha_clusters/remaps from the latest
 #: compaction marker; see DedupState.read)
 _DELTA_TABLES = ("sigs", "buckets", "simhash_buckets", "suffix_fps", "files",
-                 "sha_clusters", "remaps", "file_tombstones", "sha_tombstones")
+                 "sha_clusters", "remaps", "file_tombstones", "sha_tombstones",
+                 "label_tombstones", "remap_tombstones")
 _BASE_MARKER = "CLUSTERS_BASE"  # version dir holds a resolved label snapshot
 _FULL_BASE_MARKER = "STATE_BASE"  # version dir holds EVERY table, purged
-#: table -> (tombstone table, key columns in the masked table). Tombstone
-#: key columns map positionally onto the masked table's key columns.
+#: table -> list of (tombstone table, key columns in the masked table,
+#: same_version_survives). Tombstone key columns map positionally onto the
+#: masked table's key columns. ``same_version_survives=False`` is the
+#: Iceberg equality-delete rule (a tombstone at version T masks rows with
+#: _v <= T — re-adds at later versions survive); ``True`` is the
+#: label-REWRITE rule (a rewrite at version T masks rows with _v < T —
+#: the fresh rows the rewrite commits alongside the tombstone, in the
+#: same version, survive).
 _TOMBSTONED = {
-    "files": ("file_tombstones", ("repo", "path", "commit")),
-    "sigs": ("sha_tombstones", ("content_sha256",)),
-    "sha_clusters": ("sha_tombstones", ("content_sha256",)),
-    "buckets": ("sha_tombstones", ("id",)),
-    "simhash_buckets": ("sha_tombstones", ("id",)),
-    "suffix_fps": ("sha_tombstones", ("id",)),
+    "files": [("file_tombstones", ("repo", "path", "commit"), False)],
+    "sigs": [("sha_tombstones", ("content_sha256",), False)],
+    "sha_clusters": [("sha_tombstones", ("content_sha256",), False),
+                     ("label_tombstones", ("content_sha256",), True)],
+    "buckets": [("sha_tombstones", ("id",), False)],
+    "simhash_buckets": [("sha_tombstones", ("id",), False)],
+    "suffix_fps": [("sha_tombstones", ("id",), False)],
+    "remaps": [("remap_tombstones", ("old_cluster",), True)],
 }
 _TOMBSTONE_KEYS = {"file_tombstones": ("repo", "path", "commit"),
-                   "sha_tombstones": ("content_sha256",)}
+                   "sha_tombstones": ("content_sha256",),
+                   "label_tombstones": ("content_sha256",),
+                   "remap_tombstones": ("old_cluster",)}
 #: Config fields the STORED sketches depend on. Folding a batch with a
 #: different value for any of these silently corrupts recall — the new
 #: batch's signatures / band keys / pigeonhole chunks / winnowed
@@ -226,7 +250,11 @@ class DedupState:
         # before it are expired; a label compaction (CLUSTERS_BASE) folded
         # only sha_clusters/remaps
         start = self._marker_version(_FULL_BASE_MARKER, upto)
-        if name in ("sha_clusters", "remaps"):
+        if name in ("sha_clusters", "remaps",
+                    "label_tombstones", "remap_tombstones"):
+            # a CLUSTERS_BASE snapshot is already remap-resolved and
+            # rewrite-applied — label deltas AND their rewrite tombstones
+            # from before it are folded in and must not re-apply
             start = max(start, self.base_version(upto))
         return [(v, p) for v in range(start, upto + 1)
                 if os.path.exists(p := os.path.join(self.root, f"v{v}", name))]
@@ -241,36 +269,45 @@ class DedupState:
         paths = self._table_paths(name, v) if v > 0 else []
         if not paths:
             return self.spark.createDataFrame([], _SCHEMAS[name])
-        mask = _TOMBSTONED.get(name)
-        if mask is not None and self._versioned_paths(mask[0], v):
-            return self._masked_read(name, v, *mask)
+        masks = [m for m in _TOMBSTONED.get(name, [])
+                 if self._versioned_paths(m[0], v)]
+        if masks:
+            return self._masked_read(name, v, masks)
         return self.spark.read.parquet(*paths)
 
-    def _masked_read(self, name: str, upto: int, tomb_name: str,
-                     keys: tuple[str, ...]) -> DataFrame:
+    def _masked_read(self, name: str, upto: int,
+                     masks: list[tuple[str, tuple[str, ...], bool]]
+                     ) -> DataFrame:
         """Read ``name`` with equality-delete tombstones applied under
         Iceberg sequence-number semantics: a tombstone committed at version
-        T masks matching rows from versions <= T only, so rows re-added
-        AFTER a delete survive. Tombstone sets are maintenance-sized
-        (takedowns, not crawls) and are broadcast; `compact_state` folds
-        them away physically, restoring the single-scan fast path."""
+        T masks matching rows from versions <= T only (strictly before T
+        for rewrite-style masks, ``same_version_survives`` in
+        ``_TOMBSTONED``), so rows re-added AFTER a delete — or rewritten
+        WITH a label rewrite — survive. Tombstone sets are
+        maintenance-sized (takedowns/rebuilds, not crawls) and are
+        broadcast; `compact_state` folds them away physically, restoring
+        the single-scan fast path."""
         rows = None
         for v, p in self._versioned_paths(name, upto):
             df = self.spark.read.parquet(p).withColumn("_v", F.lit(v))
             rows = df if rows is None else rows.unionByName(df)
-        tomb = None
-        for v, p in self._versioned_paths(tomb_name, upto):
-            df = self.spark.read.parquet(p).withColumn("_tv", F.lit(v))
-            tomb = df if tomb is None else tomb.unionByName(df)
-        for tk, k in zip(_TOMBSTONE_KEYS[tomb_name], keys):
-            if tk != k:
-                tomb = tomb.withColumnRenamed(tk, k)
-        tomb = tomb.groupBy(*keys).agg(F.max("_tv").alias("_tv"))
-        return (
-            rows.join(F.broadcast(tomb), list(keys), "left")
-            .where(F.col("_tv").isNull() | (F.col("_v") > F.col("_tv")))
-            .drop("_v", "_tv")
-        )
+        for tomb_name, keys, same_version_survives in masks:
+            tomb = None
+            for v, p in self._versioned_paths(tomb_name, upto):
+                df = self.spark.read.parquet(p).withColumn("_tv", F.lit(v))
+                tomb = df if tomb is None else tomb.unionByName(df)
+            for tk, k in zip(_TOMBSTONE_KEYS[tomb_name], keys):
+                if tk != k:
+                    tomb = tomb.withColumnRenamed(tk, k)
+            tomb = tomb.groupBy(*keys).agg(F.max("_tv").alias("_tv"))
+            keep = (F.col("_v") >= F.col("_tv") if same_version_survives
+                    else F.col("_v") > F.col("_tv"))
+            rows = (
+                rows.join(F.broadcast(tomb), list(keys), "left")
+                .where(F.col("_tv").isNull() | keep)
+                .drop("_tv")
+            )
+        return rows.drop("_v")
 
     def commit(self, version: int) -> None:
         """Flip CURRENT after all v{version} tables are written — the
@@ -446,6 +483,8 @@ def incremental_delete(
     state_root: str,
     cfg: DedupConfig = DEFAULT_CONFIG,
     repair_buckets: bool = True,
+    rebuild_splits: bool = False,
+    survivor_content: DataFrame | None = None,
     allow_config_change: bool = False,
 ) -> IncrementalResult:
     """Remove files (takedown / opt-out, Iceberg equality-delete analog)
@@ -464,15 +503,33 @@ def incremental_delete(
     sketches, never content); buckets losing their last rep are reported
     in ``metrics["fp_buckets_lost_last_rep"]``.
 
-    Labels are opaque: survivors keep their cluster_id even when the
-    min-sha doc departed (no remap rows → the chain stays acyclic), so
-    co-membership equals a full recompute over the remaining corpus and
-    keepers re-pick at read. Deletion never splits a cluster: the state
-    stores labels, not edges, so two survivors bridged ONLY through a
-    deleted doc stay co-clustered — conservative in the safe direction
-    (never emits a duplicate that isn't; may keep one file fewer than a
-    fresh recompute would). Tombstone/touched sets are maintenance-sized
-    and broadcast. Physical erasure = ``compact_state``."""
+    By default labels are opaque: survivors keep their cluster_id even
+    when the min-sha doc departed (no remap rows → the chain stays
+    acyclic), and the state stores labels, not edges, so two survivors
+    bridged ONLY through a deleted doc stay co-clustered — conservative in
+    the safe direction (never emits a duplicate that isn't; may keep one
+    file fewer than a fresh recompute would).
+
+    ``rebuild_splits=True`` removes that conservatism: touched clusters
+    are re-PARTITIONED from the sketches the state keeps (minhash band
+    collisions + signature-estimate verify, simhash pigeonhole + Hamming,
+    substring-fp collisions) and every touched survivor's label is
+    REWRITTEN to the min surviving sha of its re-derived component — so
+    bridge deletions split, and both co-membership AND label values equal
+    a fresh recompute over the remaining corpus. The rewrite uses
+    ``label_tombstones`` / ``remap_tombstones`` (strictly-before sequence
+    masking: old label rows and any stale remap row keyed by a new cluster
+    id are superseded; this version's fresh rows survive), keeping reads
+    append-only-plus-masks until compaction folds everything. One
+    under-approximation remains on the sketch-only path: a substring-fp
+    bucket whose EVERY stored rep departed can no longer connect its
+    surviving members (fp caps store a few reps, never all members — and
+    content is never stored); pass ``survivor_content`` (repo, path,
+    commit, lang, content rows covering the touched survivors, an
+    O(touched) slice the caller reads back from the corpus) to re-winnow
+    exact fingerprints and close even that. Tombstone/touched sets are
+    maintenance-sized and broadcast. Physical erasure =
+    ``compact_state``."""
     cfg.validate()
     state = DedupState(spark, state_root)
     v_cur = state.version()
@@ -529,39 +586,128 @@ def incremental_delete(
         metrics["fp_buckets_lost_last_rep"] = touched_fp.join(
             F.broadcast(survived_fp), "key", "left_anti").count()
 
-    if repair_buckets and n_gone:
+    old_assign = surv_sigs = None
+    if n_gone and (repair_buckets or rebuild_splits):
         clusters = read_clusters(state, v_cur)
         touched_clusters = (
             clusters.join(F.broadcast(gone), "content_sha256", "left_semi")
             .select("cluster_id").dropDuplicates()
         )
-        survivors = (
+        # surviving members of touched clusters, with their CURRENT label
+        # (read both by bucket repair and by the split rebuild below)
+        old_assign = (
             clusters.join(F.broadcast(touched_clusters), "cluster_id",
                           "left_semi")
             .join(F.broadcast(gone), "content_sha256", "left_anti")
-            .select("content_sha256")
+            .persist()
         )
+        survivors = old_assign.select("content_sha256")
         surv_sigs = (
             state.read("sigs", v_cur)
             .join(F.broadcast(survivors), "content_sha256", "left_semi")
             .persist()
         )
         metrics["repair_sources"] = surv_sigs.count()
-        if metrics["repair_sources"]:
-            # regenerate reps from stored signatures; drop rows already
-            # stored for a surviving member (touched-bucket-sliced anti)
-            for tbl, rows in (
-                ("buckets", _bucket_rows(surv_sigs, cfg)),
-                ("simhash_buckets", _simhash_bucket_rows(surv_sigs, cfg)),
-            ):
-                fresh_reps = _cap_buckets(rows, cfg)
-                existing = _touched(state.read(tbl, v_cur),
-                                    fresh_reps.select("band", "key"),
-                                    ["band", "key"], True)
-                io.write(fresh_reps.join(existing,
-                                         ["band", "key", "sec", "id"],
-                                         "left_anti"), tbl)
+
+    if repair_buckets and n_gone and metrics.get("repair_sources"):
+        # regenerate reps from stored signatures; drop rows already
+        # stored for a surviving member (touched-bucket-sliced anti)
+        for tbl, rows in (
+            ("buckets", _bucket_rows(surv_sigs, cfg)),
+            ("simhash_buckets", _simhash_bucket_rows(surv_sigs, cfg)),
+        ):
+            fresh_reps = _cap_buckets(rows, cfg)
+            existing = _touched(state.read(tbl, v_cur),
+                                fresh_reps.select("band", "key"),
+                                ["band", "key"], True)
+            io.write(fresh_reps.join(existing,
+                                     ["band", "key", "sec", "id"],
+                                     "left_anti"), tbl)
+
+    if rebuild_splits and n_gone:
+        # -- re-partition the touched clusters from stored sketches ------
+        # A deleted doc may have been the ONLY path between two survivors
+        # (a bridge); the label store keeps no edges, so without this pass
+        # the cluster conservatively stays merged. Here the sketches the
+        # state DOES keep are enough to re-derive the partition: minhash
+        # band collisions verified by signature-estimate Jaccard, simhash
+        # pigeonhole + Hamming confirm, and substring fingerprints (stored
+        # capped reps, or exact re-winnowed fps when ``survivor_content``
+        # re-supplies the surviving text). Everything is O(touched
+        # clusters) — a maintenance-sized takedown slice, never the corpus.
+        pair_cleanup: list[DataFrame] = []
+        mh_cand = pairs_from_buckets(
+            _bucket_rows(surv_sigs, cfg).select("id", "band", "key"),
+            ["band", "key"], cfg.max_bucket_allpairs,
+            salted_pass=cfg.hot_bucket_salted_pass, n_dims=cfg.num_bands,
+            cleanup=pair_cleanup,
+        ).select("a", "b")
+        edges = verify_pairs(mh_cand, surv_sigs, cfg).select("a", "b")
+        from email_sanitizer_api_spark.operators.simhash import (
+            simhash_candidate_pairs)
+        edges = edges.unionByName(
+            simhash_candidate_pairs(surv_sigs, cfg, cleanup=pair_cleanup)
+            .select("a", "b"))
+        if survivor_content is not None:
+            # exact substring edges: validate/normalize/sha the re-supplied
+            # text (same map work as a fold) and re-winnow fingerprints for
+            # the survivors — closes the one under-approximation of the
+            # sketch-only path (fp buckets whose stored reps all departed)
+            from email_sanitizer_api_spark.operators.suffix import (
+                make_fingerprint_udf)
+            valid_c, _ = split_valid(validate_content(survivor_content, cfg))
+            prepared_c = with_sha(normalize_content(valid_c.drop("verdict")))
+            fpu = make_fingerprint_udf(cfg)
+            fp_nodes = (
+                prepared_c
+                .dropDuplicates(["content_sha256"])
+                .join(F.broadcast(survivors), "content_sha256", "left_semi")
+                .select(F.col("content_sha256").alias("id"),
+                        F.explode(fpu(F.col("content_norm"))).alias("key"))
+                .dropDuplicates(["id", "key"])
+            )
+        else:
+            fp_nodes = (
+                state.read("suffix_fps", v_cur)
+                .join(F.broadcast(
+                    survivors.withColumnRenamed("content_sha256", "id")),
+                    "id", "left_semi")
+            )
+        edges = edges.unionByName(pairs_from_buckets(
+            fp_nodes.select("id", "key"), ["key"], cfg.max_bucket_allpairs,
+            salted_pass=cfg.hot_bucket_salted_pass, cleanup=pair_cleanup,
+        ).select("a", "b"))
+        new_assign = connected_components(
+            edges, cfg,
+            vertices=survivors.select(F.col("content_sha256").alias("id")))
+        for df in pair_cleanup:
+            df.unpersist()
+        metrics["clusters_rebuilt"] = old_assign.select(
+            "cluster_id").dropDuplicates().count()
+        metrics["clusters_split"] = (
+            old_assign.withColumnRenamed("cluster_id", "old_cluster")
+            .join(new_assign.withColumnRenamed("id", "content_sha256"),
+                  "content_sha256")
+            .groupBy("old_cluster")
+            .agg(F.count_distinct("cluster_id").alias("parts"))
+            .where(F.col("parts") > 1).count()
+        )
+        # label REWRITE: supersede every touched survivor's old label row
+        # (label_tombstones, strictly-before masking so this version's
+        # fresh rows survive) and re-label with the min SURVIVING sha of
+        # its re-derived component — exactly what a fresh recompute over
+        # the remaining corpus assigns. Any stale remap row keyed by a new
+        # cluster id is superseded too (remap_tombstones), so a split can
+        # never be silently re-merged by the old chain.
+        io.write(survivors, "label_tombstones")
+        io.write(new_assign.withColumnRenamed("id", "content_sha256")
+                 .select("content_sha256", "cluster_id"), "sha_clusters")
+        io.write(new_assign.select(F.col("cluster_id").alias("old_cluster"))
+                 .dropDuplicates(), "remap_tombstones")
+
+    if surv_sigs is not None:
         surv_sigs.unpersist()
+        old_assign.unpersist()
 
     doomed.unpersist()
     gone.unpersist()

@@ -92,6 +92,17 @@ def main(argv: list[str] | None = None) -> None:
                          "equality-delete analog; logical immediately, "
                          "physical at --purge-state). Writes the post-delete "
                          "clustered corpus to --output")
+    ap.add_argument("--rebuild-splits", action="store_true",
+                    help="with --delete: re-partition the touched clusters "
+                         "from stored sketches and REWRITE their labels "
+                         "(bridge deletions split; labels match a fresh "
+                         "recompute over the remaining corpus)")
+    ap.add_argument("--survivor-content", default=None, metavar="PATH",
+                    help="with --delete --rebuild-splits: parquet of (repo, "
+                         "path, commit, lang, content) rows covering the "
+                         "touched survivors — re-winnows exact substring "
+                         "fingerprints instead of relying on the capped "
+                         "stored reps")
     ap.add_argument("--purge-state", action="store_true",
                     help="maintenance mode: rewrite EVERY state table with "
                          "tombstones applied + caps re-enforced, expire old "
@@ -177,7 +188,11 @@ def main(argv: list[str] | None = None) -> None:
         from email_sanitizer_api_spark.operators.incremental import (
             incremental_delete)
         doomed = spark.read.parquet(args.delete)
+        surv = (spark.read.parquet(args.survivor_content)
+                if args.survivor_content else None)
         res = incremental_delete(spark, doomed, args.state_dir, cfg,
+                                 rebuild_splits=args.rebuild_splits,
+                                 survivor_content=surv,
                                  allow_config_change=args.allow_config_change)
         res.files_clustered.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"delete": args.delete, "output": args.output,

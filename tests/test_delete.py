@@ -246,3 +246,207 @@ def test_readd_after_delete_sequence_semantics(spark, tmp_path, del_cfg):
     l3 = _labels(r3.files_clustered)
     assert ("r", "a.py") in l3
     assert l3[("r", "a.py")] == l3[("r", "b.py")] == l1[("r", "a.py")]
+
+
+# ---------------------------------------------------------------------------
+# rebuild_splits: deletion with full-recompute parity (r04)
+# ---------------------------------------------------------------------------
+
+DOOM_DDL = "repo string, path string, commit string"
+
+
+def _bridge_rows():
+    """a — bridge — b connected ONLY through long shared substrings with
+    the bridge (a and b share nothing): the canonical case the default
+    (label-preserving) delete cannot split."""
+    s1 = "\n".join(f"shared block one line {i} kk{i * 7}" for i in range(120))
+    s2 = "\n".join(f"shared block two line {i} zz{i * 11}" for i in range(120))
+    ua = "\n".join(f"alpha only line {i} a{i * 13}" for i in range(160))
+    ub = "\n".join(f"beta only line {i} b{i * 17}" for i in range(160))
+    return [("r", "a.py", "c1", "python", ua + "\n" + s1),
+            ("r", "bridge.py", "c1", "python", s1 + "\n" + s2),
+            ("r", "b.py", "c1", "python", s2 + "\n" + ub)]
+
+
+def test_rebuild_splits_bridge_deletion(spark, tmp_path, del_cfg):
+    """Deleting a bridge doc: the default path conservatively keeps the
+    survivors merged (pinned here); rebuild_splits=True re-partitions the
+    touched cluster from stored sketches and matches a fresh recompute
+    over the remaining corpus — label VALUES included."""
+    rows = _bridge_rows()
+    doomed = [("r", "bridge.py", "c1")]
+
+    root0 = str(tmp_path / "state0")
+    r0 = incremental_dedup(spark, spark.createDataFrame(rows, DDL), root0,
+                           del_cfg)
+    assert len(_partition(r0.files_clustered)) == 1
+    d0 = incremental_delete(spark, spark.createDataFrame(doomed, DOOM_DDL),
+                            root0, del_cfg)
+    assert len(_partition(d0.files_clustered)) == 1  # documented conservatism
+
+    root1 = str(tmp_path / "state1")
+    incremental_dedup(spark, spark.createDataFrame(rows, DDL), root1, del_cfg)
+    d1 = incremental_delete(spark, spark.createDataFrame(doomed, DOOM_DDL),
+                            root1, del_cfg, rebuild_splits=True)
+    assert d1.metrics["clusters_rebuilt"] == 1
+    assert d1.metrics["clusters_split"] == 1
+    ref = run_pipeline(spark, spark.createDataFrame([rows[0], rows[2]], DDL),
+                       del_cfg)
+    assert _labels(d1.files_clustered) == _labels(ref.files_clustered)
+
+
+def test_rebuild_label_values_match_recompute(spark, tmp_path, del_cfg):
+    """On a synthesized corpus, delete every multi-file cluster's keeper
+    with rebuild_splits=True: cluster labels — the VALUES, not just the
+    partition — equal a full batch recompute over the remaining corpus."""
+    pdf = synthesize_code_files(CorpusSpec(n_base=100, invalid_rows=3, seed=43))
+    root = str(tmp_path / "state")
+    r1 = incremental_dedup(spark, spark.createDataFrame(pdf), root, del_cfg)
+    clustered = r1.files_clustered.persist()
+    multi = (clustered.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n")).where("n > 1"))
+    doomed = (clustered.join(multi.select("cluster_id"), "cluster_id",
+                             "left_semi")
+              .where("is_keeper").select("repo", "path", "commit"))
+    assert doomed.count() > 0
+
+    res = incremental_delete(spark, doomed, root, del_cfg,
+                             rebuild_splits=True)
+    doomed_keys = {(r["repo"], r["path"]) for r in doomed.collect()}
+    clustered.unpersist()
+    remaining = pdf[~pdf.apply(
+        lambda row: (row["repo"], row["path"]) in doomed_keys, axis=1)]
+    ref = run_pipeline(spark, spark.createDataFrame(remaining), del_cfg)
+    assert _labels(res.files_clustered) == _labels(ref.files_clustered)
+
+
+def test_rebuild_neutralizes_stale_remap(spark, tmp_path, del_cfg):
+    """The adversarial re-merge case: an earlier fold merged cluster Cm
+    into a bigger one (remap row Cm -> final exists), then the bridge is
+    deleted and the rebuild re-labels the m-side component back to Cm. The
+    stale remap row, if still applied, would silently re-merge the split —
+    remap_tombstones must neutralize it."""
+    m_lines = [f"mm line {i} q{i * 19}" for i in range(160)]
+    m_body = "\n".join(m_lines)
+    m1 = m_body + "\ntail one"
+    m2 = m_body + "\ntail two"
+    a1 = bridge = None
+    for k in range(300):
+        a_lines = [f"aa s{k} line {i} p{i * 23}" for i in range(160)]
+        cand_a = "\n".join(a_lines)
+        # shared regions must clear suffix_min_len (2048 chars) with margin
+        cand_bridge = "\n".join(m_lines[:140]) + "\n" + "\n".join(a_lines[:140])
+        # the merged cluster's final label must be a1's sha, so the merge
+        # writes remap Cm -> sha(a1) and the rebuilt m-component re-mints
+        # exactly Cm (min of m-shas) — the poisoned pair
+        if _sha(cand_a) < min(_sha(m1), _sha(m2), _sha(cand_bridge)):
+            a1, bridge = cand_a, cand_bridge
+            break
+    assert a1 is not None, "no salt produced the required sha ordering"
+    cm = min(_sha(m1), _sha(m2))
+
+    root = str(tmp_path / "state")
+    r1 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "m1.py", "c1", "python", m1),
+         ("r", "m2.py", "c1", "python", m2)], DDL), root, del_cfg)
+    assert _labels(r1.files_clustered)[("r", "m1.py")] == cm
+
+    incremental_dedup(spark, spark.createDataFrame(
+        [("r", "a1.py", "c1", "python", a1),
+         ("r", "bridge.py", "c1", "python", bridge)], DDL), root, del_cfg)
+    state = DedupState(spark, root)
+    remap_rows = {(r["old_cluster"], r["cluster_id"])
+                  for r in state.read("remaps").collect()}
+    assert (cm, _sha(a1)) in remap_rows, "precondition: the merge wrote Cm->final"
+
+    res = incremental_delete(
+        spark, spark.createDataFrame([("r", "bridge.py", "c1")], DOOM_DDL),
+        root, del_cfg, rebuild_splits=True)
+    labels = _labels(res.files_clustered)
+    assert labels[("r", "m1.py")] == labels[("r", "m2.py")] == cm
+    assert labels[("r", "a1.py")] == _sha(a1)
+    assert labels[("r", "a1.py")] != labels[("r", "m1.py")]
+    # the poisoned remap row is masked from the resolved view
+    assert cm not in {r["old_cluster"] for r in state.read("remaps").collect()}
+
+
+def test_rebuild_fp_cap_survivor_content(spark, tmp_path):
+    """Substring-only connectivity through a capped fp bucket: with
+    reps=1 the deleted doc may be the ONLY stored rep of the fingerprint
+    that connects the survivors. Sketch-only rebuild then over-splits
+    (documented under-approximation); re-supplying survivor_content
+    re-winnows exact fingerprints and matches the recompute."""
+    cfg = DedupConfig(max_content_bytes=100_000, incremental_bucket_reps=1)
+    cfg.validate()
+    shared = "\n".join(f"cap shared line {i} w{i * 29}" for i in range(120))
+    uy = "\n".join(f"upsilon only line {i} y{i * 31}" for i in range(400))
+    uz = "\n".join(f"zeta only line {i} z{i * 37}" for i in range(400))
+    y = shared + "\n" + uy
+    z = shared + "\n" + uz
+    x = shared + "\nx tail"
+    for k in range(300):
+        cand = shared + f"\nx tail s{k}"
+        if _sha(cand) < min(_sha(y), _sha(z)):
+            x = cand
+            break
+    assert _sha(x) < min(_sha(y), _sha(z)), \
+        "precondition: x must win the capped rep slot"
+    rows = [("r", "x.py", "c1", "python", x),
+            ("r", "y.py", "c1", "python", y),
+            ("r", "z.py", "c1", "python", z)]
+    doomed = [("r", "x.py", "c1")]
+
+    root0 = str(tmp_path / "s0")
+    r0 = incremental_dedup(spark, spark.createDataFrame(rows, DDL), root0, cfg)
+    assert len(_partition(r0.files_clustered)) == 1
+    d0 = incremental_delete(spark, spark.createDataFrame(doomed, DOOM_DDL),
+                            root0, cfg, rebuild_splits=True)
+    assert d0.metrics["clusters_split"] == 1  # honest over-split, sketch-only
+
+    root1 = str(tmp_path / "s1")
+    incremental_dedup(spark, spark.createDataFrame(rows, DDL), root1, cfg)
+    d1 = incremental_delete(
+        spark, spark.createDataFrame(doomed, DOOM_DDL), root1, cfg,
+        rebuild_splits=True,
+        survivor_content=spark.createDataFrame([rows[1], rows[2]], DDL))
+    assert d1.metrics["clusters_split"] == 0
+    ref = run_pipeline(spark, spark.createDataFrame([rows[1], rows[2]], DDL),
+                       cfg)
+    assert _labels(d1.files_clustered) == _labels(ref.files_clustered)
+
+
+def test_rebuild_survives_compaction_and_future_folds(spark, tmp_path,
+                                                      del_cfg):
+    """Rebuilt labels survive compact_clusters AND compact_state (the
+    rewrite tombstones fold away physically), and a later fold merges into
+    the correct split component only."""
+    from email_sanitizer_api_spark.operators.incremental import (
+        compact_clusters)
+    rows = _bridge_rows()
+    root = str(tmp_path / "state")
+    incremental_dedup(spark, spark.createDataFrame(rows, DDL), root, del_cfg)
+    res = incremental_delete(
+        spark, spark.createDataFrame([("r", "bridge.py", "c1")], DOOM_DDL),
+        root, del_cfg, rebuild_splits=True)
+    want = _labels(res.files_clustered)
+    assert want[("r", "a.py")] != want[("r", "b.py")]
+
+    compact_clusters(spark, root, del_cfg)
+    state = DedupState(spark, root)
+    from email_sanitizer_api_spark.operators.incremental import read_clusters
+    resolved = {r["content_sha256"]: r["cluster_id"]
+                for r in read_clusters(state).collect()}
+    assert resolved[_sha(rows[0][4])] == want[("r", "a.py")]
+    assert resolved[_sha(rows[2][4])] == want[("r", "b.py")]
+
+    v = compact_state(spark, root, del_cfg)
+    assert not os.path.exists(os.path.join(root, f"v{v}", "label_tombstones"))
+    assert not os.path.exists(os.path.join(root, f"v{v}", "remap_tombstones"))
+
+    # a near-dup of `a` folds into a's split component, not b's
+    a_near = rows[0][4] + "\nfresh tail"
+    r2 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "a2.py", "c2", "python", a_near)], DDL), root, del_cfg)
+    l2 = _labels(r2.files_clustered)
+    assert l2[("r", "a2.py")] == l2[("r", "a.py")]
+    assert l2[("r", "a2.py")] != l2[("r", "b.py")]

@@ -230,8 +230,10 @@ def test_spark_submit_delete_and_purge(tmp_path):
     assert s1["state_version"] == 1
 
     s2 = submit("--delete", doomed, "--state-dir", state,
+                "--rebuild-splits",
                 "--output", str(tmp_path / "out2"))
     assert s2["files_deleted"] > 0
+    assert "clusters_split" in s2  # the rebuild pass actually ran
 
     import pandas as pd
     out2 = pd.read_parquet(str(tmp_path / "out2"))
