@@ -1,0 +1,185 @@
+"""Invariant checker (fsck) for the incremental dedup state warehouse.
+
+The incremental design (operators/incremental.py) rests on a small set of
+structural invariants — the remap chain is monotone decreasing (hence
+acyclic), every labeled sha has a stored signature, every capped bucket rep
+points at live content, a cluster label never exceeds its members' min sha.
+Folds, deletes, rebuilds and compactions each preserve them by
+construction, but at 10^12-file scale the state outlives any single job:
+partial writes survive crashes (committed versions are immune, but disk
+corruption isn't), operators mix CLI versions, and a silent invariant break
+surfaces weeks later as "recall quietly dropped". ``fsck_state`` is the
+maintenance-cadence audit that turns those latent breaks into a report —
+the Iceberg analog is a metadata/manifest consistency check plus the
+referential checks Iceberg itself can't do because they're semantic.
+
+Reference parity note: the reference keeps its memo caches consistent by
+construction inside one process (src/routes/email.rs:81-117); a distributed
+multi-writer state store needs the explicit auditor instead.
+
+Every check is a distributed anti-join/aggregation over the MASKED reads
+(the exact view folds and queries consume), so a green fsck certifies the
+view after tombstones, label rewrites and remap resolution — not just the
+raw files. Cost is O(state scan), the same order as ``compact_state``; run
+it on the same maintenance cadence (or right after a crash/restore).
+
+CLI: ``jobs/dedup_job.py --fsck --state-dir <root>`` prints the report as
+one JSON line and exits non-zero when any ERROR-level check fails.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.incremental import (
+    _SIG_FIELDS,
+    _STATE_CONFIG,
+    DedupState,
+    read_clusters,
+)
+
+#: checks whose violations mean the state is WRONG (exit 1). Everything
+#: else in the report is informational (sizes, tombstone load, debris).
+ERROR_CHECKS = (
+    "remap_monotone",
+    "remap_targets_resolve",
+    "labels_have_sigs",
+    "sigs_have_labels",
+    "files_have_labels",
+    "bucket_orphans",
+    "simhash_bucket_orphans",
+    "suffix_fp_orphans",
+    "label_exceeds_member_min",
+    "duplicate_label_rows",
+    "duplicate_file_rows",
+    "config_pinned",
+)
+
+
+def _anti_count(left: DataFrame, right: DataFrame, key: str,
+                right_key: str | None = None) -> int:
+    """Rows of ``left`` whose ``key`` has no match in ``right`` — the
+    violation shape every referential check reduces to. ``right`` is a
+    projection of a state table; Spark plans the semi side hashed, and the
+    count is the only thing shipped to the driver."""
+    r = right.select(F.col(right_key or key).alias(key)).dropDuplicates()
+    return left.join(r, key, "left_anti").count()
+
+
+def fsck_state(spark: SparkSession, state_root: str) -> dict[str, Any]:
+    """Audit every structural invariant of a dedup state at CURRENT.
+
+    Returns ``{"ok": bool, "version": v, "checks": {name: {...}},
+    "info": {...}}`` where each ERROR-level check carries a violation
+    count (0 = holds). Never mutates the state.
+    """
+    state = DedupState(spark, state_root)
+    checks: dict[str, dict[str, Any]] = {}
+    info: dict[str, Any] = {}
+
+    v = state.version()
+    info["version"] = v
+    if v == 0:
+        # nothing committed yet — vacuously consistent, but say so
+        return {"ok": True, "version": 0, "checks": {},
+                "info": {"empty_state": True}}
+
+    # -- config pinned ----------------------------------------------------
+    cfg_path = os.path.join(state_root, _STATE_CONFIG)
+    cfg_ok, missing = os.path.exists(cfg_path), []
+    if cfg_ok:
+        try:
+            with open(cfg_path) as f:
+                pinned = json.load(f)
+            missing = [k for k in _SIG_FIELDS if k not in pinned]
+            cfg_ok = not missing
+        except (json.JSONDecodeError, OSError):
+            cfg_ok, missing = False, list(_SIG_FIELDS)
+    checks["config_pinned"] = {"violations": 0 if cfg_ok else 1,
+                               "missing_fields": missing}
+
+    # -- version-dir debris (info): dirs past CURRENT are crash leftovers
+    # (_clear_uncommitted wipes them on the next write; fsck surfaces them)
+    debris = []
+    for d in os.listdir(state_root):
+        m = re.fullmatch(r"v(\d+)", d)
+        if m and int(m.group(1)) > v:
+            debris.append(d)
+    info["uncommitted_version_dirs"] = sorted(debris)
+
+    # masked live views — exactly what folds and queries consume
+    sigs = state.read("sigs", v).persist()
+    labels = read_clusters(state, v).persist()
+    files = state.read("files", v)
+    remaps = state.read("remaps", v)
+
+    # -- remap chain: monotone decreasing => acyclic => resolution
+    # terminates (read_clusters composes it driver-side relying on this)
+    checks["remap_monotone"] = {"violations": remaps.where(
+        F.col("old_cluster") <= F.col("cluster_id")).count()}
+    # a resolved label must never still be remappable (read_clusters is
+    # transitive; a hit here means resolution or masking is broken)
+    checks["remap_targets_resolve"] = {"violations": (
+        labels.select("cluster_id").dropDuplicates()
+        .join(remaps.select(F.col("old_cluster").alias("cluster_id")),
+              "cluster_id", "left_semi").count())}
+
+    # -- referential integrity between the stores ------------------------
+    checks["labels_have_sigs"] = {"violations": _anti_count(
+        labels.select("content_sha256"), sigs, "content_sha256")}
+    checks["sigs_have_labels"] = {"violations": _anti_count(
+        sigs.select("content_sha256"), labels, "content_sha256")}
+    checks["files_have_labels"] = {"violations": _anti_count(
+        files.select("content_sha256").dropDuplicates(),
+        labels, "content_sha256")}
+    for name, tbl in (("bucket_orphans", "buckets"),
+                      ("simhash_bucket_orphans", "simhash_buckets"),
+                      ("suffix_fp_orphans", "suffix_fps")):
+        checks[name] = {"violations": _anti_count(
+            state.read(tbl, v).select("id").dropDuplicates(),
+            sigs.select(F.col("content_sha256").alias("id")), "id")}
+
+    # -- label value sanity: a cluster label only ever DECREASES (min-sha
+    # labeling; merges and rebuilds pick component minima), so no live
+    # member may have a sha smaller than its cluster's label. The label
+    # itself may be a departed sha (opaque-label deletion) — that's legal.
+    checks["label_exceeds_member_min"] = {"violations": labels.groupBy(
+        "cluster_id").agg(F.min("content_sha256").alias("min_sha"))
+        .where(F.col("cluster_id") > F.col("min_sha")).count()}
+
+    # -- uniqueness: one live label row per sha, one live row per file
+    # identity. Folds are idempotent (anti-join on existing), deletes mask
+    # at <=T with re-adds surviving at >T, rebuilds mask strictly-before
+    # with same-version fresh rows — each path is supposed to leave exactly
+    # one live row; a duplicate here means sequence masking broke.
+    checks["duplicate_label_rows"] = {"violations": labels.groupBy(
+        "content_sha256").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1).count()}
+    checks["duplicate_file_rows"] = {"violations": files.groupBy(
+        "repo", "path", "commit").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1).count()}
+
+    # -- informational sizes ----------------------------------------------
+    info["files"] = files.count()
+    info["distinct_content"] = sigs.count()
+    info["clusters"] = labels.select("cluster_id").dropDuplicates().count()
+    info["remap_rows_live"] = remaps.count()
+    for t in ("file_tombstones", "sha_tombstones",
+              "label_tombstones", "remap_tombstones"):
+        # raw (unmasked) tombstone load still joined at read time — the
+        # "maintenance-sized and broadcast" claim, measured
+        paths = [p for _, p in state._versioned_paths(t, v)]
+        info[f"{t}_live"] = (
+            spark.read.parquet(*paths).count() if paths else 0)
+
+    sigs.unpersist()
+    labels.unpersist()
+
+    ok = all(checks[c]["violations"] == 0 for c in ERROR_CHECKS)
+    return {"ok": ok, "version": v, "checks": checks, "info": info}

@@ -103,6 +103,13 @@ def main(argv: list[str] | None = None) -> None:
                          "touched survivors — re-winnows exact substring "
                          "fingerprints instead of relying on the capped "
                          "stored reps")
+    ap.add_argument("--fsck", action="store_true",
+                    help="maintenance mode: audit every structural "
+                         "invariant of --state-dir (remap monotonicity, "
+                         "referential integrity between sigs/labels/files/"
+                         "bucket reps, label-min sanity, uniqueness, CONFIG "
+                         "pin) over the MASKED view, print the report as "
+                         "one JSON line, and exit non-zero on violations")
     ap.add_argument("--purge-state", action="store_true",
                     help="maintenance mode: rewrite EVERY state table with "
                          "tombstones applied + caps re-enforced, expire old "
@@ -165,6 +172,16 @@ def main(argv: list[str] | None = None) -> None:
     typed = coerce_overrides(base, overrides)
     cfg = DedupConfig(**typed) if typed else base
     cfg.validate()
+
+    if args.fsck:
+        if not args.state_dir:
+            raise SystemExit("--fsck requires --state-dir")
+        from email_sanitizer_api_spark.state_fsck import fsck_state
+        report = fsck_state(spark, args.state_dir)
+        print(json.dumps({"mode": "fsck", "state_dir": args.state_dir,
+                          **report}))
+        spark.stop()
+        raise SystemExit(0 if report["ok"] else 1)
 
     if args.compact_state or args.purge_state:
         if not args.state_dir:

@@ -1,0 +1,168 @@
+"""State fsck (state_fsck.fsck_state): the maintenance-cadence invariant
+auditor over the incremental dedup warehouse.
+
+Green-path tests certify that every lifecycle operation — fold, delete
+(opaque and rebuild_splits), compact_clusters, compact_state — leaves the
+masked view consistent; corruption tests plant each violation class
+directly in the version dirs and assert fsck reports exactly it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+from email_sanitizer_api_spark.operators.incremental import (
+    compact_clusters,
+    compact_state,
+    incremental_dedup,
+    incremental_delete,
+)
+from email_sanitizer_api_spark.state_fsck import ERROR_CHECKS, fsck_state
+
+DDL = "repo string, path string, commit string, lang string, content string"
+DOOM_DDL = "repo string, path string, commit string"
+
+
+@pytest.fixture(scope="module")
+def fsck_cfg() -> DedupConfig:
+    c = DedupConfig(max_content_bytes=100_000)
+    c.validate()
+    return c
+
+
+def _assert_green(report: dict) -> None:
+    bad = {k: v for k, v in report["checks"].items() if v["violations"]}
+    assert report["ok"], f"fsck violations: {bad}"
+
+
+def test_fsck_empty_and_lifecycle_green(spark, tmp_path, fsck_cfg):
+    """fsck holds across the full state lifecycle: empty → two folds →
+    delete → rebuild-delete → compact_clusters → compact_state."""
+    root = str(tmp_path / "state")
+    assert fsck_state(spark, root) == {
+        "ok": True, "version": 0, "checks": {},
+        "info": {"empty_state": True}}
+
+    pdf = synthesize_code_files(CorpusSpec(n_base=80, invalid_rows=2, seed=7))
+    half = len(pdf) // 2
+    incremental_dedup(spark, spark.createDataFrame(pdf.iloc[:half]), root,
+                      fsck_cfg)
+    incremental_dedup(spark, spark.createDataFrame(pdf.iloc[half:]), root,
+                      fsck_cfg)
+    rep = fsck_state(spark, root)
+    _assert_green(rep)
+    assert rep["info"]["files"] > 0
+    assert rep["info"]["distinct_content"] <= rep["info"]["files"]
+
+    # opaque delete: tombstone masks must keep every referential check green
+    doomed = spark.createDataFrame(pdf.iloc[: max(3, half // 5)][
+        ["repo", "path", "commit"]])
+    incremental_delete(spark, doomed, root, fsck_cfg)
+    rep = fsck_state(spark, root)
+    _assert_green(rep)
+    assert rep["info"]["file_tombstones_live"] > 0
+
+    # rebuild delete: label rewrite + remap tombstones stay consistent
+    doomed2 = spark.createDataFrame(
+        pdf.iloc[half: half + 3][["repo", "path", "commit"]])
+    incremental_delete(spark, doomed2, root, fsck_cfg, rebuild_splits=True)
+    _assert_green(fsck_state(spark, root))
+
+    compact_clusters(spark, root, fsck_cfg)
+    _assert_green(fsck_state(spark, root))
+
+    v = compact_state(spark, root, fsck_cfg)
+    rep = fsck_state(spark, root)
+    _assert_green(rep)
+    assert rep["version"] == v
+    # physical purge folded every tombstone away
+    assert rep["info"]["sha_tombstones_live"] == 0
+    assert rep["info"]["remap_rows_live"] == 0
+
+
+def _seed_state(spark, tmp_path, cfg):
+    root = str(tmp_path / "state")
+    pdf = synthesize_code_files(CorpusSpec(n_base=40, invalid_rows=0, seed=9))
+    incremental_dedup(spark, spark.createDataFrame(pdf), root, cfg)
+    return root
+
+
+def test_fsck_flags_orphan_bucket_rep(spark, tmp_path, fsck_cfg):
+    """A bucket rep whose id has no live signature (planted directly in
+    the committed version dir) is exactly what a partial write or a buggy
+    repair would leave behind."""
+    root = _seed_state(spark, tmp_path, fsck_cfg)
+    spark.createDataFrame([(0, 1, 2, "f" * 64)],
+                          "band int, key bigint, sec bigint, id string"
+                          ).write.mode("append").parquet(
+        os.path.join(root, "v1", "buckets"))
+    rep = fsck_state(spark, root)
+    assert not rep["ok"]
+    assert rep["checks"]["bucket_orphans"]["violations"] == 1
+    for c in ERROR_CHECKS:
+        if c != "bucket_orphans":
+            assert rep["checks"][c]["violations"] == 0, c
+
+
+def test_fsck_flags_nonmonotone_remap(spark, tmp_path, fsck_cfg):
+    """A remap row going UPWARD (old < new) breaks the acyclicity argument
+    read_clusters' driver-side resolution rests on. (The companion
+    ``remap_targets_resolve`` check guards resolution/masking bugs in the
+    code itself — it is not plantable through the public surface precisely
+    because read_clusters resolves transitively.)"""
+    root = _seed_state(spark, tmp_path, fsck_cfg)
+    live = fsck_state(spark, root)
+    assert live["ok"]
+    spark.createDataFrame([("0" * 64, "f" * 64)],
+                          "old_cluster string, cluster_id string"
+                          ).write.mode("append").parquet(
+        os.path.join(root, "v1", "remaps"))
+    rep = fsck_state(spark, root)
+    assert not rep["ok"]
+    assert rep["checks"]["remap_monotone"]["violations"] == 1
+    for c in ERROR_CHECKS:
+        if c != "remap_monotone":
+            assert rep["checks"][c]["violations"] == 0, c
+
+
+def test_fsck_flags_label_without_sig_and_min_violation(
+        spark, tmp_path, fsck_cfg):
+    """A label row for content with no stored signature (referential
+    break) whose sha also undercuts its cluster's label (min violation)."""
+    root = _seed_state(spark, tmp_path, fsck_cfg)
+    spark.createDataFrame([("0" * 64, "e" * 64)],
+                          "content_sha256 string, cluster_id string"
+                          ).write.mode("append").parquet(
+        os.path.join(root, "v1", "sha_clusters"))
+    rep = fsck_state(spark, root)
+    assert not rep["ok"]
+    assert rep["checks"]["labels_have_sigs"]["violations"] == 1
+    assert rep["checks"]["label_exceeds_member_min"]["violations"] == 1
+
+
+def test_fsck_flags_missing_config_and_debris(spark, tmp_path, fsck_cfg):
+    """A state whose CONFIG pin vanished (or predates pinning) fails the
+    config check; an uncommitted version dir is surfaced as debris info."""
+    root = _seed_state(spark, tmp_path, fsck_cfg)
+    os.makedirs(os.path.join(root, "v99"))
+    cfg_path = os.path.join(root, "CONFIG")
+    os.rename(cfg_path, cfg_path + ".bak")
+    rep = fsck_state(spark, root)
+    assert not rep["ok"]
+    assert rep["checks"]["config_pinned"]["violations"] == 1
+    assert rep["info"]["uncommitted_version_dirs"] == ["v99"]
+
+    os.rename(cfg_path + ".bak", cfg_path)
+    with open(cfg_path) as f:
+        pinned = json.load(f)
+    pinned.pop("shingle_k")
+    with open(cfg_path, "w") as f:
+        json.dump(pinned, f)
+    rep = fsck_state(spark, root)
+    assert rep["checks"]["config_pinned"]["violations"] == 1
+    assert rep["checks"]["config_pinned"]["missing_fields"] == ["shingle_k"]

@@ -242,6 +242,11 @@ def test_spark_submit_delete_and_purge(tmp_path):
                         .itertuples(index=False)))
     assert not (kept_keys & doomed_keys)
 
+    # fsck across JVMs: the post-delete masked view audits clean
+    fs = submit("--fsck", "--state-dir", state)
+    assert fs["mode"] == "fsck" and fs["ok"] and fs["version"] == 2
+    assert fs["info"]["file_tombstones_live"] > 0
+
     s3 = submit("--purge-state", "--state-dir", state)
     assert s3["mode"] == "purge" and s3["state_version"] == 3
     # only the base version dir survives expiry (plus the CURRENT pointer
