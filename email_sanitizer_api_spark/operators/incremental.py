@@ -311,7 +311,17 @@ class DedupState:
 
     def commit(self, version: int) -> None:
         """Flip CURRENT after all v{version} tables are written — the
-        all-or-nothing snapshot boundary (Iceberg commit analog)."""
+        all-or-nothing snapshot boundary (Iceberg commit analog). CAS
+        check: CURRENT must still be ``version - 1``; anything else means
+        another writer committed underneath us (only reachable if the
+        ``_claim_version`` arbitration was bypassed or its dir stolen) —
+        refuse rather than publish a version that skips or rewrites
+        history."""
+        cur = self.version()
+        if cur != version - 1:
+            raise ConcurrentWriteError(
+                f"CURRENT moved to v{cur} while this job was writing "
+                f"v{version} (expected v{version - 1}); discarding commit")
         os.makedirs(self.root, exist_ok=True)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
@@ -373,6 +383,76 @@ def _clear_uncommitted(state_root: str, version: int) -> None:
         shutil.rmtree(vdir)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another live writer holds (or committed) the state version this job
+    was about to write — re-read CURRENT and retry the whole fold."""
+
+
+_WRITER_MARKER = "WRITER"
+
+
+def _claim_version(state_root: str, version: int) -> None:
+    """Atomically claim ``v{version}`` for this writer (the Iceberg
+    optimistic-commit analog). Two jobs folding into the same state root
+    both read CURRENT=v and both try to write v+1; without a claim their
+    table writes INTERLEAVE in the same directory and whichever commits
+    flips CURRENT onto a dir containing the other's partial rows — a
+    silent lost-update that no later read can detect. ``os.mkdir`` is the
+    atomic arbiter: exactly one writer creates the dir and stamps a
+    ``WRITER`` marker (pid + host); the loser raises
+    :class:`ConcurrentWriteError` and must re-read CURRENT and retry.
+
+    Crash debris stays self-healing: a leftover dir whose writer is
+    provably dead (same-host pid gone, our own pid on an in-process
+    retry, or no marker at all) is wiped and re-claimed — the prior
+    `_clear_uncommitted` behavior. A marker from ANOTHER host cannot be
+    liveness-probed from here, so it is treated as live and refused;
+    clear it manually (or via a fresh state root) after confirming the
+    remote job is gone."""
+    import shutil
+    import socket
+
+    os.makedirs(state_root, exist_ok=True)
+    vdir = os.path.join(state_root, f"v{version}")
+    for attempt in (0, 1):
+        try:
+            os.mkdir(vdir)
+        except FileExistsError:
+            if attempt:
+                break
+            marker = os.path.join(vdir, _WRITER_MARKER)
+            live = False
+            try:
+                with open(marker) as f:
+                    w = json.load(f)
+                if w.get("host") != socket.gethostname():
+                    live = True  # can't probe a remote writer — refuse
+                elif int(w["pid"]) == os.getpid():
+                    live = False  # our own earlier in-process attempt
+                else:
+                    try:
+                        os.kill(int(w["pid"]), 0)
+                        live = True
+                    except ProcessLookupError:
+                        live = False
+                    except PermissionError:
+                        live = True  # exists under another uid — alive
+            except (FileNotFoundError, OSError, ValueError, KeyError,
+                    json.JSONDecodeError):
+                live = False  # no/unreadable marker: pre-claim-era debris
+            if live:
+                raise ConcurrentWriteError(
+                    f"{vdir} is claimed by a live writer "
+                    f"(marker {marker}); re-read CURRENT and retry")
+            shutil.rmtree(vdir, ignore_errors=True)
+            continue
+        with open(os.path.join(vdir, _WRITER_MARKER), "w") as f:
+            json.dump({"pid": os.getpid(), "host": socket.gethostname()}, f)
+        return
+    raise ConcurrentWriteError(
+        f"lost the claim race for {vdir} twice; re-read CURRENT and retry")
+
+
 def read_clusters(state: DedupState, version: int | None = None) -> DataFrame:
     """Resolved (content_sha256, cluster_id) view at ``version``: per-batch
     label deltas with the transitive remap chain applied.
@@ -426,7 +506,7 @@ def compact_clusters(spark: SparkSession, state_root: str,
     state = DedupState(spark, state_root)
     v_cur = state.version()
     v_next = v_cur + 1
-    _clear_uncommitted(state_root, v_next)  # see incremental_dedup
+    _claim_version(state_root, v_next)  # see incremental_dedup
     io = TableIO(spark, os.path.join(state_root, f"v{v_next}"), resume=False)
     io.write(read_clusters(state, v_cur), "sha_clusters")
     with open(os.path.join(state_root, f"v{v_next}", _BASE_MARKER), "w") as f:
@@ -455,7 +535,7 @@ def compact_state(spark: SparkSession, state_root: str,
     if v_cur == 0:
         raise ValueError(f"no committed state at {state_root}")
     v_next = v_cur + 1
-    _clear_uncommitted(state_root, v_next)
+    _claim_version(state_root, v_next)
     io = TableIO(spark, os.path.join(state_root, f"v{v_next}"), resume=False)
     # masked reads apply the tombstones; remaps fold into the labels and
     # tombstones are fully applied, so neither table is carried forward
@@ -539,7 +619,7 @@ def incremental_delete(
     # the signature config must match what built them
     _check_state_config(state, cfg, allow_config_change)
     v_next = v_cur + 1
-    _clear_uncommitted(state_root, v_next)
+    _claim_version(state_root, v_next)
     io = TableIO(spark, os.path.join(state_root, f"v{v_next}"), resume=False)
     io.log_config(cfg.to_dict())
     metrics: dict[str, Any] = {"state_version": v_next, "mode": "delete"}
@@ -893,7 +973,7 @@ def incremental_dedup(
     # make base_version treat the delta as a full snapshot and silently
     # drop all earlier labels). Uncommitted dirs are invisible to readers
     # by the CURRENT-pointer contract, so wiping one is always safe.
-    _clear_uncommitted(state_root, v_next)
+    _claim_version(state_root, v_next)
     io = TableIO(spark, os.path.join(state_root, f"v{v_next}"), resume=False)
     io.log_config(cfg.to_dict())
     metrics: dict[str, Any] = {"state_version": v_next}

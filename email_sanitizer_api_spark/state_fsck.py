@@ -105,7 +105,9 @@ def fsck_state(spark: SparkSession, state_root: str) -> dict[str, Any]:
                                "missing_fields": missing}
 
     # -- version-dir debris (info): dirs past CURRENT are crash leftovers
-    # (_clear_uncommitted wipes them on the next write; fsck surfaces them)
+    # or a LIVE writer's in-flight claim (the next writer's _claim_version
+    # arbitrates: dead claims are wiped, live ones refused; fsck only
+    # surfaces them)
     debris = []
     for d in os.listdir(state_root):
         m = re.fullmatch(r"v(\d+)", d)

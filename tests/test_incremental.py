@@ -385,3 +385,68 @@ def test_signature_config_drift_rejected(spark, tmp_path, inc_cfg):
     incremental_dedup(spark, b3, root, drifted, allow_config_change=True)
     with pytest.raises(ValueError, match="signature-config drift"):
         incremental_dedup(spark, b3, root, inc_cfg)
+
+
+def test_concurrent_writer_claim_rejected(spark, tmp_path, inc_cfg):
+    """Two jobs folding into one state root: the loser of the version-dir
+    claim must REFUSE (Iceberg optimistic-commit analog) — interleaved
+    table writes under a single committed version would be a silent lost
+    update. A claim whose writer died is debris and self-heals."""
+    import json as _json
+    import socket
+    import subprocess
+
+    from email_sanitizer_api_spark.operators.incremental import (
+        _WRITER_MARKER, ConcurrentWriteError)
+
+    ddl = "repo string, path string, commit string, lang string, content string"
+    root = str(tmp_path / "state")
+    incremental_dedup(spark, spark.createDataFrame(
+        [("r", "x.py", "c", "python", "y = 2\n" * 40)], ddl), root, inc_cfg)
+    df2 = spark.createDataFrame(
+        [("r", "z.py", "c", "python", "w = 3\n" * 40)], ddl)
+
+    other = subprocess.Popen(["sleep", "300"])
+    try:
+        os.makedirs(os.path.join(root, "v2"))
+        with open(os.path.join(root, "v2", _WRITER_MARKER), "w") as f:
+            _json.dump({"pid": other.pid, "host": socket.gethostname()}, f)
+        with pytest.raises(ConcurrentWriteError):
+            incremental_dedup(spark, df2, root, inc_cfg)
+    finally:
+        other.kill()
+        other.wait()
+
+    # the claimant died -> its claim is crash debris -> retry self-heals
+    r2 = incremental_dedup(spark, df2, root, inc_cfg)
+    assert r2.state_version == 2
+    assert {p for (_, p) in _labels(r2.files_clustered)} == {"x.py", "z.py"}
+
+
+def test_remote_claim_refused_and_commit_cas(spark, tmp_path, inc_cfg):
+    """A claim marker from another host cannot be liveness-probed from
+    here, so it is refused even when its pid number happens to be dead
+    locally; and commit() CAS-checks CURRENT so a version that skips
+    history can never be published."""
+    import json as _json
+
+    from email_sanitizer_api_spark.operators.incremental import (
+        _WRITER_MARKER, ConcurrentWriteError)
+
+    ddl = "repo string, path string, commit string, lang string, content string"
+    root = str(tmp_path / "state")
+    incremental_dedup(spark, spark.createDataFrame(
+        [("r", "x.py", "c", "python", "y = 2\n" * 40)], ddl), root, inc_cfg)
+
+    os.makedirs(os.path.join(root, "v2"))
+    with open(os.path.join(root, "v2", _WRITER_MARKER), "w") as f:
+        _json.dump({"pid": 999_999, "host": "some-other-executor-host"}, f)
+    with pytest.raises(ConcurrentWriteError):
+        incremental_dedup(spark, spark.createDataFrame(
+            [("r", "z.py", "c", "python", "w = 3\n" * 40)], ddl),
+            root, inc_cfg)
+
+    state = DedupState(spark, root)
+    with pytest.raises(ConcurrentWriteError):
+        state.commit(3)  # CURRENT is v1 — publishing v3 skips history
+    assert state.version() == 1
