@@ -81,6 +81,15 @@ class DedupConfig:
     # (batch x num_bands band keys, ~16 B/row) stays well under typical
     # executor broadcast budgets (~0.5 GiB at the default).
     incremental_broadcast_probe_max: int = 2_000_000
+    # fold-time canary (0 = off): each fold samples up to this many
+    # ACCEPTED and this many REJECTED minhash candidate pairs whose both
+    # endpoints are in the batch (content in hand), recomputes their EXACT
+    # shingle Jaccard, and reports the agreement in
+    # metrics["canary"] — continuous production monitoring of the
+    # estimate-verify decision at O(sample) cost, where running the full
+    # exact oracle would be O(candidates x content). Deterministic sample
+    # (xxhash64 order), so re-folds reproduce the same audit.
+    fold_canary_pairs: int = 0
 
     # --- SimHash (S6) ---
     simhash_bits: int = 64
@@ -163,6 +172,8 @@ class DedupConfig:
             raise ValueError(
                 "pigeonhole needs simhash_max_hamming < simhash_chunks"
             )
+        if self.fold_canary_pairs < 0:
+            raise ValueError("fold_canary_pairs must be >= 0")
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -453,6 +453,71 @@ def _claim_version(state_root: str, version: int) -> None:
         f"lost the claim race for {vdir} twice; re-read CURRENT and retry")
 
 
+def _fold_canary(cand: DataFrame, accepted: DataFrame, reps: DataFrame,
+                 cfg: DedupConfig) -> dict[str, Any]:
+    """Sampled exact-Jaccard audit of the estimate-verify decision (the
+    fold-time canary, ``cfg.fold_canary_pairs``).
+
+    At corpus scale the exact oracle (ship both sides' shingle sets for
+    every candidate) is priced out of the hot path — that's why production
+    verifies with truncated-signature estimates. But estimate quality is a
+    *claim*, and claims drift (config edits, content-mix shifts). The
+    canary keeps measuring it: every fold, sample up to K accepted and K
+    rejected minhash candidate pairs whose BOTH endpoints are in the batch
+    (normalized content in hand — state stores sketches, never content),
+    recompute their exact shingle Jaccard (same definition as the DuckDB
+    oracle, functions/shingles.py), and record the confusion against
+    ``jaccard_threshold``. O(sample) extra work; the sample order is
+    xxhash64(a, b), so re-folding the same batch reproduces the same
+    audit. ``accept_precision`` < 1 means the margin is admitting pairs
+    the threshold itself would reject (expected slack, watch the trend);
+    ``false_rejects`` > 0 means true near-dup pairs are slipping past the
+    margin — the per-fold recall alarm."""
+    from email_sanitizer_api_spark.functions.shingles import shingle_set_expr
+    from email_sanitizer_api_spark.functions.similarity import (
+        token_jaccard_expr)
+
+    k = cfg.fold_canary_pairs
+    ids = reps.select(F.col("content_sha256").alias("id"))
+
+    def _batch_pairs(df: DataFrame) -> DataFrame:
+        return (df.select("a", "b")
+                .join(ids.withColumnRenamed("id", "a"), "a", "left_semi")
+                .join(ids.withColumnRenamed("id", "b"), "b", "left_semi"))
+
+    acc = (_batch_pairs(accepted)
+           .orderBy(F.xxhash64("a", "b")).limit(k)
+           .withColumn("accepted", F.lit(True)))
+    rej = (_batch_pairs(cand.join(accepted.select("a", "b"), ["a", "b"],
+                                  "left_anti"))
+           .orderBy(F.xxhash64("a", "b")).limit(k)
+           .withColumn("accepted", F.lit(False)))
+    sh = reps.select(F.col("content_sha256").alias("id"),
+                     shingle_set_expr(F.col("content_norm"),
+                                      cfg.shingle_k).alias("sh"))
+    rows = (
+        acc.unionByName(rej)
+        .join(sh.withColumnsRenamed({"id": "a", "sh": "sh_a"}), "a")
+        .join(sh.withColumnsRenamed({"id": "b", "sh": "sh_b"}), "b")
+        .select("accepted",
+                token_jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+                .alias("jaccard"))
+        .collect()  # <= 2K tiny rows — a bounded, documented driver touch
+    )
+    thr = cfg.jaccard_threshold
+    n_acc = sum(1 for r in rows if r["accepted"])
+    n_rej = len(rows) - n_acc
+    tp = sum(1 for r in rows if r["accepted"] and r["jaccard"] >= thr)
+    fr = sum(1 for r in rows if not r["accepted"] and r["jaccard"] >= thr)
+    return {
+        "accepted_audited": n_acc,
+        "rejected_audited": n_rej,
+        "accept_precision": (tp / n_acc) if n_acc else None,
+        "false_rejects": fr,
+        "false_reject_rate": (fr / n_rej) if n_rej else None,
+    }
+
+
 def read_clusters(state: DedupState, version: int | None = None) -> DataFrame:
     """Resolved (content_sha256, cluster_id) view at ``version``: per-batch
     label deltas with the transitive remap chain applied.
@@ -1059,6 +1124,9 @@ def incremental_dedup(
     # keeps that lookup O(candidates) instead of shuffling O(corpus) sigs
     edges = verify_pairs(cand, _endpoint_slice(all_sigs, cand, use_probe),
                          cfg).select("a", "b")
+    if cfg.fold_canary_pairs > 0:
+        # sampled exact-Jaccard audit of the estimate decision — O(sample)
+        metrics["canary"] = _fold_canary(cand, edges, reps, cfg)
 
     if enable_simhash:
         # within-batch: identical operator as the batch pipeline's S6

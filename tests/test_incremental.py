@@ -450,3 +450,39 @@ def test_remote_claim_refused_and_commit_cas(spark, tmp_path, inc_cfg):
     with pytest.raises(ConcurrentWriteError):
         state.commit(3)  # CURRENT is v1 — publishing v3 skips history
     assert state.version() == 1
+
+
+def test_fold_canary_metrics(spark, tmp_path):
+    """Opt-in fold-time canary: each fold audits a deterministic sample of
+    accepted and rejected minhash candidate pairs against EXACT shingle
+    Jaccard and reports the confusion — continuous estimate-quality
+    monitoring at O(sample) cost where the full exact oracle is priced
+    out. Deterministic (xxhash64 sample order): re-folding the same batch
+    reproduces the audit byte-for-byte."""
+    cfg = DedupConfig(max_content_bytes=100_000, fold_canary_pairs=64)
+    cfg.validate()
+    pdf = synthesize_code_files(CorpusSpec(n_base=120, invalid_rows=0,
+                                           seed=21))
+    r1 = incremental_dedup(spark, spark.createDataFrame(pdf),
+                           str(tmp_path / "s1"), cfg)
+    can = r1.metrics["canary"]
+    assert can["accepted_audited"] > 0
+    assert can["accept_precision"] is not None
+    assert 0.0 <= can["accept_precision"] <= 1.0
+    # the decision accepts at (threshold - verify_margin), so the canary's
+    # strict-threshold precision EXPECTEDLY sits below 1.0 — the number is
+    # the measured margin slack (0.7 on this corpus), not a defect; the
+    # sanity floor just pins that most accepted pairs are real near-dups
+    assert can["accept_precision"] >= 0.5
+    if can["rejected_audited"]:
+        assert 0.0 <= can["false_reject_rate"] <= 1.0
+
+    r2 = incremental_dedup(spark, spark.createDataFrame(pdf),
+                           str(tmp_path / "s2"), cfg)
+    assert r2.metrics["canary"] == can
+
+    c0 = DedupConfig(max_content_bytes=100_000)
+    c0.validate()
+    r3 = incremental_dedup(spark, spark.createDataFrame(pdf),
+                           str(tmp_path / "s3"), c0)
+    assert "canary" not in r3.metrics
