@@ -561,6 +561,35 @@ def read_clusters(state: DedupState, version: int | None = None) -> DataFrame:
     )
 
 
+def snapshot_corpus(spark: SparkSession, state_root: str,
+                    version: int | None = None) -> DataFrame:
+    """Clustered corpus view as of ``version`` (the Iceberg time-travel
+    analog over the versioned state): every file known at that version
+    with its resolved cluster_id and re-picked keeper flag — exactly the
+    ``files_clustered`` the fold/delete that committed ``version``
+    returned. Reads are masked AT that version, so deletions committed
+    after it don't apply — which is the point: audits, incident
+    forensics, and reproducing a training mix cut from an earlier corpus
+    state. Versions expired by ``compact_state`` are unreadable by
+    contract (snapshot expiration is what makes takedown erasure physical
+    — old snapshots must die); asking for one raises."""
+    state = DedupState(spark, state_root)
+    v_cur = state.version()
+    v = v_cur if version is None else version
+    if not 1 <= v <= v_cur:
+        raise ValueError(f"version {v} out of range (CURRENT is v{v_cur})")
+    if not os.path.exists(os.path.join(state_root, f"v{v}")):
+        raise ValueError(
+            f"v{v} was expired by compact_state (snapshot expiration); "
+            f"only versions from the latest STATE_BASE onward are readable")
+    files = state.read("files", v)
+    return prune_keepers(
+        files.join(read_clusters(state, v), "content_sha256", "left")
+        .withColumn("cluster_id",
+                    F.coalesce("cluster_id", "content_sha256"))
+    )
+
+
 def compact_clusters(spark: SparkSession, state_root: str,
                      cfg: DedupConfig = DEFAULT_CONFIG) -> int:
     """Fold the label deltas + remap chain into one resolved snapshot (a
@@ -858,11 +887,7 @@ def incremental_delete(
     gone.unpersist()
     state.commit(v_next)
 
-    all_files = state.read("files", v_next)
-    files_clustered = prune_keepers(
-        all_files.join(read_clusters(state, v_next), "content_sha256", "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", "content_sha256"))
-    )
+    files_clustered = snapshot_corpus(spark, state_root, v_next)
     return IncrementalResult(files_clustered, v_next, metrics)
 
 
@@ -1286,9 +1311,5 @@ def incremental_dedup(
     metrics["new_files"] = files_new.count()
     state.commit(v_next)
 
-    all_files = state.read("files", v_next)
-    files_clustered = prune_keepers(
-        all_files.join(read_clusters(state, v_next), "content_sha256", "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", "content_sha256"))
-    )
+    files_clustered = snapshot_corpus(spark, state_root, v_next)
     return IncrementalResult(files_clustered, v_next, metrics)

@@ -103,6 +103,13 @@ def main(argv: list[str] | None = None) -> None:
                          "touched survivors — re-winnows exact substring "
                          "fingerprints instead of relying on the capped "
                          "stored reps")
+    ap.add_argument("--snapshot-version", type=int, default=None,
+                    metavar="V",
+                    help="time-travel mode: write the clustered corpus as "
+                         "of state version V (Iceberg time-travel analog; "
+                         "deletions committed after V don't apply) to "
+                         "--output and exit. Versions expired by "
+                         "--purge-state are unreadable by contract")
     ap.add_argument("--fsck", action="store_true",
                     help="maintenance mode: audit every structural "
                          "invariant of --state-dir (remap monotonicity, "
@@ -172,6 +179,21 @@ def main(argv: list[str] | None = None) -> None:
     typed = coerce_overrides(base, overrides)
     cfg = DedupConfig(**typed) if typed else base
     cfg.validate()
+
+    if args.snapshot_version is not None:
+        if not args.state_dir or not args.output:
+            raise SystemExit("--snapshot-version requires --state-dir and "
+                             "--output")
+        from email_sanitizer_api_spark.operators.incremental import (
+            snapshot_corpus)
+        snap = snapshot_corpus(spark, args.state_dir, args.snapshot_version)
+        snap.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"mode": "snapshot",
+                          "version": args.snapshot_version,
+                          "output": args.output, "files": n}))
+        spark.stop()
+        return
 
     if args.fsck:
         if not args.state_dir:

@@ -486,3 +486,38 @@ def test_fold_canary_metrics(spark, tmp_path):
     r3 = incremental_dedup(spark, spark.createDataFrame(pdf),
                            str(tmp_path / "s3"), c0)
     assert "canary" not in r3.metrics
+
+
+def test_snapshot_corpus_time_travel(spark, tmp_path, inc_cfg):
+    """snapshot_corpus(v) reproduces exactly what the fold that committed
+    v returned (Iceberg time-travel analog); a deletion committed later
+    does not rewrite that history; out-of-range and compaction-expired
+    versions raise."""
+    from email_sanitizer_api_spark.operators.incremental import (
+        compact_state, incremental_delete, snapshot_corpus)
+
+    ddl = "repo string, path string, commit string, lang string, content string"
+    root = str(tmp_path / "state")
+    r1 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "x.py", "c", "python", "y = 2\n" * 40)], ddl), root, inc_cfg)
+    r2 = incremental_dedup(spark, spark.createDataFrame(
+        [("r", "z.py", "c", "python", "w = 3\n" * 40)], ddl), root, inc_cfg)
+
+    assert _labels(snapshot_corpus(spark, root, 1)) == _labels(
+        r1.files_clustered)
+    assert _labels(snapshot_corpus(spark, root)) == _labels(
+        r2.files_clustered)  # default = CURRENT
+
+    # delete x at v3: CURRENT view loses it, the v2 snapshot still has it
+    incremental_delete(spark, spark.createDataFrame(
+        [("r", "x.py", "c")], "repo string, path string, commit string"),
+        root, inc_cfg)
+    assert ("r", "x.py") not in _labels(snapshot_corpus(spark, root))
+    assert ("r", "x.py") in _labels(snapshot_corpus(spark, root, 2))
+
+    with pytest.raises(ValueError, match="out of range"):
+        snapshot_corpus(spark, root, 99)
+    v = compact_state(spark, root, inc_cfg)
+    with pytest.raises(ValueError, match="expired"):
+        snapshot_corpus(spark, root, 2)  # snapshot expiration contract
+    assert ("r", "x.py") not in _labels(snapshot_corpus(spark, root, v))
