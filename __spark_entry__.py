@@ -1867,6 +1867,56 @@ def _sql_key_skew_profile() -> str:
     return key_skew_profile_sql(table, "fp")
 
 
+def _q_repo_fork_pairs(spark, sf_dir):
+    """Repo-level fork detection, exact audit path: repo pairs whose
+    content-sha sets have Jaccard >= 0.7, computed in integer-exact
+    BIGINT math (operators/repo_level.py). The flat documents table is
+    wrapped by `with_planted_repo_files` (repos/dirs/fork copies/a
+    vendored subtree derived deterministically from doc_id, character-
+    identical DuckDB twin) so the fork pairs are non-vacuous."""
+    from email_sanitizer_api_spark.operators.repo_level import (
+        repo_fork_pairs, with_planted_repo_files)
+    files = with_planted_repo_files(_t(spark, sf_dir, "documents"))
+    return repo_fork_pairs(files)
+
+
+def _sql_repo_fork_pairs() -> str:
+    from email_sanitizer_api_spark.operators.repo_level import (
+        repo_fork_pairs_sql, with_planted_repo_files_sql)
+    return repo_fork_pairs_sql(with_planted_repo_files_sql())
+
+
+def _q_repo_fork_pairs_minhash(spark, sf_dir):
+    """Production twin of repo_fork_pairs: per-repo MinHash over the
+    content-sha set (ONE partial-aggregable groupBy), LSH bands over the
+    tiny per-repo signature table, signature-estimate verify. No
+    all-pairs step touches the file-level table — the path you'd run at
+    10^8 repos. Probabilistic (xxhash64 min-wise), hence rows-only; the
+    exact twin above is the oracle and the recall test pins agreement."""
+    from email_sanitizer_api_spark.operators.repo_level import (
+        repo_fork_minhash_pairs, with_planted_repo_files)
+    files = with_planted_repo_files(_t(spark, sf_dir, "documents"))
+    return repo_fork_minhash_pairs(files, tau=0.5)
+
+
+def _q_dup_subtree_groups(spark, sf_dir):
+    """Vendored-subtree / full-fork detection via an order-invariant
+    Merkle rollup: per-(repo, dir) bit_xor of a 60-bit entry hash of
+    (fname, content) + file count — both partial-aggregable, no
+    collect_list/sort anywhere; groups with >= 2 byte-identical dirs
+    are duplicated subtrees (operators/repo_level.py)."""
+    from email_sanitizer_api_spark.operators.repo_level import (
+        dup_subtree_groups, with_planted_repo_files)
+    files = with_planted_repo_files(_t(spark, sf_dir, "documents"))
+    return dup_subtree_groups(files)
+
+
+def _sql_dup_subtree_groups() -> str:
+    from email_sanitizer_api_spark.operators.repo_level import (
+        dup_subtree_groups_sql, with_planted_repo_files_sql)
+    return dup_subtree_groups_sql(with_planted_repo_files_sql())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -1955,6 +2005,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch-based distinct counting: exact oracle twin + HLL++ twin
         "distinct_fp_by_lang": _q_distinct_fp_by_lang,
         "distinct_fp_by_lang_approx": _q_distinct_fp_by_lang_approx,
+        # repo-level duplication (r04): fork detection (exact + MinHash
+        # production twin) and vendored-subtree Merkle rollup
+        "repo_fork_pairs": _q_repo_fork_pairs,
+        "repo_fork_pairs_minhash": _q_repo_fork_pairs_minhash,
+        "dup_subtree_groups": _q_dup_subtree_groups,
     }
 
 
@@ -2028,6 +2083,12 @@ def oracle_sql() -> dict[str, str]:
         "code_curation_flags": _sql_code_curation_flags(),
         "key_skew_profile_fp": _sql_key_skew_profile(),
         "distinct_fp_by_lang": _sql_distinct_fp_by_lang(),
+        # repo-level duplication (r04)
+        "repo_fork_pairs": _sql_repo_fork_pairs(),
+        "dup_subtree_groups": _sql_dup_subtree_groups(),
+        # repo_fork_pairs_minhash: intentionally omitted — xxhash64
+        # min-wise estimate is engine-specific; repo_fork_pairs is its
+        # hash-exact twin and tests/test_repo_level.py pins recall
         # distinct_fp_by_lang_approx: intentionally omitted — HLL++ sketch
         # is probabilistic; distinct_fp_by_lang is its exact oracle twin
         # and pytest pins the estimate's relative error

@@ -1,0 +1,375 @@
+"""Repo-level duplication: fork detection and duplicated-subtree rollup.
+
+Web-scale code corpora dedup at three granularities: file (exact/near —
+the pipeline core), whole repository (forks: a large fraction of public
+repos are forks or mirrors sharing almost the full file set of their
+parent) and directory subtree (vendored dependencies copied verbatim
+into thousands of unrelated repos). This module adds the latter two as
+pure DataFrame transforms over the canonical ``code_files(repo, path,
+commit, lang, content)`` table — the container-key collapse pattern the
+reference applies per email domain (src/routes/email.rs:81-117), lifted
+to the repo / subtree container.
+
+Scale shape (designed for 10^12 files / 10^8 repos):
+
+- :func:`repo_fork_pairs` (exact, the oracle/audit path): distinct
+  ``(repo, sha)`` projection → self equi-join on sha → count per repo
+  pair → *integer-exact* Jaccard (``n_shared * 1e6 div union``, no
+  floats anywhere, so the DuckDB twin matches bit for bit). Shuffle is
+  O(files) for the projection plus O(co-occurring pairs) for the join;
+  content shas are uniform so the join key cannot skew. The pair join
+  is quadratic per shared sha *group*, which is exactly the all-pairs
+  regime the LSH path avoids — keep this for audits and small slices.
+
+- :func:`repo_fork_minhash_pairs` (the production path): a k-perm
+  MinHash of each repo's sha *set* via ``min(xxhash64(sha, i))`` —
+  ONE partial-aggregable shuffle emitting O(#repos × k) cells, then LSH
+  banding over the tiny per-repo signature table and a signature-based
+  Jaccard estimate on bucket-mates. No all-pairs step ever touches the
+  file-level table; at 10^12 files the heavy lifting is a map-side
+  combine. (Signatures over sha-sets, not shingles: repo similarity is
+  set similarity of file contents, The-Stack-style fork collapse.)
+
+- :func:`dup_subtree_groups`: order-invariant Merkle rollup — per
+  ``(repo, dir)`` the ``bit_xor`` of a 60-bit per-entry hash of
+  ``fname || '\\n' || content``, plus the entry count. Both aggregates
+  are commutative/associative → map-side partial agg, no
+  ``collect_list``, no sort; two exchanges end to end. Within a dir,
+  fnames are unique, so entries are distinct and an xor collision needs
+  two different dirs whose entry-hash sets collide at 60 bits
+  (~n²/2^60) — diagnostic-grade, and exact on the planted corpora by
+  test. Dirs whose full (fname, content) sets are byte-identical across
+  ≥2 (repo, dir) containers come out as one group: vendored-subtree and
+  full-fork detection without comparing any file content cross-repo.
+
+The synthetic ``documents`` testdata has one flat namespace, so the
+oracle queries wrap it with :func:`with_planted_repo_files` — repos,
+dirs, fork copies and a vendored subtree derived deterministically from
+``doc_id`` with a character-identical DuckDB twin (the established
+planted-wrapper pattern, cf. functions/code_curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_planted_repo_files",
+    "with_planted_repo_files_sql",
+    "repo_fork_pairs",
+    "repo_fork_pairs_sql",
+    "repo_fork_minhash_pairs",
+    "dup_subtree_groups",
+    "dup_subtree_groups_sql",
+]
+
+
+# ---------------------------------------------------------------------------
+# planted repo/dir structure over the flat documents table
+# ---------------------------------------------------------------------------
+
+#: doc_id residues that seed each plant (kept as module constants so the
+#: Spark builder, the SQL twin and the tests cannot drift apart).
+_N_REPOS = 16          # base repos r0..r15
+_N_DIRS = 5            # dirs d0..d4 per repo
+_FULL_FORK_RES = 1     # r1 → r1__fork (full copy, Jaccard 1.0)
+_PART_FORK_A = (3, 7)  # r3 → r3__fork dropping doc_id % 7 == 0
+_PART_FORK_B = (7, 11)  # r7 → r7__fork dropping doc_id % 11 == 0
+_VENDOR_RES = (5, 2)   # docs with id%16==5 and (id div 16)%5==2 ...
+_VENDOR_REPOS = ("r5", "r8", "r12")  # ... vendored into these repos
+_VENDOR_DIR = "vendor/liba"
+
+
+def with_planted_repo_files(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Derive a ``(repo, dir, fname, content)`` table with planted fork
+    and vendored-subtree structure from the flat documents table.
+
+    Base layout spreads docs over ``r0..r15`` × ``d0..d4`` on
+    independent digits of doc_id; plants (all UNION ALL copies, fully
+    determined by doc_id):
+
+    - ``r1__fork``: every r1 file — Jaccard 1.0 fork pair
+    - ``r3__fork``: r3 minus ``doc_id % 7 == 0`` — high-Jaccard fork
+    - ``r7__fork``: r7 minus ``doc_id % 11 == 0`` — high-Jaccard fork
+    - ``vendor/liba``: one fixed file subset copied into r5, r8 and r12
+      under the same dir/fnames — a duplicated subtree that is far too
+      small a share of either repo to register as a fork
+    """
+    idc = F.col(id_col)
+    base = docs.select(
+        F.concat(F.lit("r"), (idc % _N_REPOS).cast("string")).alias("repo"),
+        F.concat(F.lit("d"),
+                 (F.floor(idc / _N_REPOS).cast("long") % _N_DIRS).cast("string")
+                 ).alias("dir"),
+        F.concat(F.lit("f"), idc.cast("string")).alias("fname"),
+        F.col(text_col).alias("content"),
+    )
+
+    def _fork(res: int, suffix: str, drop_mod: int | None) -> DataFrame:
+        src = docs.where(idc % _N_REPOS == res)
+        if drop_mod is not None:
+            src = src.where(idc % drop_mod != 0)
+        return src.select(
+            F.lit(f"r{res}{suffix}").alias("repo"),
+            F.concat(F.lit("d"),
+                     (F.floor(idc / _N_REPOS).cast("long") % _N_DIRS).cast("string")
+                     ).alias("dir"),
+            F.concat(F.lit("f"), idc.cast("string")).alias("fname"),
+            F.col(text_col).alias("content"),
+        )
+
+    vend_src = docs.where(
+        (idc % _N_REPOS == _VENDOR_RES[0])
+        & (F.floor(idc / _N_REPOS).cast("long") % _N_DIRS == _VENDOR_RES[1]))
+    vendored = [
+        vend_src.select(
+            F.lit(r).alias("repo"),
+            F.lit(_VENDOR_DIR).alias("dir"),
+            F.concat(F.lit("f"), idc.cast("string")).alias("fname"),
+            F.col(text_col).alias("content"),
+        )
+        for r in _VENDOR_REPOS
+    ]
+
+    out = base
+    for part in (
+        _fork(_FULL_FORK_RES, "__fork", None),
+        _fork(_PART_FORK_A[0], "__fork", _PART_FORK_A[1]),
+        _fork(_PART_FORK_B[0], "__fork", _PART_FORK_B[1]),
+        *vendored,
+    ):
+        out = out.unionAll(part)
+    return out
+
+
+def with_planted_repo_files_sql(table: str = "documents",
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> str:
+    """Character-identical DuckDB twin of :func:`with_planted_repo_files`."""
+    base_dir = (f"'d' || CAST(({id_col} // {_N_REPOS}) % {_N_DIRS} "
+                f"AS VARCHAR)")
+    fname = f"'f' || CAST({id_col} AS VARCHAR)"
+    parts = [f"""
+  SELECT 'r' || CAST({id_col} % {_N_REPOS} AS VARCHAR) AS repo,
+         {base_dir} AS dir, {fname} AS fname, {text_col} AS content
+  FROM {table}"""]
+    for res, drop in ((_FULL_FORK_RES, None), _PART_FORK_A, _PART_FORK_B):
+        cond = f"{id_col} % {_N_REPOS} = {res}"
+        if drop is not None:
+            cond += f" AND {id_col} % {drop} <> 0"
+        parts.append(f"""
+  SELECT 'r{res}__fork' AS repo, {base_dir} AS dir, {fname} AS fname,
+         {text_col} AS content
+  FROM {table} WHERE {cond}""")
+    vend_cond = (f"{id_col} % {_N_REPOS} = {_VENDOR_RES[0]} AND "
+                 f"({id_col} // {_N_REPOS}) % {_N_DIRS} = {_VENDOR_RES[1]}")
+    for r in _VENDOR_REPOS:
+        parts.append(f"""
+  SELECT '{r}' AS repo, '{_VENDOR_DIR}' AS dir, {fname} AS fname,
+         {text_col} AS content
+  FROM {table} WHERE {vend_cond}""")
+    return "(" + " UNION ALL ".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# fork detection — exact (audit) path
+# ---------------------------------------------------------------------------
+
+def repo_fork_pairs(files: DataFrame, tau_e6: int = 700_000,
+                    repo_col: str = "repo",
+                    content_col: str = "content") -> DataFrame:
+    """All repo pairs whose content-sha sets have Jaccard ≥ tau.
+
+    Integer-exact: ``jaccard_e6 = n_shared * 1_000_000 div n_union`` is
+    computed in BIGINT arithmetic, so the result is engine-independent.
+    Output: (repo_a, repo_b, n_shared, n_a, n_b, jaccard_e6).
+    """
+    fs = files.select(
+        F.col(repo_col).alias("repo"),
+        F.sha2(F.col(content_col), 256).alias("sha"),
+    ).distinct()
+    sizes = fs.groupBy("repo").agg(F.count("*").alias("n"))
+    a, b = fs.alias("a"), fs.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sha") == F.col("b.sha"))
+               & (F.col("a.repo") < F.col("b.repo")))
+        .groupBy(F.col("a.repo").alias("repo_a"),
+                 F.col("b.repo").alias("repo_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    # the sizes side is one row per repo — broadcastable at any corpus
+    # size that fits a catalog (and AQE will pick broadcast regardless)
+    sa = F.broadcast(sizes.withColumnRenamed("repo", "repo_a")
+                     .withColumnRenamed("n", "n_a"))
+    sb = F.broadcast(sizes.withColumnRenamed("repo", "repo_b")
+                     .withColumnRenamed("n", "n_b"))
+    return (
+        shared.join(sa, "repo_a").join(sb, "repo_b")
+        .withColumn(
+            "jaccard_e6",
+            F.expr("n_shared * 1000000L div (n_a + n_b - n_shared)"))
+        .where(F.col("jaccard_e6") >= F.lit(int(tau_e6)))
+        .select("repo_a", "repo_b", "n_shared", "n_a", "n_b", "jaccard_e6")
+    )
+
+
+def repo_fork_pairs_sql(table: str, tau_e6: int = 700_000,
+                        repo_col: str = "repo",
+                        content_col: str = "content") -> str:
+    """DuckDB twin of :func:`repo_fork_pairs` over the same table expr."""
+    return f"""
+WITH fs AS (
+  SELECT DISTINCT {repo_col} AS repo, sha256({content_col}) AS sha
+  FROM {table}
+), sizes AS (
+  SELECT repo, COUNT(*) AS n FROM fs GROUP BY repo
+), shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, COUNT(*) AS n_shared
+  FROM fs a JOIN fs b ON a.sha = b.sha AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT s.repo_a, s.repo_b, s.n_shared, sa.n AS n_a, sb.n AS n_b,
+       (s.n_shared * 1000000) // (sa.n + sb.n - s.n_shared) AS jaccard_e6
+FROM shared s
+JOIN sizes sa ON sa.repo = s.repo_a
+JOIN sizes sb ON sb.repo = s.repo_b
+WHERE (s.n_shared * 1000000) // (sa.n + sb.n - s.n_shared) >= {int(tau_e6)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# fork detection — MinHash + LSH production path
+# ---------------------------------------------------------------------------
+
+def repo_fork_minhash_pairs(files: DataFrame, num_perm: int = 64,
+                            bands: int = 16, tau: float = 0.5,
+                            repo_col: str = "repo",
+                            content_col: str = "content") -> DataFrame:
+    """Candidate fork pairs via per-repo MinHash over the content-sha set.
+
+    One groupBy produces the whole signature table (k min-aggregates,
+    partial-aggregated map-side); banding + bucket self-join then run on
+    #repos rows only. Probabilistic (xxhash64 min-wise estimate), so the
+    driver records this rows-only; :func:`repo_fork_pairs` is the
+    hash-exact twin and the recall test pins agreement on the planted
+    corpus. Output: (repo_a, repo_b, est_jaccard_e6, n_a, n_b).
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm {num_perm} not divisible by {bands}")
+    rows_per_band = num_perm // bands
+    fs = files.select(
+        F.col(repo_col).alias("repo"),
+        F.sha2(F.col(content_col), 256).alias("sha"),
+    ).distinct()
+    aggs = [F.min(F.xxhash64("sha", F.lit(i))).alias(f"s{i}")
+            for i in range(num_perm)]
+    sigs = fs.groupBy("repo").agg(*aggs, F.count("*").alias("n"))
+
+    band_keys = F.array(*[
+        F.xxhash64(F.lit(b), *[F.col(f"s{b * rows_per_band + r}")
+                               for r in range(rows_per_band)])
+        for b in range(bands)
+    ])
+    banded = (
+        sigs.select("repo", F.posexplode(band_keys).alias("band", "bkey"))
+    )
+    cand = (
+        banded.alias("x").join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.repo") < F.col("y.repo")))
+        .select(F.col("x.repo").alias("repo_a"),
+                F.col("y.repo").alias("repo_b"))
+        .distinct()
+    )
+    sig_a = sigs.select(F.col("repo").alias("repo_a"), F.col("n").alias("n_a"),
+                        *[F.col(f"s{i}").alias(f"a{i}")
+                          for i in range(num_perm)])
+    sig_b = sigs.select(F.col("repo").alias("repo_b"), F.col("n").alias("n_b"),
+                        *[F.col(f"s{i}").alias(f"b{i}")
+                          for i in range(num_perm)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_perm))
+    return (
+        cand.join(sig_a, "repo_a").join(sig_b, "repo_b")
+        .withColumn("est_jaccard_e6",
+                    (matches * F.lit(1_000_000) / F.lit(num_perm))
+                    .cast("long"))
+        .where(F.col("est_jaccard_e6") >= F.lit(int(tau * 1_000_000)))
+        .select("repo_a", "repo_b", "est_jaccard_e6", "n_a", "n_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-subtree (vendored dir / full fork) Merkle rollup
+# ---------------------------------------------------------------------------
+
+def dup_subtree_groups(files: DataFrame, repo_col: str = "repo",
+                       dir_col: str | None = "dir",
+                       path_col: str = "path",
+                       fname_col: str | None = "fname",
+                       content_col: str = "content") -> DataFrame:
+    """(repo, dir) containers whose full (fname, content) set is
+    byte-identical to ≥1 other container.
+
+    ``subtree_sig`` is the bit_xor of a 60-bit md5-derived hash of each
+    ``fname || '\\n' || content`` entry — order-invariant and
+    partial-aggregable, so the rollup is a plain two-exchange
+    aggregation chain with no per-dir sort or list materialization.
+    When ``dir_col`` is None, dir/fname are parsed from ``path_col``.
+    Output: (subtree_sig, n_files, n_dups, repo, dir).
+    """
+    if dir_col is None:
+        files = files.withColumn(
+            "__dir", F.regexp_extract(F.col(path_col), r"^(.*)/[^/]+$", 1)
+        ).withColumn(
+            "__fname", F.regexp_extract(F.col(path_col), r"([^/]+)$", 1))
+        dir_col, fname_col = "__dir", "__fname"
+    # 60-bit order-invariant entry hash, built with the column API so the
+    # newline separator never round-trips through SQL-literal escaping
+    entry = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(fname_col), F.lit("\n"),
+                           F.col(content_col))), 1, 15),
+        16, 10).cast("long")
+    per_dir = (
+        files.withColumn("__entry", entry)
+        .groupBy(F.col(repo_col).alias("repo"), F.col(dir_col).alias("dir"))
+        .agg(F.expr("bit_xor(__entry)").alias("subtree_sig"),
+             F.count("*").alias("n_files"))
+    )
+    w_count = (
+        per_dir.groupBy("subtree_sig", "n_files")
+        .agg(F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") >= 2)
+    )
+    return (
+        per_dir.join(w_count, ["subtree_sig", "n_files"])
+        .select("subtree_sig", "n_files", "n_dups", "repo", "dir")
+    )
+
+
+def dup_subtree_groups_sql(table: str, repo_col: str = "repo",
+                           dir_col: str = "dir", fname_col: str = "fname",
+                           content_col: str = "content") -> str:
+    """DuckDB twin of :func:`dup_subtree_groups` (dir/fname supplied)."""
+    return f"""
+WITH per_dir AS (
+  SELECT {repo_col} AS repo, {dir_col} AS dir,
+         bit_xor(('0x' || substring(md5({fname_col} || chr(10) ||
+                 {content_col}), 1, 15))::BIGINT) AS subtree_sig,
+         COUNT(*) AS n_files
+  FROM {table}
+  GROUP BY 1, 2
+), grp AS (
+  SELECT subtree_sig, n_files, COUNT(*) AS n_dups
+  FROM per_dir GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT g.subtree_sig, g.n_files, g.n_dups, p.repo, p.dir
+FROM per_dir p JOIN grp g
+  ON p.subtree_sig = g.subtree_sig AND p.n_files = g.n_files
+"""

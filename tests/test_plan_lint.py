@@ -97,6 +97,10 @@ EXCHANGE_BUDGET = {
     "key_skew_profile_fp": 3, "vocab_topk_tokens": 3,
     "lm_quality_scores": 4, "repetition_quality_report": 4,
     "segment_dedup_documents": 4,
+    # repo-level dedup: sha-set self-join / per-repo signature agg + LSH
+    # band self-join / two-level Merkle agg (operators/repo_level.py)
+    "repo_fork_pairs": 7, "repo_fork_pairs_minhash": 6,
+    "dup_subtree_groups": 3,
     "source_overlap_pairs": 6, "source_overlap_chunks": 8,
     "minhash_near_dup_pairs_est": 9, "token_jaccard_pairs": 10,
     "neardup_decontamination_report": 12,

@@ -1,0 +1,214 @@
+"""Repo-level duplication operators (operators/repo_level.py).
+
+Brute-force oracles are pure python over the same planted derivation, so
+Spark, DuckDB and the test can only agree by computing the same thing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import duckdb
+import pandas as pd
+import pytest
+
+from email_sanitizer_api_spark.operators.repo_level import (
+    dup_subtree_groups,
+    dup_subtree_groups_sql,
+    repo_fork_minhash_pairs,
+    repo_fork_pairs,
+    repo_fork_pairs_sql,
+    with_planted_repo_files,
+    with_planted_repo_files_sql,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# pure-python twin of the planted derivation + brute-force ground truth
+# ---------------------------------------------------------------------------
+
+def _planted_rows(pdf: pd.DataFrame) -> list[tuple[str, str, str, str]]:
+    rows = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        did = int(doc_id)
+        repo = f"r{did % 16}"
+        dirn = f"d{(did // 16) % 5}"
+        fname = f"f{did}"
+        rows.append((repo, dirn, fname, text))
+        if did % 16 == 1:
+            rows.append((f"r1__fork", dirn, fname, text))
+        if did % 16 == 3 and did % 7 != 0:
+            rows.append((f"r3__fork", dirn, fname, text))
+        if did % 16 == 7 and did % 11 != 0:
+            rows.append((f"r7__fork", dirn, fname, text))
+        if did % 16 == 5 and (did // 16) % 5 == 2:
+            for r in ("r5", "r8", "r12"):
+                rows.append((r, "vendor/liba", fname, text))
+    return rows
+
+
+def _brute_fork_pairs(rows, tau_e6=700_000):
+    sets: dict[str, set[str]] = defaultdict(set)
+    for repo, _, _, content in rows:
+        sets[repo].add(hashlib.sha256(content.encode()).hexdigest())
+    out = {}
+    repos = sorted(sets)
+    for i, a in enumerate(repos):
+        for b in repos[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            union = len(sets[a]) + len(sets[b]) - inter
+            j = inter * 1_000_000 // union
+            if j >= tau_e6:
+                out[(a, b)] = (inter, len(sets[a]), len(sets[b]), j)
+    return out
+
+
+def _brute_subtree_groups(rows):
+    by_dir: dict[tuple[str, str], set[tuple[str, str]]] = defaultdict(set)
+    for repo, dirn, fname, content in rows:
+        by_dir[(repo, dirn)].add((fname, content))
+    by_content: dict[frozenset, list] = defaultdict(list)
+    for k, v in by_dir.items():
+        by_content[frozenset(v)].append(k)
+    return {k: sorted(v) for k, v in by_content.items() if len(v) >= 2}
+
+
+@pytest.fixture(scope="module")
+def docs_pdf() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return with_planted_repo_files(docs)
+
+
+# ---------------------------------------------------------------------------
+# fork detection — exact path
+# ---------------------------------------------------------------------------
+
+def test_fork_pairs_match_bruteforce(planted, docs_pdf):
+    got = {(r.repo_a, r.repo_b): (r.n_shared, r.n_a, r.n_b, r.jaccard_e6)
+           for r in repo_fork_pairs(planted).collect()}
+    want = _brute_fork_pairs(_planted_rows(docs_pdf))
+    assert got == want
+    # the planted full fork must be there at Jaccard exactly 1.0
+    assert got[("r1", "r1__fork")][3] == 1_000_000
+
+
+def test_fork_pairs_tau_monotone(planted):
+    lo = {(r.repo_a, r.repo_b)
+          for r in repo_fork_pairs(planted, tau_e6=500_000).collect()}
+    hi = {(r.repo_a, r.repo_b)
+          for r in repo_fork_pairs(planted, tau_e6=900_000).collect()}
+    assert hi <= lo
+    # vendored subtree sharing must never register as a fork: the three
+    # vendoring repos pairwise share only the tiny vendored file set
+    for a, b in (("r5", "r8"), ("r5", "r12"), ("r12", "r8")):
+        assert (min(a, b), max(a, b)) not in lo
+
+
+def test_fork_pairs_duckdb_parity(planted, docs_pdf):
+    spark_rows = sorted(tuple(r) for r in repo_fork_pairs(planted).collect())
+    con = duckdb.connect()
+    con.register("documents", docs_pdf)
+    duck_rows = sorted(map(tuple, con.execute(
+        repo_fork_pairs_sql(with_planted_repo_files_sql())).fetchall()))
+    assert spark_rows == duck_rows
+
+
+# ---------------------------------------------------------------------------
+# fork detection — MinHash production twin
+# ---------------------------------------------------------------------------
+
+def test_minhash_twin_recall(planted, docs_pdf):
+    exact = set(_brute_fork_pairs(_planted_rows(docs_pdf),
+                                  tau_e6=750_000))
+    got = {(r.repo_a, r.repo_b): r.est_jaccard_e6
+           for r in repo_fork_minhash_pairs(planted, tau=0.5).collect()}
+    # recall: every true high-Jaccard fork pair must be produced
+    missing = exact - set(got)
+    assert not missing, f"minhash twin missed fork pairs: {missing}"
+    # sanity on the estimator: every reported pair really shares content
+    truth = _brute_fork_pairs(_planted_rows(docs_pdf), tau_e6=1)
+    for pair, est in got.items():
+        true_j = truth[pair][3]
+        assert abs(est - true_j) < 300_000, (pair, est, true_j)
+
+
+def test_minhash_twin_deterministic(planted):
+    a = sorted(tuple(r) for r in repo_fork_minhash_pairs(planted).collect())
+    b = sorted(tuple(r) for r in repo_fork_minhash_pairs(planted).collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# duplicated-subtree Merkle rollup
+# ---------------------------------------------------------------------------
+
+def test_subtree_groups_match_bruteforce(planted, docs_pdf):
+    got = defaultdict(set)
+    for r in dup_subtree_groups(planted).collect():
+        got[(r.subtree_sig, r.n_files)].add((r.repo, r.dir))
+        assert r.n_dups >= 2
+    want = _brute_subtree_groups(_planted_rows(docs_pdf))
+    # same group structure: each brute-force content-set group must map
+    # 1:1 onto a sig group with identical (repo, dir) membership
+    got_members = sorted(sorted(v) for v in got.values())
+    want_members = sorted(v for v in want.values())
+    assert got_members == want_members
+    # the vendored subtree is one group spanning all three repos (a base
+    # dir whose content-set coincides with it may legitimately join)
+    vend = [m for m in got_members
+            if ("r5", "vendor/liba") in m]
+    assert vend and {("r5", "vendor/liba"), ("r8", "vendor/liba"),
+                     ("r12", "vendor/liba")} <= set(vend[0])
+
+
+def test_subtree_groups_duckdb_parity(planted, docs_pdf):
+    spark_rows = sorted(tuple(r)
+                        for r in dup_subtree_groups(planted).collect())
+    con = duckdb.connect()
+    con.register("documents", docs_pdf)
+    duck_rows = sorted(map(tuple, con.execute(
+        dup_subtree_groups_sql(with_planted_repo_files_sql())).fetchall()))
+    assert spark_rows == duck_rows
+
+
+def test_subtree_groups_from_path_on_code_corpus(corpus_df):
+    """The synthetic code corpus plants a vendored subtree
+    (vendor/lib/v_*.{ext}) into >= 8 repos (corpus.py:142-146): parsing
+    dir/fname out of the real `path` column must surface it."""
+    out = dup_subtree_groups(corpus_df, dir_col=None).collect()
+    vend = [r for r in out if r.dir == "vendor/lib"]
+    assert len(vend) >= 8
+    sigs = {(r.subtree_sig, r.n_files) for r in vend}
+    assert len(sigs) == 1, "vendored dirs must hash to one content-set"
+    assert vend[0].n_dups == len(vend)
+
+
+def test_subtree_sig_order_invariant(spark):
+    rows = [("a", "d", "f1", "x"), ("a", "d", "f2", "y"),
+            ("b", "d", "f2", "y"), ("b", "d", "f1", "x")]
+    df = spark.createDataFrame(rows, "repo string, dir string, "
+                                     "fname string, content string")
+    out = dup_subtree_groups(df).collect()
+    assert len(out) == 2 and out[0].subtree_sig == out[1].subtree_sig
+
+
+def test_subtree_differs_on_rename_and_content(spark):
+    # same contents, one renamed file -> different sig; same fnames, one
+    # changed byte -> different sig (the entry hash binds fname+content)
+    base = [("a", "d", "f1", "x"), ("a", "d", "f2", "y")]
+    renamed = [("b", "d", "f1", "x"), ("b", "d", "f3", "y")]
+    edited = [("c", "d", "f1", "x"), ("c", "d", "f2", "z")]
+    df = spark.createDataFrame(base + renamed + edited,
+                               "repo string, dir string, fname string, "
+                               "content string")
+    assert dup_subtree_groups(df).count() == 0
