@@ -1917,6 +1917,60 @@ def _sql_dup_subtree_groups() -> str:
     return dup_subtree_groups_sql(with_planted_repo_files_sql())
 
 
+def _q_latest_snapshot_files(spark, sf_dir):
+    """Commit-granularity snapshot collapse: one row per (repo, path) at
+    its max commit_ts, via max_by AGGREGATION (partial-aggregated
+    map-side — one candidate row per group per task) instead of a
+    row_number window that would shuffle every version of every path
+    (operators/snapshots.py). History is planted deterministically:
+    every doc has v0, %3 docs gain an edited v1, %9 docs a v2 that
+    reverts to v0 bytes (character-identical DuckDB twin)."""
+    from email_sanitizer_api_spark.operators.snapshots import (
+        latest_snapshot_files, with_planted_commit_history)
+    hist = with_planted_commit_history(_t(spark, sf_dir, "documents"))
+    return latest_snapshot_files(hist)
+
+
+def _sql_latest_snapshot_files() -> str:
+    from email_sanitizer_api_spark.operators.snapshots import (
+        latest_snapshot_files_sql, with_planted_commit_history_sql)
+    return latest_snapshot_files_sql(with_planted_commit_history_sql())
+
+
+def _q_path_churn_stats(spark, sf_dir):
+    """Per-(repo, path) churn: versions seen vs distinct contents — the
+    measurement that separates snapshot noise (n_contents == 1) from
+    real edits and reverted/re-landed bytes (n_versions > n_contents).
+    Two map-combining aggregations (operators/snapshots.py)."""
+    from email_sanitizer_api_spark.operators.snapshots import (
+        path_churn_stats, with_planted_commit_history)
+    hist = with_planted_commit_history(_t(spark, sf_dir, "documents"))
+    return path_churn_stats(hist)
+
+
+def _sql_path_churn_stats() -> str:
+    from email_sanitizer_api_spark.operators.snapshots import (
+        path_churn_stats_sql, with_planted_commit_history_sql)
+    return path_churn_stats_sql(with_planted_commit_history_sql())
+
+
+def _q_snapshot_dedup_report(spark, sf_dir):
+    """One-row corpus planning report: rows vs live (repo, path) keys vs
+    distinct contents, integer-exact ppm ratios — decides whether a
+    snapshot-collapse pass pays for itself before near-dup dedup
+    (operators/snapshots.py)."""
+    from email_sanitizer_api_spark.operators.snapshots import (
+        snapshot_dedup_report, with_planted_commit_history)
+    hist = with_planted_commit_history(_t(spark, sf_dir, "documents"))
+    return snapshot_dedup_report(hist)
+
+
+def _sql_snapshot_dedup_report() -> str:
+    from email_sanitizer_api_spark.operators.snapshots import (
+        snapshot_dedup_report_sql, with_planted_commit_history_sql)
+    return snapshot_dedup_report_sql(with_planted_commit_history_sql())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2010,6 +2064,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_fork_pairs": _q_repo_fork_pairs,
         "repo_fork_pairs_minhash": _q_repo_fork_pairs_minhash,
         "dup_subtree_groups": _q_dup_subtree_groups,
+        # commit-granularity snapshot collapse (r04): latest-version
+        # dedup, churn stats, corpus planning report
+        "latest_snapshot_files": _q_latest_snapshot_files,
+        "path_churn_stats": _q_path_churn_stats,
+        "snapshot_dedup_report": _q_snapshot_dedup_report,
     }
 
 
@@ -2089,6 +2148,10 @@ def oracle_sql() -> dict[str, str]:
         # repo_fork_pairs_minhash: intentionally omitted — xxhash64
         # min-wise estimate is engine-specific; repo_fork_pairs is its
         # hash-exact twin and tests/test_repo_level.py pins recall
+        # commit-granularity snapshot collapse (r04)
+        "latest_snapshot_files": _sql_latest_snapshot_files(),
+        "path_churn_stats": _sql_path_churn_stats(),
+        "snapshot_dedup_report": _sql_snapshot_dedup_report(),
         # distinct_fp_by_lang_approx: intentionally omitted — HLL++ sketch
         # is probabilistic; distinct_fp_by_lang is its exact oracle twin
         # and pytest pins the estimate's relative error

@@ -1,0 +1,213 @@
+"""Commit-granularity snapshot collapse and churn statistics.
+
+The canonical input table carries a ``commit`` column (BASELINE.json
+input_hint): a crawl that ingests a repository at k snapshots holds
+every path up to k times, with most versions byte-identical — snapshot
+explosion is the dominant pre-dedup blowup in real code corpora (a repo
+with 1000 commits contributes ~1000× its file count while its distinct
+content set grows a few percent). These operators collapse and measure
+that axis *before* the expensive near-dup machinery runs, the same
+cheap-gate-first ordering the reference applies by running syntax
+checks before DNS work (src/handlers/validation/mod.rs cascade).
+
+Scale shape:
+
+- :func:`latest_snapshot_files` uses ``max_by`` aggregation, NOT a
+  row_number window: both are one shuffle on (repo, path), but the agg
+  partial-aggregates map-side (each task keeps one candidate row per
+  group), while the window must materialize and sort every version of
+  every path inside each partition. At 1000 snapshots/repo that is a
+  1000× difference in shuffled bytes.
+- :func:`path_churn_stats` / :func:`snapshot_dedup_report` are plain
+  two-level aggregations (count + approx-free distinct via sha
+  pre-distinct), map-side combining, integer-exact ratios.
+
+Ordering contract: "latest" needs a total order per (repo, path). The
+operators order by a ``commit_ts`` column when present — commit ids
+themselves are content hashes with no order. The planted-history
+wrapper synthesizes a unique ts per version so the collapse is
+deterministic and the DuckDB twin (``arg_max``) matches bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_planted_commit_history",
+    "with_planted_commit_history_sql",
+    "latest_snapshot_files",
+    "latest_snapshot_files_sql",
+    "path_churn_stats",
+    "path_churn_stats_sql",
+    "snapshot_dedup_report",
+    "snapshot_dedup_report_sql",
+]
+
+#: planted history: every doc has version 0; docs with id%3==0 gain an
+#: edited version 1; docs with id%9==0 gain version 2 whose content
+#: REVERTS to version 0 (real repos re-land reverted bytes, so distinct
+#: contents < versions even on churned paths).
+_EDIT_MARK = "\n// patch v"
+
+
+def with_planted_commit_history(docs: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Derive (repo, path, commit, commit_ts, content) with 1-3 versions
+    per path from the flat documents table, deterministically from
+    doc_id. commit = md5 of (path, version) — id-like and unordered,
+    like a real VCS hash; commit_ts = doc_id * 10 + version (unique per
+    path by construction, making every collapse deterministic)."""
+    idc = F.col(id_col)
+    path = F.concat(F.lit("doc/"), idc.cast("string"))
+
+    def _version(v: int, content) -> DataFrame:
+        src = docs
+        if v == 1:
+            src = src.where(idc % 3 == 0)
+        elif v == 2:
+            src = src.where(idc % 9 == 0)
+        return src.select(
+            F.concat(F.lit("r"), (idc % 16).cast("string")).alias("repo"),
+            path.alias("path"),
+            F.md5(F.concat(path, F.lit(f"@{v}"))).alias("commit"),
+            (idc * 10 + F.lit(v)).cast("long").alias("commit_ts"),
+            content.alias("content"),
+        )
+
+    text = F.col(text_col)
+    v0 = _version(0, text)
+    v1 = _version(1, F.concat(text, F.lit(_EDIT_MARK + "1")))
+    v2 = _version(2, text)  # revert to v0 bytes
+    return v0.unionAll(v1).unionAll(v2)
+
+
+def with_planted_commit_history_sql(table: str = "documents",
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text") -> str:
+    """Character-identical DuckDB twin of
+    :func:`with_planted_commit_history`."""
+    path = f"'doc/' || CAST({id_col} AS VARCHAR)"
+    repo = f"'r' || CAST({id_col} % 16 AS VARCHAR)"
+    mark = _EDIT_MARK.replace("\n", "' || chr(10) || '")
+    parts = [f"""
+  SELECT {repo} AS repo, {path} AS path,
+         md5({path} || '@0') AS commit,
+         CAST({id_col} * 10 + 0 AS BIGINT) AS commit_ts,
+         {text_col} AS content
+  FROM {table}""", f"""
+  SELECT {repo} AS repo, {path} AS path,
+         md5({path} || '@1') AS commit,
+         CAST({id_col} * 10 + 1 AS BIGINT) AS commit_ts,
+         {text_col} || '{mark}1' AS content
+  FROM {table} WHERE {id_col} % 3 = 0""", f"""
+  SELECT {repo} AS repo, {path} AS path,
+         md5({path} || '@2') AS commit,
+         CAST({id_col} * 10 + 2 AS BIGINT) AS commit_ts,
+         {text_col} AS content
+  FROM {table} WHERE {id_col} % 9 = 0"""]
+    return "(" + " UNION ALL ".join(parts) + ")"
+
+
+def latest_snapshot_files(files: DataFrame, repo_col: str = "repo",
+                          path_col: str = "path",
+                          ts_col: str = "commit_ts",
+                          commit_col: str = "commit",
+                          content_col: str = "content") -> DataFrame:
+    """One row per (repo, path): the version at max ``ts_col``.
+
+    max_by aggregation — one exchange, partial-aggregated map-side (vs
+    a row_number window, which ships every version of every path into
+    the shuffle). Output: (repo, path, commit, commit_ts, content_sha).
+    """
+    return (
+        files.groupBy(F.col(repo_col).alias("repo"),
+                      F.col(path_col).alias("path"))
+        .agg(F.max_by(F.col(commit_col), F.col(ts_col)).alias("commit"),
+             F.max(F.col(ts_col)).alias("commit_ts"),
+             F.max_by(F.sha2(F.col(content_col), 256),
+                      F.col(ts_col)).alias("content_sha"))
+    )
+
+
+def latest_snapshot_files_sql(table: str, repo_col: str = "repo",
+                              path_col: str = "path",
+                              ts_col: str = "commit_ts",
+                              commit_col: str = "commit",
+                              content_col: str = "content") -> str:
+    return f"""
+SELECT {repo_col} AS repo, {path_col} AS path,
+       arg_max({commit_col}, {ts_col}) AS commit,
+       MAX({ts_col}) AS commit_ts,
+       arg_max(sha256({content_col}), {ts_col}) AS content_sha
+FROM {table}
+GROUP BY 1, 2
+"""
+
+
+def path_churn_stats(files: DataFrame, repo_col: str = "repo",
+                     path_col: str = "path",
+                     content_col: str = "content") -> DataFrame:
+    """Per (repo, path): versions seen vs distinct contents.
+
+    ``n_versions > n_contents`` ⇒ reverted / re-landed bytes; paths
+    with ``n_contents == 1`` are snapshot noise the latest-collapse
+    removes losslessly. One distinct + one agg, both map-combining.
+    Output: (repo, path, n_versions, n_contents).
+    """
+    sha = F.sha2(F.col(content_col), 256)
+    return (
+        files.select(F.col(repo_col).alias("repo"),
+                     F.col(path_col).alias("path"), sha.alias("sha"))
+        .groupBy("repo", "path")
+        .agg(F.count("*").alias("n_versions"),
+             F.countDistinct("sha").alias("n_contents"))
+    )
+
+
+def path_churn_stats_sql(table: str, repo_col: str = "repo",
+                         path_col: str = "path",
+                         content_col: str = "content") -> str:
+    return f"""
+SELECT {repo_col} AS repo, {path_col} AS path,
+       COUNT(*) AS n_versions,
+       COUNT(DISTINCT sha256({content_col})) AS n_contents
+FROM {table}
+GROUP BY 1, 2
+"""
+
+
+def snapshot_dedup_report(files: DataFrame, repo_col: str = "repo",
+                          path_col: str = "path",
+                          content_col: str = "content") -> DataFrame:
+    """One-row corpus report: rows vs live paths vs distinct contents,
+    with integer-exact ppm ratios — the planning numbers that decide
+    whether snapshot-collapse is worth a pass before near-dup dedup.
+    Output: (n_rows, n_paths, n_contents, rows_per_path_e6,
+    content_ratio_e6)."""
+    sha = F.sha2(F.col(content_col), 256)
+    agg = files.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.col(repo_col), F.col(path_col)).alias("n_paths"),
+        F.countDistinct(sha).alias("n_contents"))
+    return agg.select(
+        "n_rows", "n_paths", "n_contents",
+        F.expr("n_rows * 1000000L div n_paths").alias("rows_per_path_e6"),
+        F.expr("n_contents * 1000000L div n_rows").alias("content_ratio_e6"))
+
+
+def snapshot_dedup_report_sql(table: str, repo_col: str = "repo",
+                              path_col: str = "path",
+                              content_col: str = "content") -> str:
+    return f"""
+SELECT n_rows, n_paths, n_contents,
+       (n_rows * 1000000) // n_paths AS rows_per_path_e6,
+       (n_contents * 1000000) // n_rows AS content_ratio_e6
+FROM (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT ({repo_col}, {path_col})) AS n_paths,
+         COUNT(DISTINCT sha256({content_col})) AS n_contents
+  FROM {table}
+)
+"""

@@ -101,6 +101,10 @@ EXCHANGE_BUDGET = {
     # band self-join / two-level Merkle agg (operators/repo_level.py)
     "repo_fork_pairs": 7, "repo_fork_pairs_minhash": 6,
     "dup_subtree_groups": 3,
+    # commit-granularity snapshot collapse: max_by agg (NOT a window),
+    # churn distinct+agg, one-row planning report
+    "latest_snapshot_files": 1, "path_churn_stats": 2,
+    "snapshot_dedup_report": 2,
     "source_overlap_pairs": 6, "source_overlap_chunks": 8,
     "minhash_near_dup_pairs_est": 9, "token_jaccard_pairs": 10,
     "neardup_decontamination_report": 12,

@@ -1,0 +1,116 @@
+"""Commit-granularity snapshot operators (operators/snapshots.py)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import duckdb
+import pandas as pd
+import pytest
+
+from email_sanitizer_api_spark.operators.snapshots import (
+    latest_snapshot_files,
+    latest_snapshot_files_sql,
+    path_churn_stats,
+    path_churn_stats_sql,
+    snapshot_dedup_report,
+    snapshot_dedup_report_sql,
+    with_planted_commit_history,
+    with_planted_commit_history_sql,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _history_rows(pdf: pd.DataFrame):
+    rows = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        did = int(doc_id)
+        repo, path = f"r{did % 16}", f"doc/{did}"
+        rows.append((repo, path, did * 10 + 0, text))
+        if did % 3 == 0:
+            rows.append((repo, path, did * 10 + 1, text + "\n// patch v1"))
+        if did % 9 == 0:
+            rows.append((repo, path, did * 10 + 2, text))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs_pdf() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def history(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return with_planted_commit_history(docs)
+
+
+def test_latest_snapshot_matches_bruteforce(history, docs_pdf):
+    got = {(r.repo, r.path): (r.commit_ts, r.content_sha)
+           for r in latest_snapshot_files(history).collect()}
+    best: dict[tuple, tuple] = {}
+    for repo, path, ts, content in _history_rows(docs_pdf):
+        k = (repo, path)
+        if k not in best or ts > best[k][0]:
+            best[k] = (ts, hashlib.sha256(content.encode()).hexdigest())
+    assert got == best
+    # a path with a v2 revert must surface v0 bytes at the v2 timestamp
+    reverted = [k for k in best
+                if int(k[1].split("/")[1]) % 9 == 0]
+    assert reverted
+    for k in reverted:
+        assert got[k][0] % 10 == 2
+
+
+def test_churn_stats_distinguish_edits_from_reverts(history, docs_pdf):
+    got = {(r.repo, r.path): (r.n_versions, r.n_contents)
+           for r in path_churn_stats(history).collect()}
+    vers, conts = defaultdict(int), defaultdict(set)
+    for repo, path, ts, content in _history_rows(docs_pdf):
+        vers[(repo, path)] += 1
+        conts[(repo, path)].add(content)
+    assert got == {k: (vers[k], len(conts[k])) for k in vers}
+    # the planted %9 paths re-land v0 bytes: 3 versions, 2 contents
+    k9 = [(k, v) for k, v in got.items()
+          if int(k[1].split("/")[1]) % 9 == 0]
+    assert k9 and all(v == (3, 2) for _, v in k9)
+
+
+def test_snapshot_report_integer_exact(history, docs_pdf):
+    row = snapshot_dedup_report(history).collect()[0]
+    rows = _history_rows(docs_pdf)
+    n_rows = len(rows)
+    n_paths = len({(r, p) for r, p, _, _ in rows})
+    n_contents = len({c for _, _, _, c in rows})
+    assert (row.n_rows, row.n_paths, row.n_contents) == (
+        n_rows, n_paths, n_contents)
+    assert row.rows_per_path_e6 == n_rows * 1_000_000 // n_paths
+    assert row.content_ratio_e6 == n_contents * 1_000_000 // n_rows
+
+
+def test_duckdb_parity_all_three(history, docs_pdf):
+    con = duckdb.connect()
+    con.register("documents", docs_pdf)
+    t = with_planted_commit_history_sql()
+    for op, sql in ((latest_snapshot_files, latest_snapshot_files_sql),
+                    (path_churn_stats, path_churn_stats_sql),
+                    (snapshot_dedup_report, snapshot_dedup_report_sql)):
+        spark_rows = sorted(tuple(r) for r in op(history).collect())
+        duck_rows = sorted(map(tuple, con.execute(sql(t)).fetchall()))
+        assert spark_rows == duck_rows, op.__name__
+
+
+def test_latest_snapshot_plan_is_agg_not_window(history):
+    """The collapse must plan as partial-aggregating HashAggregate (one
+    candidate row per group ships per map task), never as a window sort
+    that shuffles every version of every path."""
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        latest_snapshot_files(history).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial" in plan.lower()
