@@ -1971,6 +1971,27 @@ def _sql_snapshot_dedup_report() -> str:
     return snapshot_dedup_report_sql(with_planted_commit_history_sql())
 
 
+def _q_type2_clone_groups(spark, sf_dir):
+    """Type-2 (identifier-renamed) clone groups: comments stripped,
+    string/number literals blinded, every non-keyword identifier
+    renamed to a placeholder — a chain of built-in regexp_replace in
+    ONE codegen span (no UDF, zero exchanges), then the exact-dedup
+    plan family on the normalized sha (functions/code_clones.py).
+    Renamed clones that raw-shingle near-dup misses BY CONSTRUCTION
+    collapse here; planted uppercase-rotation copies (keyword-safe by
+    proof: keywords are all-lowercase) make the groups non-vacuous."""
+    from email_sanitizer_api_spark.functions.code_clones import (
+        type2_clone_groups, with_planted_renamed_clones)
+    docs = with_planted_renamed_clones(_t(spark, sf_dir, "documents"))
+    return type2_clone_groups(docs)
+
+
+def _sql_type2_clone_groups() -> str:
+    from email_sanitizer_api_spark.functions.code_clones import (
+        type2_clone_groups_sql, with_planted_renamed_clones_sql)
+    return type2_clone_groups_sql(with_planted_renamed_clones_sql())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2069,6 +2090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot_files": _q_latest_snapshot_files,
         "path_churn_stats": _q_path_churn_stats,
         "snapshot_dedup_report": _q_snapshot_dedup_report,
+        # Type-2 clone detection (r04): identifier-renamed duplicates
+        "type2_clone_groups": _q_type2_clone_groups,
     }
 
 
@@ -2152,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_snapshot_files": _sql_latest_snapshot_files(),
         "path_churn_stats": _sql_path_churn_stats(),
         "snapshot_dedup_report": _sql_snapshot_dedup_report(),
+        "type2_clone_groups": _sql_type2_clone_groups(),
         # distinct_fp_by_lang_approx: intentionally omitted — HLL++ sketch
         # is probabilistic; distinct_fp_by_lang is its exact oracle twin
         # and pytest pins the estimate's relative error

@@ -1,0 +1,202 @@
+"""Type-2 code-clone detection: identifier-renamed duplicate grouping.
+
+Exact dedup catches byte-identical files (Type-1 clones) and MinHash
+catches lightly-edited ones, but code corpora are full of *Type-2*
+clones — the same code with identifiers systematically renamed (NiCad /
+SourcererCC terminology): forks that rebrand symbols, students renaming
+homework variables, vendored code run through a formatter. Their
+Jaccard over raw shingles is LOW (every identifier shingle differs), so
+the near-dup path misses them by construction. The standard fix is to
+normalize before fingerprinting: strip comments, blind string/number
+literals, rename every non-keyword identifier to a placeholder — then
+Type-2 clones become Type-1 on the normalized text.
+
+The whole normalization is a chain of engine-built-in regexp_replace /
+lower-level string ops — ONE WholeStageCodegen span riding the scan,
+zero exchanges, no UDF — and is expressed twice from the same pattern
+table: once as Spark Columns, once as DuckDB SQL (RE2), so the clone
+groups are oracle-checkable hash-exact. RE2 has no lookarounds, so
+keyword preservation uses a protect/unprotect trick: keywords are
+digit-framed (``def`` → ``9def9``) before the identifier pass — digit
+framing removes the word boundary the identifier regex needs — and
+unframed after it.
+
+Reference analog: normalize-before-compare is the reference's
+lowercase/trim canonicalization before cache/dedup keys
+(src/handlers/validation/syntax.rs trim + case fold); here the
+canonical form is the token shape of the code.
+
+Scale shape: fingerprinting is map-only; grouping is one groupBy on the
+fingerprint sha (uniform key) + a count-distinct for the Type-1/Type-2
+distinction + a join back for membership — the exact_dedup plan family
+applied to the normalized key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TYPE2_KEYWORDS",
+    "type2_fingerprint",
+    "type2_fingerprint_sql",
+    "type2_clone_groups",
+    "type2_clone_groups_sql",
+    "with_planted_renamed_clones",
+    "with_planted_renamed_clones_sql",
+]
+
+#: Structural keywords preserved by normalization (union over the
+#: corpus languages; all-lowercase — see the uppercase-rotation note in
+#: with_planted_renamed_clones). Fixed and versioned: changing this set
+#: changes every fingerprint, like changing the shingle width.
+TYPE2_KEYWORDS = (
+    "break", "case", "catch", "class", "const", "continue", "def",
+    "default", "do", "elif", "else", "enum", "extern", "finally", "fn",
+    "for", "func", "function", "goto", "if", "impl", "import", "in",
+    "interface", "let", "match", "new", "nil", "not", "null", "package",
+    "pass", "private", "protected", "public", "range", "return",
+    "static", "struct", "switch", "template", "throw", "trait", "try",
+    "type", "typedef", "use", "var", "void", "while", "with", "yield",
+)
+
+_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+#: (pattern, spark_replacement, duckdb_replacement) applied in order.
+#: Patterns are RE2-safe (no lookarounds, no backrefs in the pattern);
+#: only the replacement syntax differs ($ vs \\ group refs).
+_STEPS: list[tuple[str, str, str]] = [
+    # 1. block comments (RE2-safe /* ... */, no nesting)
+    (r"/\*([^*]|\*+[^*/])*\*+/", " ", " "),
+    # 2. line comments to end of line
+    (r"//[^\n]*", " ", " "),
+    (r"#[^\n]*", " ", " "),
+    # 3. string literals -> digit-framed S marker (digit framing keeps
+    #    the identifier pass off the marker letter)
+    (r'"([^"\\]|\\.)*"', "9S9", "9S9"),
+    (r"'([^'\\]|\\.)*'", "9S9", "9S9"),
+    # 4. protect keywords: def -> 9def9 (named group for Java's $
+    #    replacement parser; RE2 uses \1)
+    ("\\b(?P<kw>" + "|".join(TYPE2_KEYWORDS) + ")\\b",
+     "9${kw}9", r"9\19"),
+    # 5. numeric literals -> framed N
+    (r"\b\d+(\.\d+)?\b", "9N9", "9N9"),
+    # 6. every remaining identifier -> I (framed tokens start with a
+    #    digit, so \b[A-Za-z_] cannot match inside them)
+    (r"\b[A-Za-z_][A-Za-z0-9_]*\b", "I", "I"),
+    # 7. unprotect: 9word9 -> word (letters-only group: unambiguous in
+    #    both engines even for adjacent markers like 9S99N9)
+    (r"9([A-Za-z_]+)9", "$1", r"\1"),
+    # 8. canonical whitespace: DELETE it — token identity is already
+    #    explicit (I/N/S/keyword tokens never merge ambiguously: a
+    #    keyword fused with an identifier would have been one identifier
+    #    token and normalized to I before this step), so dropping
+    #    whitespace makes the fingerprint formatting-invariant
+    #    ("a = b+c" == "a=b + c")
+    (_WS, "", ""),
+]
+
+
+def type2_fingerprint(col: Column) -> Column:
+    """Normalized token-shape of code: comments stripped, strings ->
+    S, numbers -> N, non-keyword identifiers -> I, whitespace
+    collapsed. Pure built-in column math (one codegen span)."""
+    out = col
+    for pat, rep, _ in _STEPS:
+        # Spark regexp_replace needs Java-escaped pattern as-is
+        out = F.regexp_replace(out, pat.replace("(?P<", "(?<"), rep)
+    return F.trim(out)
+
+
+def type2_fingerprint_sql(col: str) -> str:
+    """DuckDB (RE2) twin of :func:`type2_fingerprint`."""
+    out = col
+    for pat, _, rep in _STEPS:
+        p = pat.replace("(?P<kw>", "(")  # RE2 rewrite refs are numeric
+        p = p.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return f"trim({out})"
+
+
+def type2_clone_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Clone groups over the Type-2 fingerprint.
+
+    Output one row per member of each group with >= 2 members:
+    (clone_sha, n_members, n_contents, doc_id). ``n_contents <
+    n_members`` means the group contains byte-identical (Type-1)
+    copies; ``n_contents >= 2`` means real identifier-renamed clones
+    are present.
+    """
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(type2_fingerprint(F.col(text_col)), 256).alias("clone_sha"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+    )
+    groups = (
+        fp.groupBy("clone_sha")
+        .agg(F.count("*").alias("n_members"),
+             F.countDistinct("content_sha").alias("n_contents"))
+        .where(F.col("n_members") >= 2)
+    )
+    return (
+        fp.join(groups, "clone_sha")
+        .select("clone_sha", "n_members", "n_contents", "doc_id")
+    )
+
+
+def type2_clone_groups_sql(table: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    fp_expr = type2_fingerprint_sql(text_col)
+    return f"""
+WITH fp AS (
+  SELECT {id_col} AS doc_id,
+         sha256({fp_expr}) AS clone_sha,
+         sha256({text_col}) AS content_sha
+  FROM {table}
+), grp AS (
+  SELECT clone_sha, COUNT(*) AS n_members,
+         COUNT(DISTINCT content_sha) AS n_contents
+  FROM fp GROUP BY 1 HAVING COUNT(*) >= 2
+)
+SELECT g.clone_sha, g.n_members, g.n_contents, f.doc_id
+FROM fp f JOIN grp g USING (clone_sha)
+"""
+
+
+def with_planted_renamed_clones(docs: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Append an identifier-renamed copy of every %6 == 0 doc.
+
+    The rename is an UPPERCASE-only Caesar rotation: it rewrites every
+    capitalized identifier (different bytes, same token shape) while
+    provably never creating or destroying a TYPE2_KEYWORDS match — the
+    keyword set is all-lowercase and rotation maps uppercase letters to
+    uppercase letters. Copies get doc_id + 1_000_000."""
+    idc = F.col(id_col)
+    upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    rotated = upper[1:] + upper[0]
+    clones = (
+        docs.where(idc % 6 == 0)
+        .withColumn(id_col, idc + F.lit(1_000_000))
+        .withColumn(text_col, F.translate(F.col(text_col), upper, rotated))
+    )
+    return docs.unionByName(clones)
+
+
+def with_planted_renamed_clones_sql(table: str = "documents",
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text") -> str:
+    upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    rotated = upper[1:] + upper[0]
+    return f"""(
+  SELECT * FROM {table}
+  UNION ALL
+  SELECT * REPLACE ({id_col} + 1000000 AS {id_col},
+                    translate({text_col}, '{upper}', '{rotated}')
+                    AS {text_col})
+  FROM {table} WHERE {id_col} % 6 = 0
+)"""

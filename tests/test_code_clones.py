@@ -1,0 +1,144 @@
+"""Type-2 clone detection (functions/code_clones.py)."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.code_clones import (
+    TYPE2_KEYWORDS,
+    type2_clone_groups,
+    type2_clone_groups_sql,
+    type2_fingerprint,
+    type2_fingerprint_sql,
+    with_planted_renamed_clones,
+    with_planted_renamed_clones_sql,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_fingerprint(s: str) -> str:
+    """Pure-python third engine for the normalization chain."""
+    s = re.sub(r"/\*([^*]|\*+[^*/])*\*+/", " ", s)
+    s = re.sub(r"//[^\n]*", " ", s)
+    s = re.sub(r"#[^\n]*", " ", s)
+    s = re.sub(r'"([^"\\]|\\.)*"', "9S9", s)
+    s = re.sub(r"'([^'\\]|\\.)*'", "9S9", s)
+    s = re.sub(r"\b(" + "|".join(TYPE2_KEYWORDS) + r")\b", r"9\g<1>9", s)
+    s = re.sub(r"\b\d+(\.\d+)?\b", "9N9", s)
+    s = re.sub(r"\b[A-Za-z_][A-Za-z0-9_]*\b", "I", s)
+    s = re.sub(r"9([A-Za-z_]+)9", r"\g<1>", s)
+    s = re.sub(r"[ \t\n\x0B\f\r]+", "", s)
+    return s.strip()
+
+
+def _spark_fp(spark, texts: list[str]) -> list[str]:
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    return [r.fp for r in
+            df.select(type2_fingerprint(F.col("t")).alias("fp")).collect()]
+
+
+# ---------------------------------------------------------------------------
+# golden vectors: what MUST and MUST NOT collapse
+# ---------------------------------------------------------------------------
+
+RENAME_PAIRS = [
+    # identifier rename
+    ("def total(items):\n    return items + 1",
+     "def summed(values):\n    return values + 1"),
+    # different comments, strings and numeric literals
+    ('int f(int x) { // old\n  return x * 42; }',
+     'int g(int y) { /* new */\n  return y * 7; }'),
+    # whitespace / formatting churn
+    ("for (i = 0; i < n; i++) { s += a[i]; }",
+     "for (j=0;j<m;j++){t+=b[j];}"),
+]
+
+STRUCT_PAIRS = [
+    # keyword change = structural change
+    ("if x: return 1", "while x: return 1"),
+    ("def f(): pass", "class f(): pass"),
+    # different operator structure
+    ("a = b + c", "a = b(c)"),
+]
+
+
+def test_rename_pairs_collapse(spark):
+    for a, b in RENAME_PAIRS:
+        fa, fb = _spark_fp(spark, [a, b])
+        assert fa == fb, (a, b, fa, fb)
+
+
+def test_structural_pairs_do_not_collapse(spark):
+    for a, b in STRUCT_PAIRS:
+        fa, fb = _spark_fp(spark, [a, b])
+        assert fa != fb, (a, b, fa)
+
+
+def test_keywords_survive_identifier_pass(spark):
+    [fp] = _spark_fp(spark, ["def foo(bar): return bar if bar else None"])
+    assert fp == "defI(I):returnIifIelseI"
+
+
+def test_fingerprint_matches_python_twin(spark):
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    texts = list(pdf["text"])
+    got = _spark_fp(spark, texts)
+    want = [_py_fingerprint(t) for t in texts]
+    assert got == want
+
+
+def test_fingerprint_matches_duckdb_twin():
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = [r[0] for r in con.execute(
+        f"SELECT {type2_fingerprint_sql('text')} FROM documents "
+        f"ORDER BY doc_id").fetchall()]
+    want = [_py_fingerprint(t)
+            for t in pdf.sort_values("doc_id")["text"]]
+    assert duck == want
+
+
+# ---------------------------------------------------------------------------
+# clone grouping over the planted corpus
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return with_planted_renamed_clones(docs)
+
+
+def test_planted_clone_joins_its_source_group(planted):
+    rows = type2_clone_groups(planted).collect()
+    by_doc = {r.doc_id: r.clone_sha for r in rows}
+    planted_ids = [d for d in by_doc if d >= 1_000_000]
+    assert planted_ids
+    for pid in planted_ids:
+        assert by_doc[pid] == by_doc[pid - 1_000_000]
+
+
+def test_clone_groups_duckdb_parity(planted):
+    spark_rows = sorted(tuple(r) for r in type2_clone_groups(planted)
+                        .collect())
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck_rows = sorted(map(tuple, con.execute(
+        type2_clone_groups_sql(with_planted_renamed_clones_sql()))
+        .fetchall()))
+    assert spark_rows == duck_rows
+
+
+def test_rotation_never_touches_keywords():
+    # the planted rename is uppercase-only; every keyword is lowercase,
+    # so rotation can neither create nor destroy a keyword match
+    upper = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    for kw in TYPE2_KEYWORDS:
+        assert not (set(kw) & upper)

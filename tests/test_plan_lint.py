@@ -105,6 +105,8 @@ EXCHANGE_BUDGET = {
     # churn distinct+agg, one-row planning report
     "latest_snapshot_files": 1, "path_churn_stats": 2,
     "snapshot_dedup_report": 2,
+    # Type-2 clones: map-only fingerprint + exact-dedup plan family
+    "type2_clone_groups": 2,
     "source_overlap_pairs": 6, "source_overlap_chunks": 8,
     "minhash_near_dup_pairs_est": 9, "token_jaccard_pairs": 10,
     "neardup_decontamination_report": 12,
