@@ -128,6 +128,15 @@ class DedupConfig:
     # boilerplate-only near-dups are then treated as distinct, which is
     # the reference-parity behavior.
     strip_license_headers: bool = False
+    # what text the SIGNATURE input (minhash/simhash/suffix shingles and
+    # the verify stage) sees:
+    #   "raw"   — the normalized content itself (reference-parity default)
+    #   "type2" — the Type-2 token-shape fingerprint (code_clones.py):
+    #     comments stripped, literals blinded, identifiers renamed — so
+    #     identifier-renamed clones (whose raw-shingle Jaccard is low BY
+    #     CONSTRUCTION) cluster together. content_sha256 / exact dedup
+    #     always hash the raw text (per-row sha parity preserved).
+    signature_normalization: str = "raw"
 
     # --- clustering (S9) ---
     cc_max_iterations: int = 50
@@ -174,6 +183,10 @@ class DedupConfig:
             )
         if self.fold_canary_pairs < 0:
             raise ValueError("fold_canary_pairs must be >= 0")
+        if self.signature_normalization not in ("raw", "type2"):
+            raise ValueError(
+                f"unknown signature_normalization "
+                f"{self.signature_normalization!r}")
 
     def to_dict(self) -> dict:
         return asdict(self)

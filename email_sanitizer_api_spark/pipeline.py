@@ -157,6 +157,17 @@ def run_pipeline(
             strip_license_expr)
         sig_input = reps_mem.withColumn(
             "content_norm", strip_license_expr(F.col("content_norm")))
+    # Optional Type-2 signature view (cfg.signature_normalization):
+    # shingles are taken over the token-shape fingerprint, so
+    # identifier-renamed clones become near-(or exact-)dups to the LSH /
+    # simhash / suffix generators. Applied after the license strip (the
+    # strip matches raw header text) and, like it, never touches
+    # content_sha256 / exact dedup.
+    if cfg.signature_normalization == "type2":
+        from email_sanitizer_api_spark.functions.code_clones import (
+            type2_fingerprint)
+        sig_input = sig_input.withColumn(
+            "content_norm", type2_fingerprint(F.col("content_norm")))
     sigs = cut("s4_signatures", lambda: add_signatures(sig_input, cfg).select(
         "content_sha256", "lang", "content_norm", "minhash", "simhash"))
     if io is None:

@@ -142,3 +142,73 @@ def test_rotation_never_touches_keywords():
     upper = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
     for kw in TYPE2_KEYWORDS:
         assert not (set(kw) & upper)
+
+
+# ---------------------------------------------------------------------------
+# pipeline integration: cfg.signature_normalization = "type2"
+# ---------------------------------------------------------------------------
+
+def _code_file(ident: str, num: int) -> str:
+    lines = [f"def {ident}_load(path):",
+             f"    {ident}_buffer = open(path).read()",
+             f"    return {ident}_buffer[{num}:]",
+             "",
+             f"def {ident}_scan({ident}_items):",
+             f"    {ident}_total = {num}",
+             f"    for {ident}_row in {ident}_items:",
+             f"        {ident}_total += {ident}_row * {num + 1}",
+             f"    return {ident}_total",
+             ""]
+    return "\n".join(lines * 4)
+
+
+def test_pipeline_type2_signature_normalization(spark):
+    from dataclasses import replace
+
+    from email_sanitizer_api_spark.config import DedupConfig
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+
+    rows = [
+        # an identifier-renamed clone pair (same token shape, every
+        # identifier and literal different -> raw shingle Jaccard ~ 0)
+        ("rA", "a.py", "c" * 40, "python", _code_file("alpha_metric", 17)),
+        ("rB", "b.py", "c" * 40, "python", _code_file("zulu_counter", 93)),
+        # two structurally different files that must stay unclustered
+        ("rC", "c.py", "c" * 40, "python",
+         "class Parser:\n    pass\n" * 20),
+        ("rD", "d.py", "c" * 40, "python",
+         "import os\nprint(os.name)\n" * 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    base = DedupConfig(max_content_bytes=100_000)
+
+    def clusters(cfg):
+        res = run_pipeline(spark, df, cfg)
+        out = {r.path: (r.cluster_id, r.content_sha256)
+               for r in res.files_clustered.collect()}
+        res.files_clustered.unpersist()
+        return out
+
+    raw = clusters(base)
+    t2 = clusters(replace(base, signature_normalization="type2"))
+    # raw shingles: the renamed pair shares almost no char shingles
+    assert raw["a.py"][0] != raw["b.py"][0]
+    # type2 signatures: same token shape -> one cluster
+    assert t2["a.py"][0] == t2["b.py"][0]
+    # unrelated files stay apart in both modes
+    assert t2["c.py"][0] != t2["d.py"][0]
+    assert t2["c.py"][0] != t2["a.py"][0]
+    # exact sha path is untouched by the signature view
+    assert {p: s for p, (_, s) in raw.items()} == \
+           {p: s for p, (_, s) in t2.items()}
+
+
+def test_config_rejects_unknown_signature_normalization():
+    from email_sanitizer_api_spark.config import DedupConfig
+
+    cfg = DedupConfig(signature_normalization="bogus")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cfg.validate()
