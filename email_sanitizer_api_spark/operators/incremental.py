@@ -206,7 +206,8 @@ _TOMBSTONE_KEYS = {"file_tombstones": ("repo", "path", "commit"),
 #: drift freely between folds.
 _SIG_FIELDS = ("shingle_k", "num_hashes", "seed", "minhash_scheme",
                "num_bands", "rows_per_band", "simhash_bits", "simhash_chunks",
-               "suffix_min_len", "strip_license_headers")
+               "suffix_min_len", "strip_license_headers",
+               "signature_normalization")
 _STATE_CONFIG = "CONFIG"
 
 
@@ -355,8 +356,14 @@ def _check_state_config(state: DedupState, cfg: DedupConfig,
         return
     with open(path) as f:
         stored = json.load(f)
-    drift = {k: {"state": stored.get(k), "requested": current[k]}
-             for k in _SIG_FIELDS if stored.get(k) != current[k]}
+    # a state pinned before a _SIG_FIELDS member existed was built with
+    # that field's default behavior — read missing keys as the default
+    # so old states keep folding under default configs
+    defaults = DedupConfig()
+    drift = {k: {"state": stored.get(k, getattr(defaults, k)),
+                 "requested": current[k]}
+             for k in _SIG_FIELDS
+             if stored.get(k, getattr(defaults, k)) != current[k]}
     if not drift:
         return
     if allow_config_change:
@@ -492,8 +499,14 @@ def _fold_canary(cand: DataFrame, accepted: DataFrame, reps: DataFrame,
                                   "left_anti"))
            .orderBy(F.xxhash64("a", "b")).limit(k)
            .withColumn("accepted", F.lit(False)))
+    # exact Jaccard over the SAME text view the signatures sketched
+    # (license strip / type2), or the canary would audit a different
+    # quantity than the estimate decided on
+    from email_sanitizer_api_spark.operators.signatures import (
+        signature_input_expr)
     sh = reps.select(F.col("content_sha256").alias("id"),
-                     shingle_set_expr(F.col("content_norm"),
+                     shingle_set_expr(signature_input_expr(
+                         F.col("content_norm"), cfg),
                                       cfg.shingle_k).alias("sh"))
     rows = (
         acc.unionByName(rej)
@@ -832,12 +845,15 @@ def incremental_delete(
             valid_c, _ = split_valid(validate_content(survivor_content, cfg))
             prepared_c = with_sha(normalize_content(valid_c.drop("verdict")))
             fpu = make_fingerprint_udf(cfg)
+            from email_sanitizer_api_spark.operators.signatures import (
+                signature_input_expr)
             fp_nodes = (
                 prepared_c
                 .dropDuplicates(["content_sha256"])
                 .join(F.broadcast(survivors), "content_sha256", "left_semi")
                 .select(F.col("content_sha256").alias("id"),
-                        F.explode(fpu(F.col("content_norm"))).alias("key"))
+                        F.explode(fpu(signature_input_expr(
+                            F.col("content_norm"), cfg))).alias("key"))
                 .dropDuplicates(["id", "key"])
             )
         else:
@@ -1095,8 +1111,15 @@ def incremental_dedup(
         # persist, or the validate/normalize/sha/anti-join prefix recomputes
         fresh = fresh.persist()
         fresh.count()
+    # the fold must sketch the SAME text view as the batch pipeline
+    # (license strip / type2 normalization), or cross-batch candidates
+    # silently vanish — signature_input_expr is the shared definition
+    from email_sanitizer_api_spark.operators.signatures import (
+        signature_input_expr)
+    sig_view = signature_input_expr(F.col("content_norm"), cfg)
     sigs_new = io.write(
-        add_signatures(fresh, cfg).select("content_sha256", "minhash", "simhash"),
+        add_signatures(fresh.withColumn("content_norm", sig_view), cfg)
+        .select("content_sha256", "minhash", "simhash"),
         "sigs",
     )
     metrics["fresh_content"] = sigs_new.count()
@@ -1206,7 +1229,7 @@ def incremental_dedup(
         fpu = make_fingerprint_udf(cfg)
         fp_nodes = (
             fresh.select(F.col("content_sha256").alias("id"),
-                         F.explode(fpu(F.col("content_norm"))).alias("key"))
+                         F.explode(fpu(sig_view)).alias("key"))
             .dropDuplicates(["id", "key"])
             .persist()
         )

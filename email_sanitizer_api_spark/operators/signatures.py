@@ -187,6 +187,27 @@ def make_signature_udf(cfg: DedupConfig = DEFAULT_CONFIG):
     return _sig
 
 
+def signature_input_expr(col, cfg: DedupConfig = DEFAULT_CONFIG):
+    """The text VIEW every signature/fingerprint/verify consumer sees
+    (batch pipeline AND incremental folds must agree, or cross-batch
+    candidates silently vanish — the fields applied here are pinned in
+    the incremental state's CONFIG for exactly that reason):
+    - cfg.strip_license_headers: recognized license headers removed
+    - cfg.signature_normalization == "type2": Type-2 token-shape
+      fingerprint (code_clones.py) so identifier-renamed clones match
+    content_sha256 / exact dedup always hash the raw text."""
+    out = col
+    if cfg.strip_license_headers:
+        from email_sanitizer_api_spark.functions.code_curation import (
+            strip_license_expr)
+        out = strip_license_expr(out)
+    if cfg.signature_normalization == "type2":
+        from email_sanitizer_api_spark.functions.code_clones import (
+            type2_fingerprint)
+        out = type2_fingerprint(out)
+    return out
+
+
 def add_signatures(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                    content_col: str = "content_norm") -> DataFrame:
     sig = make_signature_udf(cfg)(F.col(content_col))

@@ -151,23 +151,16 @@ def run_pipeline(
     # signatures + downstream verify/suffix shingles see the de-headered
     # text; content_sha256 above already hashed the full text, so exact
     # dedup and the reference sha parity are untouched.
+    # (signature_input_expr also applies the optional Type-2 token-shape
+    # view — cfg.signature_normalization — so identifier-renamed clones
+    # become near-dups to the LSH / simhash / suffix generators. Shared
+    # with the incremental fold so both paths sketch the same text.)
     sig_input = reps_mem
-    if cfg.strip_license_headers:
-        from email_sanitizer_api_spark.functions.code_curation import (
-            strip_license_expr)
+    if cfg.strip_license_headers or cfg.signature_normalization != "raw":
+        from email_sanitizer_api_spark.operators.signatures import (
+            signature_input_expr)
         sig_input = reps_mem.withColumn(
-            "content_norm", strip_license_expr(F.col("content_norm")))
-    # Optional Type-2 signature view (cfg.signature_normalization):
-    # shingles are taken over the token-shape fingerprint, so
-    # identifier-renamed clones become near-(or exact-)dups to the LSH /
-    # simhash / suffix generators. Applied after the license strip (the
-    # strip matches raw header text) and, like it, never touches
-    # content_sha256 / exact dedup.
-    if cfg.signature_normalization == "type2":
-        from email_sanitizer_api_spark.functions.code_clones import (
-            type2_fingerprint)
-        sig_input = sig_input.withColumn(
-            "content_norm", type2_fingerprint(F.col("content_norm")))
+            "content_norm", signature_input_expr(F.col("content_norm"), cfg))
     sigs = cut("s4_signatures", lambda: add_signatures(sig_input, cfg).select(
         "content_sha256", "lang", "content_norm", "minhash", "simhash"))
     if io is None:

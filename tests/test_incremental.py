@@ -68,6 +68,65 @@ def test_two_batches_equal_full_batch(spark, tmp_path, inc_cfg, simhash, suffix)
     assert _labels(r2.files_clustered) == _labels(ref.files_clustered)
 
 
+def test_two_batches_equal_full_batch_signature_view(spark, tmp_path):
+    """Same incremental == batch contract with the signature VIEW knobs
+    on (strip_license_headers + type2 normalization): the fold must
+    sketch the same text the batch pipeline sketches — a fold that
+    signed raw text would diverge here (this test pins the
+    signature_input_expr sharing; the corpus plants license headers on
+    25% of files, so the strip genuinely changes shingles)."""
+    from dataclasses import replace
+
+    base = DedupConfig(max_content_bytes=100_000)
+    cfg = replace(base, strip_license_headers=True,
+                  signature_normalization="type2")
+    cfg.validate()
+    pdf = synthesize_code_files(CorpusSpec(n_base=100, invalid_rows=4,
+                                           seed=11))
+    full = spark.createDataFrame(pdf)
+    b1 = spark.createDataFrame(pdf.iloc[::2])
+    b2 = spark.createDataFrame(pdf.iloc[1::2])
+
+    root = str(tmp_path / "state")
+    incremental_dedup(spark, b1, root, cfg)
+    r2 = incremental_dedup(spark, b2, root, cfg)
+    ref = run_pipeline(spark, full, cfg)
+
+    assert _partition(r2.files_clustered) == _partition(ref.files_clustered)
+    assert _labels(r2.files_clustered) == _labels(ref.files_clustered)
+
+
+def test_config_pin_reads_missing_fields_as_defaults(spark, tmp_path,
+                                                     inc_cfg):
+    """A state pinned before a _SIG_FIELDS member existed (its CONFIG
+    json lacks the key) must keep folding under a default config — and
+    still refuse a non-default value for the new field."""
+    import json as _json
+    from dataclasses import replace
+
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string")
+    b = spark.createDataFrame(
+        [("r", "a.py", "c", "python", "x = 1\n" * 60)], ddl)
+    root = str(tmp_path / "state")
+    incremental_dedup(spark, b, root, inc_cfg)
+    # simulate an old state: drop the newest pinned key from CONFIG
+    cfg_path = os.path.join(root, "CONFIG")
+    pinned = _json.load(open(cfg_path))
+    pinned.pop("signature_normalization")
+    _json.dump(pinned, open(cfg_path, "w"))
+
+    b2 = spark.createDataFrame(
+        [("r", "b.py", "c", "python", "y = 2\n" * 60)], ddl)
+    # default value for the missing field: folds fine
+    incremental_dedup(spark, b2, root, inc_cfg)
+    # non-default value: refused as drift
+    with pytest.raises(ValueError, match="signature-config drift"):
+        incremental_dedup(
+            spark, b2, root,
+            replace(inc_cfg, signature_normalization="type2"))
+
+
 def test_known_content_joins_existing_cluster(spark, tmp_path, inc_cfg):
     body = "\n".join(f"def fn_{i}(): return {i * 3}" for i in range(120))
     b1 = spark.createDataFrame(
