@@ -107,6 +107,14 @@ def main() -> None:
         "key_skew_profile_fp",
         # HLL++ sketch distinct — ONE exchange, O(groups x sketch) shuffle
         "distinct_fp_by_lang_approx",
+        # r04 session-2 additions (same caveat: per-query compare):
+        # repo-granularity fork detection, production path — per-repo
+        # MinHash over the sha set (one combine-collapsed groupBy), LSH
+        # bands on the catalog-sized signature table
+        "repo_fork_pairs_minhash",
+        # Type-2 clone grouping — 9 chained regexp_replace in one codegen
+        # span (JVM regex throughput) + exact-dedup agg family
+        "type2_clone_groups",
     ]
     headline = [q for q in headline if q in queries]
 
