@@ -60,6 +60,7 @@ __all__ = [
     "repo_fork_pairs",
     "repo_fork_pairs_sql",
     "repo_fork_minhash_pairs",
+    "fork_blocklist",
     "dup_subtree_groups",
     "dup_subtree_groups_sql",
 ]
@@ -350,6 +351,40 @@ def dup_subtree_groups(files: DataFrame, repo_col: str = "repo",
     return (
         per_dir.join(w_count, ["subtree_sig", "n_files"])
         .select("subtree_sig", "n_files", "n_dups", "repo", "dir")
+    )
+
+
+def fork_blocklist(files: DataFrame, tau: float = 0.9,
+                   use_minhash: bool = True,
+                   repo_col: str = "repo",
+                   content_col: str = "content") -> DataFrame:
+    """Non-canonical fork repos, as an S1.5 blocklist dim table.
+
+    Fork pairs (MinHash production path by default; the exact path for
+    audits) form a graph over repos; each connected fork class keeps
+    its lexicographically-first repo and blocklists the rest — feed the
+    result to ``apply_blocklist`` / ``run_pipeline(blocklist=...)`` and
+    the file-level dedup never reads the redundant repos at all. At
+    10^12 files the fork classes collapse input VOLUME (a mirrored repo
+    contributes zero bytes downstream), which no file-granularity stage
+    can do — files of a dropped repo are never scanned again. Output:
+    (repo, canonical_repo).
+    """
+    from email_sanitizer_api_spark.operators.cluster import (
+        connected_components)
+    pair_fn = repo_fork_minhash_pairs if use_minhash else (
+        lambda f, **kw: repo_fork_pairs(
+            f, tau_e6=int(kw.pop("tau") * 1_000_000), **kw))
+    pairs = pair_fn(files, tau=tau, repo_col=repo_col,
+                    content_col=content_col)
+    edges = pairs.select(F.col("repo_a").alias("a"),
+                         F.col("repo_b").alias("b"))
+    # repo graphs are catalog-scale: CC lands in the driver-UF regime
+    comp = connected_components(edges)  # (id, cluster_id=min member)
+    return (
+        comp.where(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("repo"),
+                F.col("cluster_id").alias("canonical_repo"))
     )
 
 

@@ -12,6 +12,7 @@ from collections import defaultdict
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from email_sanitizer_api_spark.operators.repo_level import (
     dup_subtree_groups,
@@ -212,3 +213,45 @@ def test_subtree_differs_on_rename_and_content(spark):
                                "repo string, dir string, fname string, "
                                "content string")
     assert dup_subtree_groups(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fork blocklist -> pipeline composition
+# ---------------------------------------------------------------------------
+
+def test_fork_blocklist_keeps_one_repo_per_class(planted):
+    from email_sanitizer_api_spark.operators.repo_level import fork_blocklist
+
+    got = {(r.repo, r.canonical_repo)
+           for r in fork_blocklist(planted, tau=0.7).collect()}
+    # each planted fork class keeps its lexicographically-first member
+    assert got == {("r1__fork", "r1"), ("r3__fork", "r3"),
+                   ("r7__fork", "r7")}
+    # exact path agrees with the minhash path on the planted corpus
+    exact = {(r.repo, r.canonical_repo)
+             for r in fork_blocklist(planted, tau=0.7,
+                                     use_minhash=False).collect()}
+    assert exact == got
+
+
+def test_fork_blocklist_drops_forks_from_pipeline(spark, planted):
+    from email_sanitizer_api_spark.config import DedupConfig
+    from email_sanitizer_api_spark.operators.repo_level import fork_blocklist
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+
+    files = planted.select(
+        "repo",
+        F.concat_ws("/", "dir", "fname").alias("path"),
+        F.lit("c" * 40).alias("commit"),
+        F.lit("python").alias("lang"),
+        "content")
+    bl = fork_blocklist(planted, tau=0.7)
+    res = run_pipeline(spark, files,
+                       DedupConfig(max_content_bytes=100_000),
+                       enable_simhash=False, enable_suffix=False,
+                       blocklist=bl)
+    repos = {r.repo for r in res.files_clustered.select("repo")
+             .distinct().collect()}
+    res.files_clustered.unpersist()
+    assert not {"r1__fork", "r3__fork", "r7__fork"} & repos
+    assert {"r1", "r3", "r7"} <= repos
