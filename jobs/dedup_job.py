@@ -80,6 +80,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="ignore existing Completed checkpoints")
     ap.add_argument("--no-simhash", action="store_true")
     ap.add_argument("--no-suffix", action="store_true")
+    ap.add_argument("--drop-forks", action="store_true",
+                    help="batch mode: detect repo-granularity fork classes "
+                         "(per-repo MinHash over content-sha sets) and keep "
+                         "ONE repo per class — the rest join the S1.5 "
+                         "blocklist before any file-level work")
     ap.add_argument("--blocklist", default=None,
                     help="parquet of blocklisted repos (column `repo`) — "
                          "S1.5 broadcast anti join (batch mode)")
@@ -297,6 +302,15 @@ def main(argv: list[str] | None = None) -> None:
                  collect_task_metrics=args.task_metrics,
                  catalog=args.iceberg_catalog)
     blocklist = spark.read.parquet(args.blocklist) if args.blocklist else None
+    n_forks_dropped = None
+    if args.drop_forks:
+        from email_sanitizer_api_spark.operators.repo_level import (
+            fork_blocklist)
+        forks = fork_blocklist(files).persist()
+        n_forks_dropped = forks.count()
+        blocklist = (forks.select("repo") if blocklist is None
+                     else blocklist.select("repo")
+                     .unionByName(forks.select("repo")))
     res = run_pipeline(
         spark, files, cfg, io=io,
         enable_simhash=not args.no_simhash,
@@ -339,6 +353,8 @@ def main(argv: list[str] | None = None) -> None:
     }
     if split_spec:
         summary["splits"] = split_spec
+    if n_forks_dropped is not None:
+        summary["fork_repos_dropped"] = n_forks_dropped
     print(json.dumps(summary))
     spark.stop()
 

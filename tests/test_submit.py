@@ -254,3 +254,27 @@ def test_spark_submit_delete_and_purge(tmp_path):
     vdirs = [d for d in os.listdir(state) if d.startswith("v")]
     assert vdirs == ["v3"]
     assert not os.path.exists(os.path.join(state, "v3", "sha_tombstones"))
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_drop_forks(tmp_path):
+    """--drop-forks: a mirrored repo (full copy under a new name) is
+    detected at repo granularity and never reaches file-level dedup."""
+    import pandas as pd
+
+    from email_sanitizer_api_spark.corpus import (
+        CorpusSpec, synthesize_code_files)
+
+    pdf = synthesize_code_files(CorpusSpec(n_base=40, n_repos=5))
+    donor = pdf["repo"].iloc[0]
+    mirror = pdf[pdf["repo"] == donor].assign(repo=donor + "-mirror")
+    corpus = str(tmp_path / "corpus.parquet")
+    pd.concat([pdf, mirror], ignore_index=True).to_parquet(corpus,
+                                                           index=False)
+
+    summary = _submit(tmp_path, corpus, extra=("--drop-forks",))
+    assert summary["fork_repos_dropped"] >= 1
+    out = pd.read_parquet(str(tmp_path / "out"))
+    repos = set(out["repo"])
+    # exactly one of {donor, mirror} survives (min-label canonical)
+    assert donor in repos and (donor + "-mirror") not in repos
