@@ -28,15 +28,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _with_grams(docs: DataFrame, n: int) -> DataFrame:
-    """doc_id + exploded md5-hashed word n-grams (empty for short docs)."""
+def _with_grams(docs: DataFrame, n: int,
+                extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """doc_id + exploded md5-hashed word n-grams (empty for short docs).
+
+    ``extra_cols`` ride through the explode map-side — consumers that
+    need another input column (e.g. source_overlap's ``source``) keep it
+    here instead of shuffling the whole exploded gram table through a
+    doc_id re-join."""
+    keep = ["doc_id", *extra_cols]
     toks = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+").alias("toks")
+        *keep, F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+").alias("toks")
     )
     # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], so short docs
     # must produce an explicit empty array, not sequence()
     grams = toks.select(
-        "doc_id",
+        *keep,
         F.expr(
             f"if(size(toks) >= {n}, "
             f"  transform(sequence(1, size(toks) - {n} + 1), "
@@ -44,7 +51,7 @@ def _with_grams(docs: DataFrame, n: int) -> DataFrame:
             f"  array())"
         ).alias("grams"),
     )
-    return grams.select("doc_id", F.explode("grams").alias("g"))
+    return grams.select(*keep, F.explode("grams").alias("g"))
 
 
 def contamination_report(docs: DataFrame, every: int = 41, n: int = 13) -> DataFrame:

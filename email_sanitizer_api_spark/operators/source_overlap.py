@@ -41,12 +41,10 @@ def _sha_src(docs: DataFrame, unit: str, n: int) -> DataFrame:
     if unit != "chunk":
         raise ValueError(f"unknown unit {unit!r}")
     from email_sanitizer_api_spark.functions.decontaminate import _with_grams
-    grams = _with_grams(docs, n)
-    return (
-        grams.join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", F.col("g").alias("sha"))
-        .distinct()
-    )
+    # `source` rides the explode map-side: shuffling the full exploded
+    # gram table through a doc_id re-join was the plan's largest exchange
+    grams = _with_grams(docs, n, extra_cols=("source",))
+    return grams.select("source", F.col("g").alias("sha")).distinct()
 
 
 def source_overlap(docs: DataFrame, vendored_cap: int = 8,

@@ -107,7 +107,9 @@ EXCHANGE_BUDGET = {
     "snapshot_dedup_report": 2,
     # Type-2 clones: map-only fingerprint + exact-dedup plan family
     "type2_clone_groups": 2,
-    "source_overlap_pairs": 6, "source_overlap_chunks": 8,
+    # chunk path: `source` rides the gram explode map-side (r04 s2) —
+    # dropped the doc_id re-join's two exchanges (8 -> 6)
+    "source_overlap_pairs": 6, "source_overlap_chunks": 6,
     "minhash_near_dup_pairs_est": 9, "token_jaccard_pairs": 10,
     "neardup_decontamination_report": 12,
 }
