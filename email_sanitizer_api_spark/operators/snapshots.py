@@ -119,15 +119,21 @@ def latest_snapshot_files(files: DataFrame, repo_col: str = "repo",
 
     max_by aggregation — one exchange, partial-aggregated map-side (vs
     a row_number window, which ships every version of every path into
-    the shuffle). Output: (repo, path, commit, commit_ts, content_sha).
+    the shuffle). Ties on ``ts_col`` break deterministically on the
+    commit id via a lexicographic ``lpad(ts) || '|' || commit`` ordering
+    key (``ts_col`` must be non-negative for the zero-pad to order
+    correctly — true for epoch timestamps). Output: (repo, path,
+    commit, commit_ts, content_sha).
     """
+    ord_key = F.concat(F.lpad(F.col(ts_col).cast("string"), 20, "0"),
+                       F.lit("|"), F.col(commit_col))
     return (
         files.groupBy(F.col(repo_col).alias("repo"),
                       F.col(path_col).alias("path"))
-        .agg(F.max_by(F.col(commit_col), F.col(ts_col)).alias("commit"),
+        .agg(F.max_by(F.col(commit_col), ord_key).alias("commit"),
              F.max(F.col(ts_col)).alias("commit_ts"),
              F.max_by(F.sha2(F.col(content_col), 256),
-                      F.col(ts_col)).alias("content_sha"))
+                      ord_key).alias("content_sha"))
     )
 
 
@@ -136,11 +142,13 @@ def latest_snapshot_files_sql(table: str, repo_col: str = "repo",
                               ts_col: str = "commit_ts",
                               commit_col: str = "commit",
                               content_col: str = "content") -> str:
+    ord_key = (f"lpad(CAST({ts_col} AS VARCHAR), 20, '0') || '|' || "
+               f"{commit_col}")
     return f"""
 SELECT {repo_col} AS repo, {path_col} AS path,
-       arg_max({commit_col}, {ts_col}) AS commit,
+       arg_max({commit_col}, {ord_key}) AS commit,
        MAX({ts_col}) AS commit_ts,
-       arg_max(sha256({content_col}), {ts_col}) AS content_sha
+       arg_max(sha256({content_col}), {ord_key}) AS content_sha
 FROM {table}
 GROUP BY 1, 2
 """

@@ -114,3 +114,23 @@ def test_latest_snapshot_plan_is_agg_not_window(history):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "partial_max_by" in plan or "partial" in plan.lower()
+
+
+def test_latest_snapshot_tie_breaks_on_commit(spark):
+    """Equal commit_ts must resolve deterministically (max commit id),
+    not by partition luck — both engines use the same lexicographic
+    lpad(ts)||commit ordering key."""
+    import duckdb as _duckdb
+
+    rows = [("r", "p", "aaaa", 5, "old-bytes"),
+            ("r", "p", "zzzz", 5, "tie-winner"),
+            ("r", "p", "mmmm", 3, "older")]
+    ddl = ("repo string, path string, commit string, commit_ts long, "
+           "content string")
+    df = spark.createDataFrame(rows, ddl)
+    got = latest_snapshot_files(df).collect()
+    assert len(got) == 1 and got[0].commit == "zzzz"
+    con = _duckdb.connect()
+    con.register("hist", df.toPandas())
+    duck = con.execute(latest_snapshot_files_sql("hist")).fetchall()
+    assert sorted(map(tuple, duck)) == sorted(tuple(r) for r in got)
