@@ -1992,6 +1992,81 @@ def _sql_type2_clone_groups() -> str:
     return type2_clone_groups_sql(with_planted_renamed_clones_sql())
 
 
+def _sql_kmeans_assign() -> str:
+    from email_sanitizer_api_spark.functions.embedding_cluster import (
+        centroid_assign_sql)
+    return centroid_assign_sql(k=8)
+
+
+def _sql_semantic_contamination() -> str:
+    from email_sanitizer_api_spark.functions.embedding_cluster import (
+        semantic_contamination_sql)
+    return semantic_contamination_sql(every=37, tau=0.5)
+
+
+def _sql_corpus_datacard() -> str:
+    from email_sanitizer_api_spark.functions.corpus_stats import (
+        corpus_datacard_sql)
+    return corpus_datacard_sql()
+
+
+def _q_kmeans_assign(spark, sf_dir):
+    """Centroid assignment — the k-means inner loop / IVF routing step as a
+    relational plan DuckDB can verify bit-for-bit (seed centroids = the 8
+    smallest vec_ids; nearest by cosine, deterministic tie-break). The
+    vectorized production twin is make_ivf_assign_udf (one numpy matmul
+    per Arrow batch) inside cosine_topk_ivf / semantic_dedup_kmeans."""
+    from email_sanitizer_api_spark.functions.embedding_cluster import (
+        centroid_assign)
+    return centroid_assign(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def _q_semantic_dedup_kmeans(spark, sf_dir):
+    """SemDeDup-proper production twin: k-means lists (distributed Lloyd)
+    + symmetric multi-probe within-list cosine pairs, feeding the same
+    CC → keeper tail as semantic_dedup_embeddings. Approximate by design
+    (rows-only check); pair recall >= 0.95 vs the exact pair set pinned
+    by tests/test_embedding_cluster.py."""
+    from email_sanitizer_api_spark.functions.embedding_cluster import (
+        kmeans_semantic_pairs)
+    from email_sanitizer_api_spark.operators.cluster import (
+        connected_components)
+    emb = _t(spark, sf_dir, "embeddings")
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
+    pairs = kmeans_semantic_pairs(emb, tau=0.35, n_lists=16, n_probes=8,
+                                  n_iters=2).select(
+        pad("a").alias("a"), pad("b").alias("b"))
+    cc = connected_components(pairs, DedupConfig())
+    allv = emb.select("vec_id", pad("vec_id").alias("id"))
+    lab = allv.join(cc, "id", "left").select(
+        "vec_id", F.coalesce("cluster_id", F.col("id")).alias("cid"))
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    return lab.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster_id"),
+        (F.row_number().over(w) == 1).cast("int").alias("is_keeper"),
+    )
+
+
+def _q_semantic_contamination(spark, sf_dir):
+    """Embedding-space benchmark decontamination: per-vector max cosine
+    against the (deterministically derived) benchmark embedding set.
+    Benchmark side is fixed-size → broadcast; the corpus is touched in
+    ONE scan with map-side partial max/count."""
+    from email_sanitizer_api_spark.functions.embedding_cluster import (
+        semantic_contamination)
+    return semantic_contamination(_t(spark, sf_dir, "embeddings"),
+                                  every=37, tau=0.5)
+
+
+def _q_corpus_datacard(spark, sf_dir):
+    """Per-language corpus data card: volume, exact-dup ppm, mean quality,
+    PII/secret exposure in one grouped pass (all-integer outputs)."""
+    from email_sanitizer_api_spark.functions.corpus_stats import (
+        corpus_datacard)
+    return corpus_datacard(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2092,6 +2167,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dedup_report": _q_snapshot_dedup_report,
         # Type-2 clone detection (r04): identifier-renamed duplicates
         "type2_clone_groups": _q_type2_clone_groups,
+        # embedding clustering (r04, second session): k-means inner loop,
+        # SemDeDup-proper production twin, embedding-space decontamination
+        "kmeans_assign_embeddings": _q_kmeans_assign,
+        "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
+        "semantic_contamination_report": _q_semantic_contamination,
+        # per-language corpus data card (r04, second session)
+        "corpus_datacard_by_lang": _q_corpus_datacard,
     }
 
 
@@ -2176,6 +2258,14 @@ def oracle_sql() -> dict[str, str]:
         "path_churn_stats": _sql_path_churn_stats(),
         "snapshot_dedup_report": _sql_snapshot_dedup_report(),
         "type2_clone_groups": _sql_type2_clone_groups(),
+        # embedding clustering + data card (r04, second session)
+        "kmeans_assign_embeddings": _sql_kmeans_assign(),
+        "semantic_contamination_report": _sql_semantic_contamination(),
+        "corpus_datacard_by_lang": _sql_corpus_datacard(),
+        # semantic_dedup_kmeans: intentionally omitted — k-means list
+        # assignment (Lloyd-refined centroids) is the probabilistic
+        # production path; semantic_dedup_embeddings is its exact oracle
+        # twin and tests/test_embedding_cluster.py pins pair recall
         # distinct_fp_by_lang_approx: intentionally omitted — HLL++ sketch
         # is probabilistic; distinct_fp_by_lang is its exact oracle twin
         # and pytest pins the estimate's relative error

@@ -164,3 +164,84 @@ SELECT {group_col}, count(*) AS n_docs,
        {sel}
 FROM {table} GROUP BY {group_col}
 """
+
+
+def corpus_datacard(docs: DataFrame, group_col: str = "lang",
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-language data card: the one-stop profile a corpus release ships
+    (volume, exact-dup rate, quality, PII/secret exposure) — every column a
+    downstream data statement needs, in ONE grouped pass over the corpus.
+
+    Scale shape: a single projection computes all per-doc signals
+    (regexp counts, sha256, quality score) in one WholeStageCodegen span,
+    then one groupBy(lang); every aggregate except count(DISTINCT sha) is
+    a plain partial-aggregable sum.  All outputs are integers (sums of
+    BIGINTs, integer `div` means) so the DuckDB twin is bit-exact — no
+    float summation-order hazards.
+    """
+    from .sanitize import pii_count_cols, secret_count_cols
+    from .text import quality_score_cols, token_count_expr
+
+    text = F.col(text_col)
+    per_doc = docs.select(
+        F.col(group_col).alias("lang"),
+        F.length(text).cast("long").alias("n_chars"),
+        token_count_expr(text).alias("n_tokens"),
+        F.sha2(text, 256).alias("sha"),
+        quality_score_cols(text)["quality_score_q"].alias("q"),
+        secret_count_cols(text)["has_secret"].cast("long").alias("has_secret"),
+        pii_count_cols(text)["has_pii"].cast("long").alias("has_pii"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("sha").cast("long").alias("n_distinct_sha"),
+        F.sum("q").alias("q_sum"),
+        F.sum("has_secret").alias("docs_with_secrets"),
+        F.sum("has_pii").alias("docs_with_pii"),
+    )
+    return agg.select(
+        "lang", "n_docs", "total_chars", "total_tokens", "n_distinct_sha",
+        F.expr("(n_docs - n_distinct_sha) * 1000000L div n_docs")
+         .alias("exact_dup_ppm"),
+        F.expr("q_sum div n_docs").alias("quality_q_mean"),
+        "docs_with_secrets", "docs_with_pii",
+    )
+
+
+def corpus_datacard_sql(table: str = "documents", group_col: str = "lang",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """DuckDB twin of :func:`corpus_datacard` (sums CAST back to BIGINT —
+    DuckDB widens sum(BIGINT) to HUGEINT)."""
+    from .sanitize import pii_count_sql, secret_count_sql
+    from .text import quality_score_q_sql, token_count_sql
+    has_secret = secret_count_sql(text_col)["has_secret"]
+    has_pii = pii_count_sql(text_col)["has_pii"]
+    return f"""
+WITH per_doc AS (
+  SELECT {group_col} AS lang,
+         CAST(length({text_col}) AS BIGINT) AS n_chars,
+         {token_count_sql(text_col)} AS n_tokens,
+         sha256({text_col}) AS sha,
+         {quality_score_q_sql(text_col)} AS q,
+         CAST({has_secret} AS BIGINT) AS has_secret,
+         CAST({has_pii} AS BIGINT) AS has_pii
+  FROM {table}),
+agg AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT sha) AS BIGINT) AS n_distinct_sha,
+         CAST(sum(q) AS BIGINT) AS q_sum,
+         CAST(sum(has_secret) AS BIGINT) AS docs_with_secrets,
+         CAST(sum(has_pii) AS BIGINT) AS docs_with_pii
+  FROM per_doc GROUP BY lang)
+SELECT lang, n_docs, total_chars, total_tokens, n_distinct_sha,
+       (n_docs - n_distinct_sha) * 1000000 // n_docs AS exact_dup_ppm,
+       q_sum // n_docs AS quality_q_mean,
+       docs_with_secrets, docs_with_pii
+FROM agg
+"""

@@ -121,6 +121,30 @@ def fingerprint_sql(col: str) -> str:
     return f"md5(lower(regexp_replace(trim({col}), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
 
 
+def quality_score_q_sql(col: str) -> str:
+    """Single-expression DuckDB twin of quality_score_cols()['quality_score_q']
+    (same shape as __spark_entry__._SQL_QUALITY_SCORES, inlined so grouped
+    rollups like corpus_datacard can aggregate it). Numeric literals are
+    CAST to DOUBLE — a bare 0.4 is DECIMAL in DuckDB."""
+    n_chars = f"CAST(length({col}) AS DOUBLE)"
+    safe = (f"CASE WHEN {n_chars} > 0 THEN {n_chars} "
+            f"ELSE CAST(1.0 AS DOUBLE) END")
+    n_alpha = f"CAST(length(regexp_replace({col}, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    n_tokens = f"CAST({token_count_sql(col)} AS DOUBLE)"
+    tok_safe = (f"CASE WHEN {n_tokens} > 0 THEN {n_tokens} "
+                f"ELSE CAST(1.0 AS DOUBLE) END")
+    n_stop = (f"CAST(len(regexp_extract_all(lower({col}), "
+              f"'{STOPWORDS_PATTERN}')) AS DOUBLE)")
+    score = (
+        f"(CAST(0.4 AS DOUBLE) * ({n_alpha} / ({safe}))"
+        f" + CAST(0.3 AS DOUBLE) * least(({n_stop}) / ({tok_safe})"
+        f" * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+        f" + CAST(0.3 AS DOUBLE) * least({n_tokens} / CAST(64.0 AS DOUBLE),"
+        f" CAST(1.0 AS DOUBLE)))"
+    )
+    return f"CAST(floor({score} * 10000.0 + 0.5) AS BIGINT)"
+
+
 # --- corpus-wide vocabulary top-k -------------------------------------------
 
 VOCAB_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"

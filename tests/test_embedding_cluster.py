@@ -1,0 +1,132 @@
+"""Embedding clustering ops: centroid assignment vs a numpy brute force,
+SemDeDup k-means pair recall vs the exact pair set, embedding-space
+decontamination vs a numpy oracle, and the corpus datacard vs
+per-component recomputation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.embedding_cluster import (
+    centroid_assign, kmeans_semantic_pairs, semantic_contamination)
+
+SF_DIR = "/root/testdata/sf0.01"
+SF_SMALL = "/root/testdata/sf0.001"
+TAU = 0.35
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def vecs(emb):
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    v = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+    return ids, v
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(vecs):
+    ids, v = vecs
+    normed = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = normed @ normed.T
+    iu = np.triu_indices(len(ids), k=1)
+    hit = cos[iu] >= TAU
+    return {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i, j in zip(iu[0][hit], iu[1][hit])}
+
+
+# --- centroid assignment (k-means inner loop) -------------------------------
+
+def test_centroid_assign_matches_numpy(emb, vecs):
+    ids, v = vecs
+    k = 8
+    # seeds = embeddings of the k smallest vec_ids (ids are sorted)
+    cents = v[:k]
+    normed = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cnorm = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cos = normed @ cnorm.T
+    # argmax with ties to the smaller centroid id == np.argmax's first-max
+    want = {int(i): int(c) for i, c in zip(ids, np.argmax(cos, axis=1))}
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in centroid_assign(emb, k=k).collect()}
+    assert got == want
+
+
+def test_centroid_assign_total(emb):
+    out = centroid_assign(emb, k=8)
+    assert out.count() == emb.count()          # every vector assigned once
+    assert out.select("vec_id").distinct().count() == emb.count()
+
+
+# --- SemDeDup k-means pair generation ----------------------------------------
+
+def test_kmeans_pairs_subset_of_exact(emb, exact_pairs):
+    got = {(r["a"], r["b"])
+           for r in kmeans_semantic_pairs(emb, tau=TAU).collect()}
+    assert got <= exact_pairs   # exact cosine confirm => precision 1
+
+
+def test_kmeans_pairs_recall(emb, exact_pairs):
+    got = {(r["a"], r["b"])
+           for r in kmeans_semantic_pairs(emb, tau=TAU).collect()}
+    assert exact_pairs, "oracle pair set is empty — corpus drifted"
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.95, f"k-means semantic pair recall {recall:.3f} < 0.95"
+
+
+# --- embedding-space decontamination -----------------------------------------
+
+def test_semantic_contamination_matches_numpy(emb, vecs):
+    ids, v = vecs
+    every, tau = 37, 0.5
+    normed = v / np.linalg.norm(v, axis=1, keepdims=True)
+    bench = ids % every == 0
+    assert bench.sum() >= 2
+    cos = normed @ normed[bench].T             # (n, n_bench)
+    bench_ids = ids[bench]
+    want = {}
+    for row, i in enumerate(ids):
+        mask = bench_ids != i                  # self-match excluded
+        c = cos[row][mask]
+        want[int(i)] = (round(float(c.max()), 5), int((c >= tau).sum()))
+    rows = semantic_contamination(emb, every=every, tau=tau).collect()
+    got = {r["vec_id"]: (r["max_bench_cosine"], r["n_bench_hits"]) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r["is_contaminated"] == int(r["n_bench_hits"] > 0)
+
+
+# --- corpus datacard ----------------------------------------------------------
+
+def test_corpus_datacard_consistency(spark):
+    from email_sanitizer_api_spark.functions.corpus_stats import corpus_datacard
+    from email_sanitizer_api_spark.functions.text import quality_score_cols
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    card = {r["lang"]: r.asDict() for r in corpus_datacard(docs).collect()}
+    # volumes and dup ratio agree with independent aggregations
+    base = {r["lang"]: r.asDict() for r in (
+        docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+            F.countDistinct(F.sha2("text", 256)).alias("nd"),
+            F.sum(quality_score_cols(F.col("text"))["quality_score_q"]).alias("qs"),
+        ).collect())}
+    assert set(card) == set(base)
+    for lang, row in card.items():
+        b = base[lang]
+        assert row["n_docs"] == b["n"]
+        assert row["total_chars"] == b["chars"]
+        assert row["n_distinct_sha"] == b["nd"]
+        assert row["exact_dup_ppm"] == (b["n"] - b["nd"]) * 1_000_000 // b["n"]
+        assert row["quality_q_mean"] == b["qs"] // b["n"]
+        assert 0 <= row["quality_q_mean"] <= 10_000
+        assert 0 <= row["docs_with_secrets"] <= row["n_docs"]
+        assert 0 <= row["docs_with_pii"] <= row["n_docs"]

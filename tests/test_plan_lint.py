@@ -42,6 +42,7 @@ EAGER = {
     "semantic_dedup_lsh",
     "cluster_split_assignment",
     "split_leakage_report",
+    "semantic_dedup_kmeans",
 }
 
 # name -> reason a BroadcastNestedLoopJoin / CartesianProduct is safe.
@@ -51,6 +52,10 @@ NLJ_OK = {
     "embedding_cosine_near_dup": "exact all-pairs baseline; embedding_near_dup_lsh is the production path",
     # broadcast side is a bounded aggregate, not a table
     "key_skew_profile_fp": "crossJoin with a broadcast 1-row global summary",
+    # broadcast side is O(k) centroids / a fixed-size benchmark set — the
+    # n x k scored join IS the production assignment / decontamination shape
+    "kmeans_assign_embeddings": "broadcast side is k=8 seed centroids (O(k) rows)",
+    "semantic_contamination_report": "broadcast side is the fixed-size benchmark embedding set",
 }
 
 LINT_NAMES = sorted(set(entry.queries()) - EAGER)
@@ -107,6 +112,10 @@ EXCHANGE_BUDGET = {
     "snapshot_dedup_report": 2,
     # Type-2 clones: map-only fingerprint + exact-dedup plan family
     "type2_clone_groups": 2,
+    # embedding clustering (r04 s2): n x k broadcast score + per-vec window /
+    # per-vec max agg; datacard is one projection + two-level distinct agg
+    "kmeans_assign_embeddings": 1, "semantic_contamination_report": 1,
+    "corpus_datacard_by_lang": 2,
     # chunk path: `source` rides the gram explode map-side (r04 s2) —
     # dropped the doc_id re-join's two exchanges (8 -> 6)
     "source_overlap_pairs": 6, "source_overlap_chunks": 6,
