@@ -1992,6 +1992,20 @@ def _sql_type2_clone_groups() -> str:
     return type2_clone_groups_sql(with_planted_renamed_clones_sql())
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 top-k corpus search (ranking family): scan-side literal-term
+    pruning, pivoted per-doc tf (one agg), 1-row broadcast df/corpus
+    scalars, TakeOrdered global top-k. Fixed-order float additions keep
+    the DuckDB twin bit-exact."""
+    from email_sanitizer_api_spark.functions.ranking import bm25_topk
+    return bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+def _sql_bm25_topk() -> str:
+    from email_sanitizer_api_spark.functions.ranking import bm25_topk_sql
+    return bm25_topk_sql()
+
+
 def _sql_kmeans_assign() -> str:
     from email_sanitizer_api_spark.functions.embedding_cluster import (
         centroid_assign_sql)
@@ -2174,6 +2188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination_report": _q_semantic_contamination,
         # per-language corpus data card (r04, second session)
         "corpus_datacard_by_lang": _q_corpus_datacard,
+        # BM25 corpus search (ranking family, r04 second session)
+        "bm25_topk_docs": _q_bm25_topk,
     }
 
 
@@ -2262,6 +2278,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign_embeddings": _sql_kmeans_assign(),
         "semantic_contamination_report": _sql_semantic_contamination(),
         "corpus_datacard_by_lang": _sql_corpus_datacard(),
+        "bm25_topk_docs": _sql_bm25_topk(),
         # semantic_dedup_kmeans: intentionally omitted — k-means list
         # assignment (Lloyd-refined centroids) is the probabilistic
         # production path; semantic_dedup_embeddings is its exact oracle

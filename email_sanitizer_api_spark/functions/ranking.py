@@ -1,0 +1,167 @@
+"""BM25 keyword ranking over the corpus — the search/ranking operator a
+training-data platform uses for targeted corpus audits ("show me the docs
+that look like this benchmark prompt") and retrieval-style quality probes.
+
+Reference analog: the reference's scoring-and-threshold family (accuracy
+gates in readme.md:242-243); algorithm is the public Robertson/Sparck-Jones
+BM25 with the +1 idf floor (Lucene flavor, always non-negative).
+
+Scale shape (the plan you'd run at 100 TB):
+ - query terms are LITERALS compiled into a scan-side ``isin`` filter — the
+   exploded token stream is pruned BEFORE any shuffle, so the per-doc tf
+   aggregation shuffles only query-term hits (O(hits), not O(corpus
+   tokens));
+ - per-term tf lands as a PIVOTED row per doc (one conditional-sum agg,
+   one exchange) — no (doc, term)-grained shuffle at all;
+ - per-term document frequencies and the corpus scalars (N, total token
+   count) are 1-row broadcast crossJoins — same whitelisted pattern as
+   key_skew_profile_fp;
+ - the final top-k is a global ORDER BY ... LIMIT k → Spark plans
+   TakeOrderedAndProject (per-partition k + driver merge, never a full
+   sort).
+
+Cross-engine exactness: every float flows from identical integers through
+the identical expression tree (ln / division parity proven by
+lm_quality_scores), and the per-doc score is an EXPLICIT fixed-order sum
+of one term-contribution expression per query term — float addition only
+commutes when the order is pinned, so no engine-dependent GROUP-BY
+summation order ever touches a double. Scores are quantized
+floor(x*1e4+0.5) BIGINTs with doc_id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_count_sql
+
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+# default audit query: tokens present in the synthetic corpus vocabulary
+# (tests/test_ranking.py pins non-vacuity at every SF)
+DEFAULT_QUERY = ("hash", "join", "window", "spark")
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(docs: DataFrame, query: tuple[str, ...] = DEFAULT_QUERY,
+              k: int = 20, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Top-k documents by BM25 score for a literal term query.
+
+    Returns (doc_id, n_hits, score_q) — n_hits = matched query-term
+    instances, score_q = 1e-4-quantized BM25. Deterministic total order
+    (score desc, doc_id asc).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_CLASS)).alias("t"),
+    ).where(F.col("t").isin(*query))
+    # pivoted per-doc term frequencies: ONE conditional-sum agg
+    tf = toks.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.col("t") == t, 1).otherwise(0)).alias(f"tf_{i}")
+        for i, t in enumerate(query)])
+    # per-term document frequencies + doc count over docs WITH hits: 1 row
+    dfs = tf.agg(*[
+        F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+        for i in range(len(query))])
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+         .otherwise(F.size(F.split(F.trim(F.col(text_col)), WS_CLASS)))
+         .cast("long").alias("dl"),
+    )
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_dl"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(dfs))
+        .crossJoin(F.broadcast(corpus))
+    )
+
+    def contrib(i: int) -> F.Column:
+        tf_d = F.col(f"tf_{i}").cast("double")
+        df_d = F.col(f"df_{i}").cast("double")
+        n_d = F.col("n_docs").cast("double")
+        idf = F.log((n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+                    + F.lit(1.0))
+        tfn = (tf_d * F.lit(K1 + 1.0)) / (
+            tf_d + F.lit(K1) * (F.lit(1.0 - B)
+                                + F.lit(B) * F.col("dl").cast("double")
+                                  * n_d / F.col("total_dl").cast("double")))
+        return F.when(F.col(f"tf_{i}") > 0, idf * tfn).otherwise(F.lit(0.0))
+
+    score = contrib(0)
+    for i in range(1, len(query)):
+        score = score + contrib(i)          # fixed textual order
+    n_hits = F.col("tf_0")
+    for i in range(1, len(query)):
+        n_hits = n_hits + F.col(f"tf_{i}")
+    out = scored.select(
+        "doc_id",
+        n_hits.cast("long").alias("n_hits"),
+        F.floor(score * F.lit(10000.0) + F.lit(0.5)).cast("long")
+         .alias("score_q"),
+    )
+    return (out.orderBy(F.col("score_q").desc(), "doc_id")
+            .limit(k).select("doc_id", "n_hits", "score_q"))
+
+
+def bm25_topk_sql(table: str = "documents",
+                  query: tuple[str, ...] = DEFAULT_QUERY, k: int = 20,
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bm25_topk` — same pivot, same fixed-order
+    additions, same quantization."""
+    terms = ", ".join(f"'{t}'" for t in query)
+    tf_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(query))
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(query)))
+
+    def contrib(i: int) -> str:
+        idf = (f"ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE)"
+               f" + CAST(0.5 AS DOUBLE))"
+               f" / (CAST(df_{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+               f" + CAST(1.0 AS DOUBLE))")
+        tfn = (f"(CAST(tf_{i} AS DOUBLE) * CAST({K1 + 1.0} AS DOUBLE))"
+               f" / (CAST(tf_{i} AS DOUBLE)"
+               f" + CAST({K1} AS DOUBLE) * (CAST({1.0 - B} AS DOUBLE)"
+               f" + CAST({B} AS DOUBLE) * CAST(dl AS DOUBLE)"
+               f" * CAST(n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE)))")
+        return (f"CASE WHEN tf_{i} > 0 THEN {idf} * {tfn}"
+                f" ELSE CAST(0.0 AS DOUBLE) END")
+
+    score = contrib(0)
+    for i in range(1, len(query)):
+        score = f"({score}) + ({contrib(i)})"
+    n_hits = " + ".join(f"tf_{i}" for i in range(len(query)))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_split_to_array(lower(trim({text_col})), '{WS_CLASS}')) AS t
+  FROM {table}),
+tf AS (
+  SELECT doc_id,
+         {tf_cols}
+  FROM toks WHERE t IN ({terms}) GROUP BY doc_id),
+dfs AS (
+  SELECT {df_cols}
+  FROM tf),
+dl AS (
+  SELECT {id_col} AS doc_id, {token_count_sql(text_col)} AS dl FROM {table}),
+corpus AS (
+  SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+  FROM dl),
+scored AS (
+  SELECT tf.doc_id, dl.dl, dfs.*, c.*,
+         {", ".join(f"tf.tf_{i}" for i in range(len(query)))}
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN dfs CROSS JOIN corpus c)
+SELECT doc_id,
+       CAST({n_hits} AS BIGINT) AS n_hits,
+       CAST(floor(({score}) * 10000.0 + 0.5) AS BIGINT) AS score_q
+FROM scored ORDER BY score_q DESC, doc_id LIMIT {k}
+"""

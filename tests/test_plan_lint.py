@@ -56,6 +56,7 @@ NLJ_OK = {
     # n x k scored join IS the production assignment / decontamination shape
     "kmeans_assign_embeddings": "broadcast side is k=8 seed centroids (O(k) rows)",
     "semantic_contamination_report": "broadcast side is the fixed-size benchmark embedding set",
+    "bm25_topk_docs": "crossJoins with broadcast 1-row df/corpus scalar aggregates",
 }
 
 LINT_NAMES = sorted(set(entry.queries()) - EAGER)
@@ -116,6 +117,9 @@ EXCHANGE_BUDGET = {
     # per-vec max agg; datacard is one projection + two-level distinct agg
     "kmeans_assign_embeddings": 1, "semantic_contamination_report": 1,
     "corpus_datacard_by_lang": 2,
+    # BM25: scan-pruned tf pivot agg + tf-dl doc_id join + TakeOrdered
+    # (the two 1-row broadcasts add no exchange)
+    "bm25_topk_docs": 4,
     # chunk path: `source` rides the gram explode map-side (r04 s2) —
     # dropped the doc_id re-join's two exchanges (8 -> 6)
     "source_overlap_pairs": 6, "source_overlap_chunks": 6,
