@@ -1992,6 +1992,27 @@ def _sql_type2_clone_groups() -> str:
     return type2_clone_groups_sql(with_planted_renamed_clones_sql())
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Exact-substring containment: doc A verbatim inside doc B (vendored
+    copies with prepended/appended wrapping — low symmetric Jaccard, so the
+    MinHash/SimHash passes structurally miss them). Candidates via the
+    winnowed-fingerprint SUBSET property (fps(inner) ⊆ fps(outer)) joined
+    on inner's RAREST key only (prefix-filter trick — one bucket per
+    inner); instr() verify makes the result exact. Planted appended /
+    sandwiched / below-floor copies keep the pair set non-vacuous
+    (operators/containment.py)."""
+    from email_sanitizer_api_spark.operators.containment import (
+        containment_pairs, with_planted_containment)
+    docs = with_planted_containment(_t(spark, sf_dir, "documents"))
+    return containment_pairs(docs)
+
+
+def _sql_containment_pairs() -> str:
+    from email_sanitizer_api_spark.operators.containment import (
+        containment_pairs_sql, with_planted_containment_sql)
+    return containment_pairs_sql(with_planted_containment_sql())
+
+
 def _q_bm25_topk(spark, sf_dir):
     """BM25 top-k corpus search (ranking family): scan-side literal-term
     pruning, pivoted per-doc tf (one agg), 1-row broadcast df/corpus
@@ -2190,6 +2211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard_by_lang": _q_corpus_datacard,
         # BM25 corpus search (ranking family, r04 second session)
         "bm25_topk_docs": _q_bm25_topk,
+        # exact-substring containment (r04, third session)
+        "containment_pairs": _q_containment_pairs,
     }
 
 
@@ -2279,6 +2302,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_contamination_report": _sql_semantic_contamination(),
         "corpus_datacard_by_lang": _sql_corpus_datacard(),
         "bm25_topk_docs": _sql_bm25_topk(),
+        # exact-substring containment (r04, third session)
+        "containment_pairs": _sql_containment_pairs(),
         # semantic_dedup_kmeans: intentionally omitted — k-means list
         # assignment (Lloyd-refined centroids) is the probabilistic
         # production path; semantic_dedup_embeddings is its exact oracle

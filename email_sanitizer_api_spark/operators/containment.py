@@ -1,0 +1,211 @@
+"""Exact-substring containment detection: doc A appears verbatim inside doc B.
+
+A granularity the pair-similarity passes structurally miss: a vendored file
+copied WHOLE into a larger file (headers prepended, build banners appended,
+several files concatenated into a bundle) has low symmetric Jaccard against
+its source once the host file is large — MinHash/SimHash never fire — yet
+the training corpus still carries the full duplicated text. The reference's
+per-domain memoization has the same "smaller thing embedded in a larger
+request" shape (``src/routes/email.rs:81-117``); here it is lifted to
+content: emit every (inner, outer) pair where ``inner.content`` is a proper
+substring of ``outer.content`` and inner is at least ``min_len`` bytes.
+
+Scale design (what survives 10^12 files):
+
+1. **Candidates via winnowed fingerprints — rarest-key blocking.** The
+   suffix pass's winnowed rolling-hash fingerprints
+   (``operators/suffix.substring_fingerprints``) are offset-invariant and
+   content-defined, which gives a strict SUBSET property: if inner (>=
+   ``min_len`` bytes, >= the 64-byte hash window) occurs inside outer, then
+   every block of inner's window-hash array reappears, shifted, as a block
+   of outer's array — so fps(inner) ⊆ fps(outer). Containment therefore
+   implies sharing inner's RAREST fingerprint (min document frequency,
+   ties by key value), so each inner joins ONE bucket — the prefix-filter
+   "rarest token first" trick (PPJoin family) applied to substring search.
+   Candidate volume is bounded by the rarest-key df, not by all shared
+   keys, and no all-pairs structure exists anywhere.
+2. **Verify is exact and local.** Survivors join content back by id (two
+   hash joins) and confirm ``instr(outer, inner) > 0`` plus the strict
+   byte-length order — JVM codegen string search, no Python. The verify
+   makes candidate slop harmless: the fingerprint stage only needs
+   completeness (guaranteed above), never precision.
+3. The df table is one partial-aggregated groupBy over (doc, key) pairs;
+   the per-inner argmin is a struct-min aggregation (no window).
+
+Oracle: the O(n^2) definition ``position(a.content IN b.content) > 0`` —
+DuckDB runs it at sf<=0.01 scale; the planted wrapper
+(:func:`with_planted_containment`) derives appended/sandwiched copies and a
+below-threshold short copy deterministically from doc_id so the pair set is
+non-vacuous and the length floor is exercised from both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.suffix import substring_fingerprints
+
+__all__ = [
+    "with_planted_containment",
+    "with_planted_containment_sql",
+    "containment_pairs",
+    "containment_pairs_sql",
+]
+
+#: doc_id residues seeding each plant (module constants so the Spark
+#: builder, the SQL twin and the tests cannot drift apart).
+_APPEND_RES = 3      # doc_id % 13 == 3  → base text + appended banner
+_SANDWICH_RES = 7    # doc_id % 13 == 7  → prologue + base text + epilogue
+_SHORT_RES = 5       # doc_id % 13 == 5  → 40-char prefix copy (below floor)
+_MOD = 13
+
+#: default inner-size floor in BYTES. Must be >= the 64-byte winnowing
+#: window (suffix._FP_WINDOW) or the subset guarantee has no windows to
+#: stand on; 128 also keeps "contains a common short line" out of scope.
+DEFAULT_MIN_LEN = 128
+
+
+def with_planted_containment(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Derive an ``(id, content)`` table with planted containment structure
+    from the flat documents table (all UNION ALL copies, fully determined
+    by doc_id):
+
+    - ``b<doc_id>``: every base document, content unchanged;
+    - ``a<doc_id>`` (doc_id % 13 == 3): base text with an appended
+      vendoring banner — the base is a proper substring;
+    - ``s<doc_id>`` (doc_id % 13 == 7): base text sandwiched between a
+      prologue and an epilogue — interior containment;
+    - ``t<doc_id>`` (doc_id % 13 == 5): the first 40 characters of the
+      base — a true containment BELOW the min_len floor, which both
+      engines must exclude.
+    """
+    idc = F.col(id_col)
+    ids = idc.cast("string")
+    base = docs.select(
+        F.concat(F.lit("b"), ids).alias("id"),
+        F.col(text_col).alias("content"),
+    )
+    appended = docs.where(idc % _MOD == _APPEND_RES).select(
+        F.concat(F.lit("a"), ids).alias("id"),
+        F.concat(F.col(text_col), F.lit("\n// vendored-from b"), ids,
+                 F.lit(" rev "), ids).alias("content"),
+    )
+    sandwich = docs.where(idc % _MOD == _SANDWICH_RES).select(
+        F.concat(F.lit("s"), ids).alias("id"),
+        F.concat(F.lit("// prologue "), ids, F.lit("\n"), F.col(text_col),
+                 F.lit("\n// epilogue")).alias("content"),
+    )
+    short = docs.where(idc % _MOD == _SHORT_RES).select(
+        F.concat(F.lit("t"), ids).alias("id"),
+        F.substring(F.col(text_col), 1, 40).alias("content"),
+    )
+    return base.unionAll(appended).unionAll(sandwich).unionAll(short)
+
+
+def with_planted_containment_sql(table: str = "documents",
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    """Character-identical DuckDB twin of :func:`with_planted_containment`."""
+    ids = f"CAST({id_col} AS VARCHAR)"
+    return f"""(
+  SELECT 'b' || {ids} AS id, {text_col} AS content FROM {table}
+  UNION ALL
+  SELECT 'a' || {ids} AS id,
+         {text_col} || chr(10) || '// vendored-from b' || {ids}
+                    || ' rev ' || {ids} AS content
+  FROM {table} WHERE {id_col} % {_MOD} = {_APPEND_RES}
+  UNION ALL
+  SELECT 's' || {ids} AS id,
+         '// prologue ' || {ids} || chr(10) || {text_col}
+                        || chr(10) || '// epilogue' AS content
+  FROM {table} WHERE {id_col} % {_MOD} = {_SANDWICH_RES}
+  UNION ALL
+  SELECT 't' || {ids} AS id, substr({text_col}, 1, 40) AS content
+  FROM {table} WHERE {id_col} % {_MOD} = {_SHORT_RES}
+)"""
+
+
+def _fp_udf(min_len: int):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def _fp(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda c: substring_fingerprints(c or "", min_len).view(np.int64))
+
+    return _fp
+
+
+def containment_pairs(docs: DataFrame, min_len: int = DEFAULT_MIN_LEN,
+                      id_col: str = "id",
+                      content_col: str = "content") -> DataFrame:
+    """All (inner_id, outer_id, inner_len_bytes) with inner a PROPER
+    substring of outer and ``octet_length(inner) >= min_len``.
+
+    Exact: the fingerprint stage is complete by the winnowing subset
+    property (module docstring) and the ``instr`` verify removes every
+    false candidate, so the result equals the O(n^2) ``position()`` oracle.
+    """
+    fp = _fp_udf(min_len)
+    sized = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(content_col).alias("content"),
+        F.octet_length(content_col).cast("bigint").alias("len_bytes"),
+    )
+    nodes = sized.select(
+        "id", "len_bytes", F.explode(fp(F.col("content"))).alias("key"))
+    # document frequency per fingerprint key (partial-aggregated)
+    dfc = nodes.groupBy("key").agg(F.count("*").alias("df"))
+    # each qualifying inner picks its rarest key: struct-min aggregation,
+    # lexicographic on (df, key) — deterministic, no window
+    inner_key = (
+        nodes.where(F.col("len_bytes") >= min_len)
+        .join(dfc, "key")
+        .groupBy("id")
+        .agg(F.min(F.struct("df", "key")).alias("m"))
+        .select(F.col("id").alias("inner_id"), F.col("m.key").alias("key"))
+    )
+    cand = (
+        inner_key
+        .join(nodes.select(F.col("id").alias("outer_id"), "key"), "key")
+        .where(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id")
+    )
+    inner = sized.select(F.col("id").alias("inner_id"),
+                         F.col("content").alias("inner_content"),
+                         F.col("len_bytes").alias("inner_len_bytes"))
+    outer = sized.select(F.col("id").alias("outer_id"),
+                         F.col("content").alias("outer_content"),
+                         F.col("len_bytes").alias("outer_len_bytes"))
+    return (
+        cand.join(inner, "inner_id").join(outer, "outer_id")
+        .where((F.col("inner_len_bytes") < F.col("outer_len_bytes"))
+               # F.instr's second argument is a literal, not a column —
+               # the column-to-column form needs the SQL expression
+               & (F.expr("instr(outer_content, inner_content)") > 0))
+        .select("inner_id", "outer_id", "inner_len_bytes")
+    )
+
+
+def containment_pairs_sql(table: str, min_len: int = DEFAULT_MIN_LEN,
+                          id_col: str = "id",
+                          content_col: str = "content") -> str:
+    """DuckDB brute-force oracle: the O(n^2) ``position()`` definition.
+
+    DuckDB's byte-length function for VARCHAR is ``strlen`` (its
+    ``octet_length`` is BLOB/BIT-only); Spark's ``octet_length`` on string
+    is the same utf-8 byte count.
+    """
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {content_col} AS content FROM {table})
+SELECT a.id AS inner_id, b.id AS outer_id,
+       CAST(strlen(a.content) AS BIGINT) AS inner_len_bytes
+FROM d a JOIN d b ON a.id <> b.id
+WHERE strlen(a.content) >= {min_len}
+  AND strlen(a.content) < strlen(b.content)
+  AND position(a.content IN b.content) > 0
+"""

@@ -1,0 +1,117 @@
+"""Exact-substring containment detection (operators/containment.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.containment import (
+    containment_pairs,
+    containment_pairs_sql,
+    with_planted_containment,
+    with_planted_containment_sql,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _brute_force(rows: list[tuple[str, str]], min_len: int) -> set[tuple[str, str]]:
+    out = set()
+    for ia, ca in rows:
+        ba = ca.encode("utf-8")
+        if len(ba) < min_len:
+            continue
+        for ib, cb in rows:
+            if ia == ib:
+                continue
+            bb = cb.encode("utf-8")
+            if len(ba) < len(bb) and ca in cb:
+                out.add((ia, ib))
+    return out
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return with_planted_containment(docs)
+
+
+def test_matches_brute_force(spark, planted):
+    rows = [(r["id"], r["content"]) for r in planted.collect()]
+    expected = _brute_force(rows, 128)
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(planted).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_planted_classes_detected(spark, planted):
+    pairs = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(planted).collect()
+    }
+    lens = {r["id"]: len(r["content"].encode()) for r in planted.collect()}
+    # every appended / sandwiched plant whose base clears the floor is found
+    for pid, _ in lens.items():
+        if pid.startswith(("a", "s")):
+            base = "b" + pid[1:]
+            if lens[base] >= 128:
+                assert (base, pid) in pairs, f"missing planted pair {base}->{pid}"
+    # below-floor prefix copies never appear as inner (40 chars < 128 bytes)
+    assert not any(a.startswith("t") for a, _ in pairs)
+
+
+def test_interior_containment_found(spark):
+    # sandwich case with unique filler: strictly interior occurrence
+    inner = "x = compute_checksum(buffer, offset, length)\n" * 4  # 184 bytes
+    rows = [("i1", inner), ("o1", "// head\n" + inner + "// tail\n"),
+            ("u1", "completely unrelated body " * 10)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "content"]))
+    got = {(r["inner_id"], r["outer_id"])
+           for r in containment_pairs(df).collect()}
+    assert got == {("i1", "o1")}
+
+
+def test_equal_content_excluded(spark):
+    # identical docs are exact-dedup's domain, not containment's
+    body = "shared identical content line\n" * 8  # 240 bytes
+    rows = [("d1", body), ("d2", body)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "content"]))
+    assert containment_pairs(df).count() == 0
+
+
+def test_duplicate_inner_contents_each_pair(spark):
+    # two identical inners both match the one outer (per-id pairs)
+    inner = "def handler(evt):\n    return route(evt, table)\n" * 4
+    rows = [("i1", inner), ("i2", inner), ("o1", inner + "\n// bundle footer")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "content"]))
+    got = {(r["inner_id"], r["outer_id"])
+           for r in containment_pairs(df).collect()}
+    assert got == {("i1", "o1"), ("i2", "o1")}
+
+
+def test_duckdb_parity(spark, planted):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'")
+    sql = containment_pairs_sql(with_planted_containment_sql())
+    oracle = {
+        (a, b) for a, b, _ in con.execute(sql).fetchall()
+    }
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(planted).collect()
+    }
+    assert got == oracle
+    assert len(got) > 0
+
+
+def test_no_cartesian_in_plan(spark, planted):
+    plan = containment_pairs(planted)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -120,6 +120,9 @@ EXCHANGE_BUDGET = {
     # BM25: scan-pruned tf pivot agg + tf-dl doc_id join + TakeOrdered
     # (the two 1-row broadcasts add no exchange)
     "bm25_topk_docs": 4,
+    # containment: fp df agg + rarest-key struct-min agg + key equi-join +
+    # two content verify joins (operators/containment.py)
+    "containment_pairs": 6,
     # chunk path: `source` rides the gram explode map-side (r04 s2) —
     # dropped the doc_id re-join's two exchanges (8 -> 6)
     "source_overlap_pairs": 6, "source_overlap_chunks": 6,
