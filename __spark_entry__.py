@@ -1992,6 +1992,25 @@ def _sql_type2_clone_groups() -> str:
     return type2_clone_groups_sql(with_planted_renamed_clones_sql())
 
 
+def _q_sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted Neighborhood Method candidates (Hernández-Stolfo): docs
+    ordered by auditable md5-SimHash, paired within a rank window of 8,
+    exact Hamming confirm — a THIRD candidate generator whose volume is
+    exactly n×window (linear, skew-immune: a hot band can go quadratic,
+    a rank window cannot). Global rank is computed WITHOUT a
+    single-partition window: monotone bucket counts + O(buckets) offset
+    window + streaming mapInPandas (operators/ordering.py)."""
+    from email_sanitizer_api_spark.operators.ordering import (
+        sorted_neighborhood_pairs)
+    return sorted_neighborhood_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_sorted_neighborhood_pairs() -> str:
+    from email_sanitizer_api_spark.operators.ordering import (
+        sorted_neighborhood_pairs_sql)
+    return sorted_neighborhood_pairs_sql()
+
+
 def _q_containment_pairs(spark, sf_dir):
     """Exact-substring containment: doc A verbatim inside doc B (vendored
     copies with prepended/appended wrapping — low symmetric Jaccard, so the
@@ -2213,6 +2232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": _q_bm25_topk,
         # exact-substring containment (r04, third session)
         "containment_pairs": _q_containment_pairs,
+        # sorted-neighborhood candidates over md5-SimHash order (r04 s3)
+        "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
     }
 
 
@@ -2304,6 +2325,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_docs": _sql_bm25_topk(),
         # exact-substring containment (r04, third session)
         "containment_pairs": _sql_containment_pairs(),
+        # sorted-neighborhood candidates (r04, third session)
+        "sorted_neighborhood_pairs": _sql_sorted_neighborhood_pairs(),
         # semantic_dedup_kmeans: intentionally omitted — k-means list
         # assignment (Lloyd-refined centroids) is the probabilistic
         # production path; semantic_dedup_embeddings is its exact oracle

@@ -1,0 +1,189 @@
+"""Distributed order statistics + sorted-neighborhood candidate generation.
+
+Two pieces:
+
+1. :func:`global_rank` — a dense 0-based global rank over an arbitrary
+   total order WITHOUT the single-partition window Spark would otherwise
+   plan (``Window.orderBy`` with no partition key moves the entire table
+   to one task — the canonical 100-TB scale-killer). The trick is a
+   caller-supplied **bucket column that is monotone non-decreasing in the
+   sort order** (e.g. the top bits of the leading sort key): per-bucket
+   counts are one partial-aggregated groupBy, the running offsets are a
+   window over the O(n_buckets) count rows (tiny by construction), and the
+   final rank is ``offset[bucket] + local index`` assigned by a streaming
+   ``mapInPandas`` over bucket-clustered, in-partition-sorted rows. Fully
+   lazy — no driver collect, no persist — because the bucket id is a pure
+   function of the row, so every branch recomputes identical partitions
+   (unlike ``repartitionByRange``, whose sampled boundaries are not stable
+   across plan branches).
+
+2. :func:`sorted_neighborhood_pairs` — the classic Sorted Neighborhood
+   Method (Hernández & Stolfo, SIGMOD'95) as a THIRD candidate generator
+   next to LSH band-buckets and SimHash pigeonhole chunks: order all docs
+   by their 64-bit auditable md5-SimHash (``operators/simhash.py``), pair
+   every row with its ``window`` successors in that order, confirm with
+   the exact Hamming predicate. Where a hot band mints a quadratic bucket,
+   a rank window mints exactly ``n * window`` candidates — guaranteed
+   LINEAR candidate volume regardless of skew, the property neither
+   band-bucketing nor pigeonhole chunking can promise without caps. The
+   rank-window join itself needs no window function: pairs at rank
+   distance <= W live in the same or adjacent rank-block of width W, so
+   two equi-joins on ``block`` / ``block + 1`` cover it exactly.
+
+Oracle: the same signature CTEs (``simhash_md5_sig_ctes``) + a DuckDB
+``row_number() OVER (ORDER BY ...)`` + rank-range join — hash-exact.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.simhash import (
+    simhash_md5_sig_ctes,
+    simhash_md5_signatures,
+)
+
+__all__ = [
+    "global_rank",
+    "sorted_neighborhood_pairs",
+    "sorted_neighborhood_pairs_sql",
+]
+
+
+def global_rank(df: DataFrame, order_cols: list[str], bucket_col: str,
+                rank_col: str = "r") -> DataFrame:
+    """Dense 0-based global rank over ``order_cols`` (must be a total
+    order: include a unique id as the last key).
+
+    ``bucket_col`` must already be on ``df`` and MONOTONE NON-DECREASING
+    in the sort order (rows of bucket i all sort before rows of bucket
+    i+1) — e.g. the high bits of the leading key. Bucket count is the
+    parallelism knob: counts/offsets are O(n_buckets) rows, data moves
+    through ONE hash exchange on the bucket id.
+    """
+    counts = df.groupBy(bucket_col).agg(F.count("*").alias("_n"))
+    # running offsets over the count rows — O(n_buckets), not O(rows);
+    # the single-partition window is over bucket COUNTS only
+    w = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        F.col(bucket_col),
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off"),
+    )
+    enriched = df.join(F.broadcast(offsets), bucket_col)
+    clustered = (
+        enriched.repartition(F.col(bucket_col))
+        .sortWithinPartitions(bucket_col, *order_cols)
+    )
+    out_fields = [f for f in df.schema.fields]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
+        + [f"{rank_col} bigint"])
+    names = [f.name for f in out_fields]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ranks = []
+            for bkt, off in zip(pdf[bucket_col], pdf["_off"]):
+                local = seen.get(bkt, 0)
+                seen[bkt] = local + 1
+                ranks.append(int(off) + local)
+            out = pdf[names].copy()
+            out[rank_col] = pd.Series(ranks, index=pdf.index, dtype="int64")
+            yield out
+
+    return clustered.mapInPandas(assign, schema=schema)
+
+
+def sorted_neighborhood_pairs(docs: DataFrame, window: int = 8,
+                              max_hamming: int = 16,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n_chunks: int = 4,
+                              n_buckets: int = 256) -> DataFrame:
+    """All (a, b, hamming) pairs within ``window`` positions of each other
+    in md5-SimHash sort order and within ``max_hamming`` bits — ``a`` is
+    the lower-ranked id. Candidate volume is exactly ``n * window``
+    (linear, skew-immune).
+
+    Pair generation references the ranked relation ONCE (a rank-window
+    self-join would plan the whole rank subtree twice per join branch):
+    ranks are dense, so block ``r div window`` holds exactly ``window``
+    rows and every pair at rank distance <= window lives in one block or
+    two ADJACENT blocks — never further. Each row is therefore replicated
+    to its own block and the previous one (a 2x explode of the tiny
+    id+signature projection), and one ``applyInPandas`` per block emits
+    the pairs whose LOWER rank is a native row of the block (guests from
+    block g+1 only ever complete pairs, never start them — no dedup pass
+    needed). Per-group size is <= 2*window rows, a bounded local loop.
+    """
+    sig = simhash_md5_signatures(docs, id_col, text_col, n_chunks)
+    lead = f"c{n_chunks - 1}"
+    width = max(1, (1 << 16) // n_buckets)
+    sig = sig.withColumn("_bkt", F.floor(F.col(lead) / width).cast("int"))
+    order_cols = [f"c{j}" for j in reversed(range(n_chunks))] + ["id"]
+    ranked = global_rank(sig, order_cols, "_bkt")
+    blk = ranked.withColumn(
+        "_blk", F.floor(F.col("r") / window).cast("long"))
+    repl = blk.withColumn(
+        "_gt", F.explode(F.array(F.col("_blk"), F.col("_blk") - 1))
+    ).where(F.col("_gt") >= 0)
+
+    id_type = sig.schema["id"].dataType.simpleString()
+    out_schema = f"a {id_type}, b {id_type}, hamming bigint"
+    sig_cols = [f"c{c}" for c in range(n_chunks)]
+
+    def gen(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = key[0]
+        pdf = pdf.sort_values("r").reset_index(drop=True)
+        rr = pdf["r"].to_numpy()
+        ids = pdf["id"].to_numpy()
+        own = pdf["_blk"].to_numpy()
+        sigs = pdf[sig_cols].to_numpy()
+        a_out, b_out, h_out = [], [], []
+        for i in range(len(pdf)):
+            if own[i] != g:        # guest rows never start a pair
+                continue
+            j = i + 1
+            while j < len(pdf) and rr[j] <= rr[i] + window:
+                ham = 0
+                for c in range(sigs.shape[1]):
+                    ham += int(bin(int(sigs[i, c]) ^ int(sigs[j, c])).count("1"))
+                if ham <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    h_out.append(ham)
+                j += 1
+        return pd.DataFrame({"a": a_out, "b": b_out,
+                             "hamming": pd.Series(h_out, dtype="int64")})
+
+    return repl.groupBy("_gt").applyInPandas(gen, schema=out_schema)
+
+
+def sorted_neighborhood_pairs_sql(window: int = 8, max_hamming: int = 16,
+                                  table: str = "documents",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  n_chunks: int = 4) -> str:
+    """DuckDB oracle: identical signatures, ``row_number()`` global order,
+    rank-range join."""
+    order = ", ".join(
+        [f"c{j}" for j in reversed(range(n_chunks))] + ["id"])
+    ham = " + ".join(
+        f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(n_chunks))
+    return f"""
+WITH {simhash_md5_sig_ctes(table, id_col, text_col, n_chunks)},
+ranked AS (
+  SELECT id, {', '.join(f'c{c}' for c in range(n_chunks))},
+         row_number() OVER (ORDER BY {order}) - 1 AS r
+  FROM sig)
+SELECT a.id AS a, b.id AS b, CAST({ham} AS BIGINT) AS hamming
+FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + {window}
+WHERE {ham} <= {max_hamming}
+"""

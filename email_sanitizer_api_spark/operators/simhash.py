@@ -129,11 +129,11 @@ def simhash_md5_pairs(df: DataFrame, max_hamming: int = 3,
     )
 
 
-def simhash_md5_pairs_sql(max_hamming: int = 3, table: str = "documents",
-                          id_col: str = "doc_id", text_col: str = "text",
-                          n_chunks: int = 4) -> str:
-    """DuckDB brute-force oracle for :func:`simhash_md5_pairs` (identical
-    signature definition, O(n²) join instead of the pigeonhole buckets)."""
+def simhash_md5_sig_ctes(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text", n_chunks: int = 4) -> str:
+    """The DuckDB CTE chain ``toks, sums, sig`` reproducing
+    :func:`simhash_md5_signatures` — shared by every oracle over the
+    auditable signature (brute-force pairs, sorted-neighborhood)."""
     sums = []
     for c in range(n_chunks):
         for k in range(16):
@@ -148,16 +148,24 @@ def simhash_md5_pairs_sql(max_hamming: int = 3, table: str = "documents",
             f"(CASE WHEN s_{c}_{k} > 0 THEN {1 << k} ELSE 0 END)"
             for k in range(16))
         packs.append(f"({terms}) AS c{c}")
-    ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(n_chunks))
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT {id_col} AS id,
          unnest(list_distinct(list_filter(
            regexp_split_to_array(lower(trim({text_col})), '[ \\t\\n\\x0B\\f\\r]+'),
            x -> x <> ''))) AS tok
   FROM {table}),
 sums AS (SELECT id, {', '.join(sums)} FROM toks GROUP BY id),
-sig AS (SELECT id, {', '.join(packs)} FROM sums)
+sig AS (SELECT id, {', '.join(packs)} FROM sums)"""
+
+
+def simhash_md5_pairs_sql(max_hamming: int = 3, table: str = "documents",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n_chunks: int = 4) -> str:
+    """DuckDB brute-force oracle for :func:`simhash_md5_pairs` (identical
+    signature definition, O(n²) join instead of the pigeonhole buckets)."""
+    ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(n_chunks))
+    return f"""
+WITH {simhash_md5_sig_ctes(table, id_col, text_col, n_chunks)}
 SELECT a.id AS a, b.id AS b, CAST({ham} AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.id < b.id
 WHERE {ham} <= {max_hamming}

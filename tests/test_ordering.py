@@ -1,0 +1,149 @@
+"""Distributed global rank + sorted-neighborhood pairs (operators/ordering.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.ordering import (
+    global_rank,
+    sorted_neighborhood_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# pure-python md5 simhash twin (independent third engine)
+# ---------------------------------------------------------------------------
+
+_HEX_BIT_CHARS = ("13579bdf", "2367abef", "4567cdef", "89abcdef")
+
+
+def _py_sig(text: str, n_chunks: int = 4) -> tuple[int, ...] | None:
+    import re
+    toks = [t for t in re.split(r"[ \t\n\x0B\f\r]+", text.strip().lower()) if t]
+    if not toks:
+        return None
+    toks = sorted(set(toks))
+    chunks = []
+    for c in range(n_chunks):
+        val = 0
+        for k in range(16):
+            p = c * 4 + k // 4
+            vote = 0
+            for t in toks:
+                d = hashlib.md5(t.encode()).hexdigest()[p]
+                vote += 1 if d in _HEX_BIT_CHARS[k % 4] else -1
+            if vote > 0:
+                val |= 1 << k
+        chunks.append(val)
+    return tuple(chunks)
+
+
+def _py_snm(rows, window, max_hamming, n_chunks=4):
+    sigs = [(i, _py_sig(t, n_chunks)) for i, t in rows]
+    sigs = [(i, s) for i, s in sigs if s is not None]
+    order = sorted(sigs, key=lambda x: (tuple(reversed(x[1])), x[0]))
+    out = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + window + 1, len(order))):
+            a, sa = order[i]
+            b, sb = order[j]
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(sa, sb))
+            if ham <= max_hamming:
+                out.add((a, b, ham))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# global_rank
+# ---------------------------------------------------------------------------
+
+def _expected_ranks(pdf: pd.DataFrame, order_cols: list[str]) -> dict:
+    srt = pdf.sort_values(order_cols).reset_index(drop=True)
+    return {row["id"]: r for r, (_, row) in enumerate(srt.iterrows())}
+
+
+def test_global_rank_matches_sorted_order(spark):
+    pdf = pd.DataFrame({
+        "id": range(1000),
+        "key": [(i * 7919) % 257 for i in range(1000)],
+    })
+    df = spark.createDataFrame(pdf).withColumn(
+        "_bkt", F.floor(F.col("key") / 16).cast("int"))
+    got = {r["id"]: r["r"]
+           for r in global_rank(df, ["key", "id"], "_bkt").collect()}
+    assert got == _expected_ranks(pdf, ["key", "id"])
+
+
+def test_global_rank_skewed_buckets(spark):
+    # 90% of rows in one bucket — offsets must still be exact
+    pdf = pd.DataFrame({
+        "id": range(500),
+        "key": [0 if i % 10 else 100 + i for i in range(500)],
+    })
+    df = spark.createDataFrame(pdf).withColumn(
+        "_bkt", F.floor(F.col("key") / 50).cast("int"))
+    got = {r["id"]: r["r"]
+           for r in global_rank(df, ["key", "id"], "_bkt").collect()}
+    assert got == _expected_ranks(pdf, ["key", "id"])
+
+
+def test_global_rank_dense_and_total(spark):
+    pdf = pd.DataFrame({"id": range(317), "key": [5] * 317})  # all ties on key
+    df = spark.createDataFrame(pdf).withColumn("_bkt", F.lit(0))
+    ranks = sorted(r["r"] for r in global_rank(df, ["key", "id"], "_bkt").collect())
+    assert ranks == list(range(317))
+
+
+def test_no_single_partition_window_over_data(spark):
+    pdf = pd.DataFrame({"id": range(100), "key": range(100)})
+    df = spark.createDataFrame(pdf).withColumn(
+        "_bkt", F.floor(F.col("key") / 10).cast("int"))
+    plan = global_rank(df, ["key", "id"], "_bkt")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the only Window node must consume the bucket-count aggregate (its
+    # child contains the count agg), never the raw data relation
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs
+# ---------------------------------------------------------------------------
+
+def test_snm_matches_python_brute_force(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    expected = _py_snm(rows, window=8, max_hamming=16)
+    got = {(r["a"], r["b"], r["hamming"])
+           for r in sorted_neighborhood_pairs(docs, window=8,
+                                              max_hamming=16).collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_snm_candidate_volume_is_linear(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    w = 5
+    pairs = sorted_neighborhood_pairs(docs, window=w, max_hamming=64)
+    # hamming <= 64 disables the filter: the full candidate set is exactly
+    # n*w - w*(w+1)/2 (every row pairs with its w successors)
+    assert pairs.count() == n * w - w * (w + 1) // 2
+
+
+def test_snm_exact_dups_always_pair(spark):
+    body = "def compute(a, b):\n    return a * b + offset\n"
+    rows = [(i, body) for i in range(4)] + \
+        [(10 + i, f"unrelated text variant {i} " * 10) for i in range(20)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {(r["a"], r["b"]) for r in
+           sorted_neighborhood_pairs(df, window=3, max_hamming=0).collect()}
+    # identical docs have identical signatures -> adjacent ranks -> all
+    # pairs within the window and at hamming 0
+    assert {(0, 1), (1, 2), (2, 3), (0, 2), (1, 3), (0, 3)} <= got

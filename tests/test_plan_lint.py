@@ -123,6 +123,10 @@ EXCHANGE_BUDGET = {
     # containment: fp df agg + rarest-key struct-min agg + key equi-join +
     # two content verify joins (operators/containment.py)
     "containment_pairs": 6,
+    # sorted-neighborhood: sig agg + bucket counts + O(buckets) offset
+    # window + bucket repartition + rank-block grouped map — the ranked
+    # relation is referenced ONCE (operators/ordering.py)
+    "sorted_neighborhood_pairs": 6,
     # chunk path: `source` rides the gram explode map-side (r04 s2) —
     # dropped the doc_id re-join's two exchanges (8 -> 6)
     "source_overlap_pairs": 6, "source_overlap_chunks": 6,
