@@ -1275,6 +1275,75 @@ FROM al
 """
 
 
+def _q_semantic_medoid_keepers(spark, sf_dir):
+    """SemDeDup-faithful keeper selection: within each semantic cluster
+    keep the MOST CENTRAL member (max summed cosine over its threshold
+    edges — the medoid of the pair graph), not the smallest id. Edge
+    weights are quantized to 1e-4 BIGINTs before summing so the argmax
+    is engine-exact (float sum order never matters); ties break on
+    vec_id. Singletons are their own keeper with centrality 0."""
+    from email_sanitizer_api_spark.operators.cluster import (
+        connected_components)
+    emb = _t(spark, sf_dir, "embeddings")
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
+    pairs = _q_embedding_cosine_near_dup(spark, sf_dir).withColumn(
+        "q", F.floor(F.col("cosine") * 10000 + F.lit(0.5)).cast("bigint"))
+    cc = connected_components(
+        pairs.select(pad("a").alias("a"), pad("b").alias("b")),
+        DedupConfig())
+    allv = emb.select("vec_id", pad("vec_id").alias("id"))
+    lab = allv.join(cc, "id", "left").select(
+        "vec_id", F.coalesce("cluster_id", F.col("id")).alias("cid"))
+    deg = (
+        pairs.select(F.col("a").alias("vec_id"), "q")
+        .unionAll(pairs.select(F.col("b").alias("vec_id"), "q"))
+        .groupBy("vec_id").agg(F.sum("q").alias("centrality_q"))
+    )
+    m = lab.join(deg, "vec_id", "left").select(
+        "vec_id", "cid",
+        F.coalesce("centrality_q", F.lit(0)).cast("bigint")
+        .alias("centrality_q"))
+    w = Window.partitionBy("cid").orderBy(
+        F.col("centrality_q").desc(), "vec_id")
+    return m.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster_id"),
+        "centrality_q",
+        (F.row_number().over(w) == 1).cast("int").alias("is_keeper"),
+    )
+
+
+_SQL_SEMANTIC_MEDOID_KEEPERS = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pr AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(floor(round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5)
+               * 10000 + 0.5) AS BIGINT) AS q
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+ed AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+reach(id, label) AS (
+  SELECT DISTINCT src, src FROM ed
+  UNION
+  SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.id),
+lab AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+al AS (SELECT e.vec_id, coalesce(l.cluster_id, e.vec_id) AS cluster_id
+       FROM e LEFT JOIN lab l ON l.id = e.vec_id),
+deg AS (
+  SELECT id, sum(q) AS centrality_q
+  FROM (SELECT a AS id, q FROM pr UNION ALL SELECT b AS id, q FROM pr)
+  GROUP BY id)
+SELECT al.vec_id, CAST(al.cluster_id AS BIGINT) AS cluster_id,
+       CAST(coalesce(deg.centrality_q, 0) AS BIGINT) AS centrality_q,
+       CAST(row_number() OVER (PARTITION BY al.cluster_id
+              ORDER BY coalesce(deg.centrality_q, 0) DESC, al.vec_id) = 1
+            AS INT) AS is_keeper
+FROM al LEFT JOIN deg ON deg.id = al.vec_id
+"""
+
+
 def _q_semantic_dedup_lsh(spark, sf_dir):
     """Production semantic-dedup twin: LSH-bucketed pair generation
     (embedding_near_dup_lsh) feeding the same CC → keeper tail. Approximate
@@ -2011,6 +2080,40 @@ def _sql_sorted_neighborhood_pairs() -> str:
     return sorted_neighborhood_pairs_sql()
 
 
+def _q_sequence_packing(spark, sf_dir):
+    """Sequence packing (GPT-style concatenate-and-chunk): per-doc global
+    token start offset + landing sequence at 2048 tokens/sequence — an
+    EXCLUSIVE distributed prefix sum over the corpus order via
+    global_running_sum (monotone-bucket scan, no single-partition data
+    window; functions/packing.py)."""
+    from email_sanitizer_api_spark.functions.packing import sequence_packing
+    return sequence_packing(_t(spark, sf_dir, "documents"))
+
+
+def _sql_sequence_packing() -> str:
+    from email_sanitizer_api_spark.functions.packing import (
+        sequence_packing_sql)
+    return sequence_packing_sql()
+
+
+def _q_weighted_jaccard_pairs(spark, sf_dir):
+    """IDF-weighted Jaccard >= 0.9 pairs: integer weights (2^20 div df)
+    end to end, weighted AllPairs/PPJoin prefix + length + positional
+    filters (no float eps anywhere), exact weighted-overlap verify via
+    two id equi-joins — identical to the brute-force O(n²) definition
+    (functions/weighted_similarity.py). Down-weights keyword boilerplate
+    that inflates unweighted token Jaccard on code."""
+    from email_sanitizer_api_spark.functions.weighted_similarity import (
+        weighted_jaccard_pairs)
+    return weighted_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_weighted_jaccard_pairs() -> str:
+    from email_sanitizer_api_spark.functions.weighted_similarity import (
+        weighted_jaccard_pairs_sql)
+    return weighted_jaccard_pairs_sql()
+
+
 def _q_containment_pairs(spark, sf_dir):
     """Exact-substring containment: doc A verbatim inside doc B (vendored
     copies with prepended/appended wrapping — low symmetric Jaccard, so the
@@ -2184,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_chunks": _q_source_overlap_chunks,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "semantic_dedup_lsh": _q_semantic_dedup_lsh,
+        "semantic_medoid_keepers": _q_semantic_medoid_keepers,
         "corpus_curation_verdicts": _q_corpus_curation,
         "email_validation_rfc": _q_email_validation_rfc,
         "email_pii_scan": _q_email_pii_scan,
@@ -2234,6 +2338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         # sorted-neighborhood candidates over md5-SimHash order (r04 s3)
         "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
+        # training-sequence packing layout (r04 s3)
+        "sequence_packing_layout": _q_sequence_packing,
+        # IDF-weighted Jaccard similarity join (r04 s3)
+        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
     }
 
 
@@ -2289,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_pairs": _source_overlap_sql(),
         "source_overlap_chunks": _source_overlap_sql(unit="chunk"),
         "semantic_dedup_embeddings": _SQL_SEMANTIC_DEDUP,
+        "semantic_medoid_keepers": _SQL_SEMANTIC_MEDOID_KEEPERS,
         "corpus_curation_verdicts": _curation_sql(),
         "email_validation_rfc": _sql_email_validation_rfc(),
         "email_pii_scan": _sql_email_pii_scan(),
@@ -2327,6 +2436,10 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _sql_containment_pairs(),
         # sorted-neighborhood candidates (r04, third session)
         "sorted_neighborhood_pairs": _sql_sorted_neighborhood_pairs(),
+        # training-sequence packing layout (r04, third session)
+        "sequence_packing_layout": _sql_sequence_packing(),
+        # IDF-weighted Jaccard join (r04, third session)
+        "weighted_jaccard_pairs": _sql_weighted_jaccard_pairs(),
         # semantic_dedup_kmeans: intentionally omitted — k-means list
         # assignment (Lloyd-refined centroids) is the probabilistic
         # production path; semantic_dedup_embeddings is its exact oracle

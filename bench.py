@@ -115,6 +115,15 @@ def main() -> None:
         # Type-2 clone grouping — 9 chained regexp_replace in one codegen
         # span (JVM regex throughput) + exact-dedup agg family
         "type2_clone_groups",
+        # r04 session-3 additions (same caveat: per-query compare):
+        # containment: rarest-fingerprint blocking + instr verify
+        "containment_pairs",
+        # SNM: distributed global rank + rank-block grouped-map pairing
+        "sorted_neighborhood_pairs",
+        # weighted PPJoin: integer-IDF prefix/length/positional filters
+        "weighted_jaccard_pairs",
+        # distributed prefix scan (bucket offsets + mapInPandas cumsum)
+        "sequence_packing_layout",
     ]
     headline = [q for q in headline if q in queries]
 

@@ -1,0 +1,87 @@
+"""Sequence packing: lay the corpus out as fixed-length training sequences.
+
+The last step of every LLM pretraining pipeline: documents are
+concatenated in a deterministic order and chunked into fixed
+``seq_len``-token training sequences (the GPT-style "concatenate and
+chunk" layout). The operator computes, per document, its global token
+start offset and the sequence it lands in — which requires an EXCLUSIVE
+prefix sum of token counts over the corpus order, i.e. a distributed
+scan. The naive Spark spelling (``sum().over(Window.orderBy(id))``) moves
+the whole table to one task; this uses
+:func:`~email_sanitizer_api_spark.operators.ordering.global_running_sum`
+(monotone-bucket sums + O(buckets) offset window + streaming
+mapInPandas — fully lazy, one data exchange).
+
+Token counts are the engine's whitespace tokenizer
+(``functions/text.token_count_expr``), whose DuckDB twin is already
+pinned by the token_count_documents contract query, so the packing
+layout is hash-exact end to end against a window-function oracle.
+
+Columns: ``doc_id, n_tokens, start_off, seq_id, crosses_boundary`` —
+``seq_id = start_off div seq_len`` (the sequence the doc STARTS in) and
+``crosses_boundary`` is true when the doc spills into a later sequence
+(the docs a masking-aware loader must handle; empty docs never cross).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.text import (
+    token_count_expr,
+    token_count_sql,
+)
+from email_sanitizer_api_spark.operators.ordering import global_running_sum
+
+__all__ = ["sequence_packing", "sequence_packing_sql"]
+
+
+def sequence_packing(docs: DataFrame, seq_len: int = 2048,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     bucket_width: int = 1024) -> DataFrame:
+    """Per-document packing layout at ``seq_len`` tokens per sequence,
+    packing order = ascending ``id_col``.
+
+    ``bucket_width`` groups ids into monotone scan buckets (pure function
+    of the id — no sampled boundaries); it only tunes parallelism.
+    """
+    t = docs.select(
+        F.col(id_col),
+        F.coalesce(token_count_expr(F.col(text_col)), F.lit(0))
+        .alias("n_tokens"),
+    ).withColumn(
+        "_bkt", F.floor(F.col(id_col) / bucket_width).cast("long"))
+    off = global_running_sum(t, [id_col], "_bkt", "n_tokens", "start_off")
+    seq_id = F.expr(f"start_off div {seq_len}")
+    last_seq = F.expr(
+        f"(start_off + greatest(n_tokens, 1) - 1) div {seq_len}")
+    return off.select(
+        F.col(id_col),
+        "n_tokens",
+        "start_off",
+        seq_id.alias("seq_id"),
+        (last_seq > seq_id).alias("crosses_boundary"),
+    )
+
+
+def sequence_packing_sql(seq_len: int = 2048, table: str = "documents",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """DuckDB window-function oracle for :func:`sequence_packing`."""
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         COALESCE({token_count_sql(text_col)}, 0) AS n_tokens
+  FROM {table}),
+s AS (
+  SELECT {id_col}, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM t)
+SELECT {id_col}, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // {seq_len} AS BIGINT) AS seq_id,
+       ((start_off + greatest(n_tokens, 1) - 1) // {seq_len}
+         > start_off // {seq_len}) AS crosses_boundary
+FROM s
+"""

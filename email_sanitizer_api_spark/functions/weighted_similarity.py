@@ -1,0 +1,175 @@
+"""IDF-weighted Jaccard similarity join (weighted AllPairs/PPJoin).
+
+Unweighted token Jaccard treats ``def`` and a rare API name as equally
+informative, so boilerplate-heavy code files score as near-dups on
+keyword soup alone. The weighted form
+``J_w(A,B) = W(A∩B) / W(A∪B)`` with an IDF-flavored token weight
+down-weights ubiquitous tokens and is the standard fix (Chaudhuri et
+al.'s SSJoin line of work generalizes every AllPairs/PPJoin filter to
+weights).
+
+Everything here is INTEGER arithmetic end to end — weight
+``w(t) = 1 + floor(log2(2^20 div df(t)))`` computed exactly as
+``length(bin(greatest(1, 2^20 div df)))`` (identical in Spark and
+DuckDB; the log compression keeps one shared rare token from dominating
+the score the way a linear 1/df weight would) and threshold ``t_e6``
+(parts per million) — so unlike the float version in ``similarity.py``
+no epsilon guard is needed anywhere and the DuckDB oracle is bit-exact:
+
+- **weighted prefix filter**: per doc, tokens in global (df, token)
+  order; token at position i (exclusive cumulative weight ``cum_before``)
+  is in the prefix iff ``1e6·(W(A) − cum_before) >= t_e6·W(A)`` — if the
+  FIRST common token of a qualifying pair were outside A's prefix, the
+  whole intersection would sit in a suffix of weight < t·W(A) <= t·W(∪)
+  <= W(∩), a contradiction. Boundary is kept non-strictly, so J == t
+  exactly survives.
+- **weighted length filter**: ``t_e6·max(W(A),W(B)) <= 1e6·min(...)``
+  (W(∩) <= min, >= t·max).
+- **weighted positional filter**: a prefix match with weight w and
+  post-match remaining weights remA/remB bounds the overlap by
+  ``w + min(remA, remB)``; J_w >= t needs
+  ``(1e6 + t_e6)·W(∩) >= t_e6·(W(A)+W(B))``. Complete because the first
+  common token attains the bound.
+
+Verify recomputes the exact weighted overlap with two id equi-joins on
+the exploded weighted tokens (no token arrays ever ship inside a row)
+and keeps ``1e6·W(∩) >= t_e6·(W(A)+W(B)−W(∩))``. Candidates scale with
+true near-dups; rarest-first (= heaviest-first) prefixes keep every
+prefix-token bucket small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["weighted_jaccard_pairs", "weighted_jaccard_pairs_sql"]
+
+#: IDF weight scale: w(t) = length(bin(greatest(1, IDF_SCALE div df(t))))
+#: = 1 + floor(log2(IDF_SCALE/df)) for df <= IDF_SCALE, else 1
+IDF_SCALE = 1 << 20
+
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _weighted_tokens(docs: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Distinct (id, tok, df, w): whitespace tokens of lower(trim(text)),
+    integer IDF weight."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.filter(
+            F.split(F.lower(F.trim(text_col)), _WS_CLASS),
+            lambda x: x != "",
+        ))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return toks.join(dfreq, "tok").withColumn(
+        "w", F.length(F.bin(F.greatest(
+            F.lit(1).cast("long"), F.expr(f"{IDF_SCALE} div df"))))
+        .cast("long"))
+
+
+def weighted_jaccard_pairs(docs: DataFrame, threshold_e6: int = 900_000,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           cleanup: list | None = None) -> DataFrame:
+    """All (a, b, inter_w, union_w, jaccard_e6) with IDF-weighted Jaccard
+    >= threshold_e6 ppm — identical to the brute-force O(n²) definition."""
+    t6 = int(threshold_e6)
+    wt = _weighted_tokens(docs, id_col, text_col).persist()
+    wt.count()
+    if cleanup is not None:
+        cleanup.append(wt)
+
+    wsum = wt.groupBy("id").agg(F.sum("w").alias("wsum"))
+    wo = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (
+        wt.join(wsum, "id")
+        .withColumn("cum_incl", F.sum("w").over(wo))
+    )
+    # prefix: suffix starting AT this token still carries >= t·W(A)
+    prefix = ranked.where(
+        F.lit(1_000_000) * (F.col("wsum") - (F.col("cum_incl") - F.col("w")))
+        >= F.lit(t6) * F.col("wsum"))
+
+    l = prefix.select(
+        "tok", F.col("id").alias("a"), F.col("w").alias("_w"),
+        F.col("wsum").alias("_wa"),
+        (F.col("wsum") - F.col("cum_incl")).alias("_rema"))
+    r = prefix.select(
+        "tok", F.col("id").alias("b"),
+        F.col("wsum").alias("_wb"),
+        (F.col("wsum") - F.col("cum_incl")).alias("_remb"))
+    cand = (
+        l.join(r, "tok")
+        .where(
+            (F.col("a") < F.col("b"))
+            # weighted length filter
+            & (F.lit(t6) * F.greatest("_wa", "_wb")
+               <= F.lit(1_000_000) * F.least("_wa", "_wb"))
+            # weighted positional filter (match weight + min remainders)
+            & (F.lit(1_000_000 + t6)
+               * (F.col("_w") + F.least("_rema", "_remb"))
+               >= F.lit(t6) * (F.col("_wa") + F.col("_wb")))
+        )
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+    ta = wt.select(F.col("id").alias("a"), "tok", F.col("w").alias("wa_tok"))
+    tb = wt.select(F.col("id").alias("b"), "tok")
+    inter = (
+        cand.join(ta, "a").join(tb, ["b", "tok"])
+        .groupBy("a", "b").agg(F.sum("wa_tok").alias("inter_w"))
+    )
+    sa = wsum.select(F.col("id").alias("a"), F.col("wsum").alias("wa"))
+    sb = wsum.select(F.col("id").alias("b"), F.col("wsum").alias("wb"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn("union_w", F.col("wa") + F.col("wb") - F.col("inter_w"))
+        .where(F.lit(1_000_000) * F.col("inter_w")
+               >= F.lit(t6) * F.col("union_w"))
+        .select(
+            "a", "b",
+            F.col("inter_w").cast("bigint").alias("inter_w"),
+            F.col("union_w").cast("bigint").alias("union_w"),
+            F.expr("1000000 * inter_w div union_w").cast("bigint")
+            .alias("jaccard_e6"),
+        )
+    )
+
+
+def weighted_jaccard_pairs_sql(threshold_e6: int = 900_000,
+                               table: str = "documents",
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> str:
+    """DuckDB brute-force oracle: weighted overlap via the co-occurring
+    token self-join (no filters — the definition itself)."""
+    t6 = int(threshold_e6)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(trim({text_col})), '{_WS_CLASS}'),
+           x -> x <> ''))) AS tok
+  FROM {table}),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+wt AS (
+  SELECT id, t.tok,
+         CAST(length(bin(greatest(1, {IDF_SCALE} // df))) AS BIGINT) AS w
+  FROM toks t JOIN dfreq USING (tok)),
+ws AS (SELECT id, sum(w) AS wsum FROM wt GROUP BY id),
+inter AS (
+  SELECT a.id AS a, b.id AS b, sum(a.w) AS iw
+  FROM wt a JOIN wt b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT a, b,
+       CAST(iw AS BIGINT) AS inter_w,
+       CAST(wa.wsum + wb.wsum - iw AS BIGINT) AS union_w,
+       CAST(1000000 * iw // (wa.wsum + wb.wsum - iw) AS BIGINT) AS jaccard_e6
+FROM inter
+JOIN ws wa ON wa.id = inter.a
+JOIN ws wb ON wb.id = inter.b
+WHERE 1000000 * iw >= {t6} * (wa.wsum + wb.wsum - iw)
+"""

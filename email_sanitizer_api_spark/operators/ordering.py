@@ -49,29 +49,32 @@ from email_sanitizer_api_spark.operators.simhash import (
 
 __all__ = [
     "global_rank",
+    "global_running_sum",
     "sorted_neighborhood_pairs",
     "sorted_neighborhood_pairs_sql",
 ]
 
 
-def global_rank(df: DataFrame, order_cols: list[str], bucket_col: str,
-                rank_col: str = "r") -> DataFrame:
-    """Dense 0-based global rank over ``order_cols`` (must be a total
-    order: include a unique id as the last key).
+def global_running_sum(df: DataFrame, order_cols: list[str], bucket_col: str,
+                       value_col: str, out_col: str = "off") -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` over the total order given by
+    ``order_cols`` — the distributed scan primitive — without the
+    single-partition window Spark would plan for ``sum().over(orderBy)``.
 
     ``bucket_col`` must already be on ``df`` and MONOTONE NON-DECREASING
     in the sort order (rows of bucket i all sort before rows of bucket
     i+1) — e.g. the high bits of the leading key. Bucket count is the
-    parallelism knob: counts/offsets are O(n_buckets) rows, data moves
-    through ONE hash exchange on the bucket id.
+    parallelism knob: per-bucket sums / running offsets are O(n_buckets)
+    rows, data moves through ONE hash exchange on the bucket id.
+    ``value_col`` must be non-null (coalesce upstream).
     """
-    counts = df.groupBy(bucket_col).agg(F.count("*").alias("_n"))
-    # running offsets over the count rows — O(n_buckets), not O(rows);
-    # the single-partition window is over bucket COUNTS only
+    sums = df.groupBy(bucket_col).agg(F.sum(value_col).alias("_n"))
+    # running offsets over the per-bucket sums — O(n_buckets), not
+    # O(rows); the single-partition window touches bucket SUMS only
     w = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
+    offsets = sums.select(
         F.col(bucket_col),
-        F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_boff"),
     )
     enriched = df.join(F.broadcast(offsets), bucket_col)
     clustered = (
@@ -81,7 +84,7 @@ def global_rank(df: DataFrame, order_cols: list[str], bucket_col: str,
     out_fields = [f for f in df.schema.fields]
     schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
-        + [f"{rank_col} bigint"])
+        + [f"{out_col} bigint"])
     names = [f.name for f in out_fields]
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,16 +92,31 @@ def global_rank(df: DataFrame, order_cols: list[str], bucket_col: str,
         for pdf in batches:
             if pdf.empty:
                 continue
-            ranks = []
-            for bkt, off in zip(pdf[bucket_col], pdf["_off"]):
+            outs = []
+            for bkt, boff, val in zip(pdf[bucket_col], pdf["_boff"],
+                                      pdf[value_col]):
                 local = seen.get(bkt, 0)
-                seen[bkt] = local + 1
-                ranks.append(int(off) + local)
+                outs.append(int(boff) + local)
+                seen[bkt] = local + int(val)
             out = pdf[names].copy()
-            out[rank_col] = pd.Series(ranks, index=pdf.index, dtype="int64")
+            out[out_col] = pd.Series(outs, index=pdf.index, dtype="int64")
             yield out
 
     return clustered.mapInPandas(assign, schema=schema)
+
+
+def global_rank(df: DataFrame, order_cols: list[str], bucket_col: str,
+                rank_col: str = "r") -> DataFrame:
+    """Dense 0-based global rank over ``order_cols`` (must be a total
+    order: include a unique id as the last key) — the exclusive running
+    sum of ones. See :func:`global_running_sum` for the bucket contract.
+    """
+    return (
+        global_running_sum(
+            df.withColumn("_one", F.lit(1).cast("long")),
+            order_cols, bucket_col, "_one", rank_col)
+        .drop("_one")
+    )
 
 
 def sorted_neighborhood_pairs(docs: DataFrame, window: int = 8,

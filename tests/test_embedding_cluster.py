@@ -130,3 +130,26 @@ def test_corpus_datacard_consistency(spark):
         assert 0 <= row["quality_q_mean"] <= 10_000
         assert 0 <= row["docs_with_secrets"] <= row["n_docs"]
         assert 0 <= row["docs_with_pii"] <= row["n_docs"]
+
+
+def test_medoid_keeper_invariants_and_centrality(spark):
+    import __spark_entry__ as entry
+    rows = entry.queries()["semantic_medoid_keepers"](
+        spark, "/root/testdata/sf0.001").collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    # exactly one keeper per cluster, and it attains the max centrality
+    # (ties broken by vec_id)
+    multi = 0
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m["is_keeper"] == 1]
+        assert len(keepers) == 1, cid
+        best = max(members,
+                   key=lambda m: (m["centrality_q"], -m["vec_id"]))
+        assert keepers[0]["vec_id"] == best["vec_id"]
+        if len(members) > 1:
+            multi += 1
+            # in a multi-member cluster the keeper has positive centrality
+            assert keepers[0]["centrality_q"] > 0
+    assert multi > 0  # non-vacuous: real clusters exist at sf0.001

@@ -1,0 +1,85 @@
+"""Sequence packing + distributed prefix scan (functions/packing.py,
+operators/ordering.global_running_sum)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.packing import sequence_packing
+from email_sanitizer_api_spark.operators.ordering import global_running_sum
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_running_sum_matches_pandas(spark):
+    pdf = pd.DataFrame({
+        "id": range(800),
+        "v": [(i * 37) % 11 for i in range(800)],
+    })
+    df = spark.createDataFrame(pdf).withColumn(
+        "_bkt", F.floor(F.col("id") / 64).cast("long"))
+    got = {r["id"]: r["off"]
+           for r in global_running_sum(df, ["id"], "_bkt", "v").collect()}
+    expected = pdf.sort_values("id")["v"].cumsum().shift(fill_value=0)
+    assert got == {i: int(expected.iloc[i]) for i in range(800)}
+
+
+def test_running_sum_exclusive_semantics(spark):
+    pdf = pd.DataFrame({"id": [1, 2, 3], "v": [10, 20, 30]})
+    df = spark.createDataFrame(pdf).withColumn("_bkt", F.lit(0).cast("long"))
+    got = {r["id"]: r["off"]
+           for r in global_running_sum(df, ["id"], "_bkt", "v").collect()}
+    assert got == {1: 0, 2: 10, 3: 30}
+
+
+def _py_layout(rows, seq_len):
+    import re
+    out = {}
+    off = 0
+    for doc_id, text in sorted(rows):
+        t = (text or "").strip()
+        n = 0 if t == "" else len(
+            [x for x in re.split(r"[ \t\n\x0B\f\r]+", t)])
+        seq_id = off // seq_len
+        last = (off + max(n, 1) - 1) // seq_len
+        out[doc_id] = (n, off, seq_id, last > seq_id)
+        off += n
+    return out
+
+
+def test_packing_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    expected = _py_layout(rows, 2048)
+    got = {r["doc_id"]: (r["n_tokens"], r["start_off"], r["seq_id"],
+                         r["crosses_boundary"])
+           for r in sequence_packing(docs, seq_len=2048).collect()}
+    assert got == expected
+    # layout is non-trivial: some doc crosses a sequence boundary and the
+    # corpus spans multiple sequences
+    assert any(v[3] for v in got.values())
+    assert len({v[2] for v in got.values()}) > 1
+
+
+def test_packing_total_order_is_gapless(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = sorted(
+        (r["doc_id"], r["start_off"], r["n_tokens"])
+        for r in sequence_packing(docs).collect())
+    off = 0
+    for _, start, n in rows:
+        assert start == off
+        off += n
+
+
+def test_packing_boundary_math(spark):
+    # 3 docs of 5 tokens each at seq_len 8: offsets 0,5,10
+    rows = [(0, "a b c d e"), (1, "f g h i j"), (2, "k l m n o")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: (r["start_off"], r["seq_id"], r["crosses_boundary"])
+           for r in sequence_packing(df, seq_len=8).collect()}
+    # doc 1 spans offsets 5-9 (crosses the 8-token boundary); doc 2 spans
+    # 10-14, entirely inside sequence 1
+    assert got == {0: (0, 0, False), 1: (5, 0, True), 2: (10, 1, False)}

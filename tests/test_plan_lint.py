@@ -40,6 +40,7 @@ EAGER = {
     "suffix_array_spans",
     "semantic_dedup_embeddings",
     "semantic_dedup_lsh",
+    "semantic_medoid_keepers",
     "cluster_split_assignment",
     "split_leakage_report",
     "semantic_dedup_kmeans",
@@ -127,6 +128,13 @@ EXCHANGE_BUDGET = {
     # window + bucket repartition + rank-block grouped map — the ranked
     # relation is referenced ONCE (operators/ordering.py)
     "sorted_neighborhood_pairs": 6,
+    # sequence packing: distributed prefix scan — bucket-sum agg + the
+    # O(buckets)-row SinglePartition offsets window + ONE data exchange
+    # (functions/packing.py)
+    "sequence_packing_layout": 3,
+    # weighted PPJoin: df agg + per-doc weight-sum/cumsum window + prefix
+    # self-join + weighted-overlap verify (functions/weighted_similarity.py)
+    "weighted_jaccard_pairs": 8,
     # chunk path: `source` rides the gram explode map-side (r04 s2) —
     # dropped the doc_id re-join's two exchanges (8 -> 6)
     "source_overlap_pairs": 6, "source_overlap_chunks": 6,

@@ -1,0 +1,112 @@
+"""IDF-weighted Jaccard join (functions/weighted_similarity.py)."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.weighted_similarity import (
+    IDF_SCALE,
+    weighted_jaccard_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_tokens(text: str) -> set[str]:
+    t = (text or "").strip().lower()
+    if not t:
+        return set()
+    return {x for x in re.split(r"[ \t\n\x0B\f\r]+", t) if x}
+
+
+def _py_weighted_pairs(rows, threshold_e6):
+    toksets = {i: _py_tokens(t) for i, t in rows}
+    df: dict[str, int] = {}
+    for s in toksets.values():
+        for t in s:
+            df[t] = df.get(t, 0) + 1
+    w = {t: max(1, IDF_SCALE // d).bit_length() for t, d in df.items()}
+    ws = {i: sum(w[t] for t in s) for i, s in toksets.items()}
+    out = {}
+    ids = sorted(toksets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            iw = sum(w[t] for t in toksets[a] & toksets[b])
+            uw = ws[a] + ws[b] - iw
+            if uw > 0 and 1_000_000 * iw >= threshold_e6 * uw:
+                out[(a, b)] = (iw, uw, 1_000_000 * iw // uw)
+    return out
+
+
+def test_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(150)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    expected = _py_weighted_pairs(rows, 900_000)
+    got = {(r["a"], r["b"]): (r["inter_w"], r["union_w"], r["jaccard_e6"])
+           for r in weighted_jaccard_pairs(docs).collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_boundary_threshold_inclusive(spark):
+    # two docs engineered to land EXACTLY on the threshold must survive
+    # (the non-strict prefix boundary): identical 9-token docs plus one
+    # doc-specific token each -> all dfs equal within groups
+    a = "alpha beta gamma delta epsilon zeta eta theta iota uniq_a"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota uniq_b"
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, a), (1, b)], columns=["doc_id", "text"]))
+    rows = weighted_jaccard_pairs(df, threshold_e6=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # shared tokens have df=2, uniques df=1: weights differ, exact math
+    w2 = max(1, IDF_SCALE // 2).bit_length()
+    w1 = max(1, IDF_SCALE // 1).bit_length()
+    assert r["inter_w"] == 9 * w2
+    assert r["union_w"] == 9 * w2 + 2 * w1
+    # re-run with the threshold set exactly at the pair's jaccard_e6:
+    # inclusive boundary keeps it
+    t = r["jaccard_e6"]
+    assert weighted_jaccard_pairs(df, threshold_e6=t).count() == 1
+    assert weighted_jaccard_pairs(df, threshold_e6=t + 1).count() == 0
+
+
+def test_idf_downweights_boilerplate(spark):
+    # pair X shares only ubiquitous tokens; pair Y shares the same COUNT
+    # of rare tokens -> Y scores strictly higher weighted jaccard
+    common = "the import def return for while class if else print"
+    rows = [(0, common + " xx1 xx2"), (1, common + " yy1 yy2")]
+    rows += [(i + 10, common + f" filler{i}a filler{i}b") for i in range(20)]
+    # Y pair: shares 2 RARE tokens; the non-shared tokens are boilerplate
+    rows += [(100, "rareapi_sigma rareapi_tau the import"),
+             (101, "rareapi_sigma rareapi_tau def return")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {(r["a"], r["b"]): r["jaccard_e6"]
+           for r in weighted_jaccard_pairs(df, threshold_e6=1).collect()}
+    # X shares 10 boilerplate tokens (df=23) and differs on rare ones —
+    # weighting must pull it BELOW its unweighted 10/14; Y shares rare
+    # tokens and differs on boilerplate — weighting must push it ABOVE
+    # its unweighted 2/6
+    jx = got[(0, 1)]
+    jy = got[(100, 101)]
+    assert jx < 1_000_000 * 10 // 14
+    assert jy > 1_000_000 * 2 // 6
+
+
+def test_candidates_are_pruned(spark):
+    from email_sanitizer_api_spark.functions.weighted_similarity import (
+        _weighted_tokens)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    # the final pair count at 0.9 is far below all-pairs — and the plan
+    # contains no cartesian anywhere
+    pairs = weighted_jaccard_pairs(docs)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert pairs.count() < n * (n - 1) // 4
