@@ -2114,6 +2114,76 @@ def _sql_weighted_jaccard_pairs() -> str:
     return weighted_jaccard_pairs_sql()
 
 
+def _q_line_dedup_documents(spark, sf_dir):
+    """CCNet/RefinedWeb-style line-level boilerplate removal: non-blank
+    lines recurring across >=10 docs (license headers, shared imports)
+    are dropped and each doc reassembled from its survivors. Lines ship
+    through the frequency shuffle as md5 keys; the boilerplate set
+    (bounded by total_lines/min_docs) is broadcast back
+    (functions/line_dedup.py). The single-line corpus is wrapped by the
+    deterministic with_planted_lines view (per-source header, per-(lang,
+    doc_id%5) import, body split at char 60)."""
+    from email_sanitizer_api_spark.functions.line_dedup import (
+        line_dedup, with_planted_lines)
+    return line_dedup(with_planted_lines(_t(spark, sf_dir, "documents")),
+                      min_docs=10)
+
+
+def _sql_line_dedup_documents() -> str:
+    from email_sanitizer_api_spark.functions.line_dedup import (
+        line_dedup_sql, with_planted_lines_sql)
+    return line_dedup_sql(with_planted_lines_sql(), min_docs=10)
+
+
+def _q_chunk_layout_documents(spark, sf_dir):
+    """Overlapping fixed-window chunk layout (embedding/eval slicing):
+    128-char chunks at stride 96 — one posexplode over a sequence()
+    start grid, substring + md5 in the same codegen span, ZERO
+    exchanges; empty docs yield exactly one empty chunk so row lineage
+    is conserved (functions/chunking.py)."""
+    from email_sanitizer_api_spark.functions.chunking import chunk_layout
+    return chunk_layout(_t(spark, sf_dir, "documents"),
+                        chunk_len=128, stride=96)
+
+
+def _sql_chunk_layout_documents() -> str:
+    from email_sanitizer_api_spark.functions.chunking import chunk_layout_sql
+    return chunk_layout_sql("documents", chunk_len=128, stride=96)
+
+
+def _q_bloom_prune_new_batch(spark, sf_dir):
+    """Deterministic Bloom-filter state-join pre-prune: the filter is
+    built over the even-doc_id half's content md5s (distributed bit_or
+    of 32-bit words, then a FIXED-size m_bits/32-long driver array —
+    bounded artifact, same justification as the <=500k-edge driver-UF),
+    and every row is probed JVM-side via element_at + bitmask. m=512
+    bits for 250 keys makes false positives COMMON — and because the
+    positions are md5-derived, DuckDB reproduces every one bit-for-bit,
+    so the FP branch itself is hash-checked. `known` is the exact join
+    the filter would prune (functions/bloom.py); no false negatives by
+    construction (pinned by pytest at several sizes)."""
+    from email_sanitizer_api_spark.functions.bloom import (
+        bloom_might_contain, bloom_word_array)
+    M, K = 512, 2
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("sha"))
+    state = keyed.where(F.col("doc_id") % 2 == 0).select("sha").distinct()
+    words = bloom_word_array(state, "sha", M, K)
+    probe = keyed.select(
+        "doc_id", "sha",
+        bloom_might_contain(F.col("sha"), words, M, K).alias("bloom_hit"))
+    return (
+        probe.join(state.withColumn("_known", F.lit(True)), "sha", "left")
+        .select("doc_id", "bloom_hit",
+                F.coalesce("_known", F.lit(False)).alias("known")))
+
+
+def _sql_bloom_prune_new_batch() -> str:
+    from email_sanitizer_api_spark.functions.bloom import bloom_prune_sql
+    return bloom_prune_sql("documents", m_bits=512, k=2)
+
+
 def _q_containment_pairs(spark, sf_dir):
     """Exact-substring containment: doc A verbatim inside doc B (vendored
     copies with prepended/appended wrapping — low symmetric Jaccard, so the
@@ -2342,6 +2412,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing_layout": _q_sequence_packing,
         # IDF-weighted Jaccard similarity join (r04 s3)
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
+        # line-level boilerplate dedup (r04, fourth session)
+        "line_dedup_documents": _q_line_dedup_documents,
+        # overlapping chunk layout (r04 s4)
+        "chunk_layout_documents": _q_chunk_layout_documents,
+        # Bloom-filter state-join pre-prune (r04 s4)
+        "bloom_prune_new_batch": _q_bloom_prune_new_batch,
     }
 
 
@@ -2440,6 +2516,12 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing_layout": _sql_sequence_packing(),
         # IDF-weighted Jaccard join (r04, third session)
         "weighted_jaccard_pairs": _sql_weighted_jaccard_pairs(),
+        # line-level boilerplate dedup (r04, fourth session)
+        "line_dedup_documents": _sql_line_dedup_documents(),
+        # overlapping chunk layout (r04, fourth session)
+        "chunk_layout_documents": _sql_chunk_layout_documents(),
+        # Bloom-filter state-join pre-prune (r04, fourth session)
+        "bloom_prune_new_batch": _sql_bloom_prune_new_batch(),
         # semantic_dedup_kmeans: intentionally omitted — k-means list
         # assignment (Lloyd-refined centroids) is the probabilistic
         # production path; semantic_dedup_embeddings is its exact oracle

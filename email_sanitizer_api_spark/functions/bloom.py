@@ -1,0 +1,134 @@
+"""Deterministic cross-engine Bloom filter for state-join pre-pruning.
+
+At 100 TB the incremental fold's "which of these batch shas does the
+state already know?" join shuffles the whole batch against the whole
+state. A Bloom filter built over the state keys turns that into a
+broadcast BITMAP probe: rows the filter rejects are *definitely new*
+and skip the join entirely; only possible hits (true members plus the
+bounded false-positive tail) continue into the exact join. No false
+negatives, so correctness is untouched — the filter only prunes work.
+
+Unlike ``df.stat.bloomFilter`` (JVM object, py4j per-row probing) this
+filter is pure Column math end to end: k md5-derived 60-bit hashes
+(the same cross-engine idiom as the Merkle rollup,
+``operators/repo_level.py``), 32-bit words OR-folded by a partial-
+aggregable ``bit_or``, and a probe that is ``element_at`` + bitmask in
+one codegen span. The word array is collected to the driver — a
+FIXED-size artifact (``m_bits/32`` longs, independent of state size;
+that is the point of a Bloom filter) — and re-broadcast as an array
+literal, the same bounded-driver-artifact pattern as the <=500k-edge
+union-find.
+
+Deterministic md5 hashing makes even the false positives reproducible
+in DuckDB, so the contract query (``bloom_prune_new_batch``) is
+hash-exact, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bloom_positions",
+    "bloom_word_rows",
+    "bloom_word_array",
+    "bloom_might_contain",
+]
+
+
+def _mask(p: Column) -> Column:
+    """``1 << (p % 32)`` as a long — via pow(2, .) because shiftleft's
+    bit count must be a literal; doubles are exact far past 2^31."""
+    return F.pow(F.lit(2.0), (p % 32).cast("double")).cast("long")
+
+
+def bloom_positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions in [0, m_bits) for ``key``: 60-bit md5 of
+    ``key || ':' || i`` mod m_bits (always non-negative)."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(f":{i}"))), 1, 15),
+            16, 10,
+        ).cast("long") % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_word_rows(keys: DataFrame, key_col: str, m_bits: int = 1 << 16,
+                    k: int = 3) -> DataFrame:
+    """Distributed build: ``(word_idx, bits)`` rows, 32-bit words
+    OR-folded with a map-side-combining ``bit_or`` (masks stay < 2^31,
+    so the arithmetic is overflow-free in both engines)."""
+    pos = keys.select(
+        F.explode(F.array(*bloom_positions(F.col(key_col), m_bits, k))
+                  ).alias("p"))
+    mask = _mask(F.col("p"))
+    return (
+        pos.withColumn("__mask", mask)
+        .groupBy((F.col("p") / 32).cast("long").alias("word_idx"))
+        .agg(F.expr("bit_or(__mask)").alias("bits"))
+    )
+
+
+def bloom_word_array(keys: DataFrame, key_col: str, m_bits: int = 1 << 16,
+                     k: int = 3) -> list[int]:
+    """Collect the word rows into a dense ``m_bits/32``-long python list
+    (driver-side, but FIXED size — set by ``m_bits``, not by how many
+    keys went in)."""
+    n_words = (m_bits + 31) // 32
+    words = [0] * n_words
+    for row in bloom_word_rows(keys, key_col, m_bits, k).collect():
+        words[int(row["word_idx"])] = int(row["bits"])
+    return words
+
+
+def bloom_might_contain(key: Column, words: list[int], m_bits: int,
+                        k: int = 3) -> Column:
+    """Membership probe against a collected word array: k element_at +
+    bitmask tests ANDed in one codegen span. False negatives are
+    impossible; false-positive rate ~= (1 - e^{-kn/m})^k."""
+    arr = F.lit(words)
+    cond = F.lit(True)
+    for p in bloom_positions(key, m_bits, k):
+        word = F.element_at(arr, (p / 32).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(_mask(p)) != 0)
+    return cond
+
+
+def bloom_prune_sql(table: str = "documents", m_bits: int = 1 << 16,
+                    k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """DuckDB twin of the ``bloom_prune_new_batch`` contract query:
+    rebuilds the SAME filter (same md5 positions, same 32-bit words) in
+    SQL and probes every row, so even false positives match
+    bit-for-bit."""
+    ks = ", ".join(str(i) for i in range(k))
+    return f"""
+WITH keyed AS (
+  SELECT {id_col}, md5(coalesce({text_col}, '')) AS sha FROM {table}
+), state AS (
+  SELECT DISTINCT sha FROM keyed WHERE {id_col} % 2 = 0
+), pos AS (
+  SELECT (('0x' || substring(md5(sha || ':' || i), 1, 15))::BIGINT
+          % {m_bits}) AS p
+  FROM state, LATERAL (SELECT unnest([{ks}]) AS i) u
+), words AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+), probe AS (
+  SELECT k2.{id_col}, k2.sha,
+         (('0x' || substring(md5(k2.sha || ':' || i), 1, 15))::BIGINT
+          % {m_bits}) AS p
+  FROM keyed k2, LATERAL (SELECT unnest([{ks}]) AS i) u
+), hit AS (
+  SELECT {id_col}, sha,
+         bool_and((coalesce(w.bits, 0)
+                   & (1::BIGINT << CAST(p % 32 AS INT))) <> 0) AS bloom_hit
+  FROM probe LEFT JOIN words w ON probe.p // 32 = w.word_idx
+  GROUP BY 1, 2
+)
+SELECT h.{id_col}, h.bloom_hit, (s.sha IS NOT NULL) AS known
+FROM hit h LEFT JOIN state s ON h.sha = s.sha
+"""

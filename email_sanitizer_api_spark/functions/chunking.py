@@ -1,0 +1,77 @@
+"""Overlapping fixed-window document chunking (training/embedding layout).
+
+The complement of ``functions/packing.py``: packing concatenates docs
+into fixed token sequences; chunking slices each document into
+fixed-length windows with overlap (the layout embedding models and
+long-context eval sets consume). Chunk starts step by ``stride =
+chunk_len - overlap``; the last window is the first one whose start
+reaches the text (it may be short — no padding here, padding is the
+loader's job).
+
+Scale shape: this is a pure NARROW transform — one ``posexplode`` over
+a ``sequence()`` literal per row, substring + md5 in the same codegen
+span, zero exchanges. Output row count is ``ceil(len/stride)`` per doc,
+so the fan-out is bounded and proportional to bytes read. Empty
+documents yield exactly one empty chunk (kept, so every input row is
+accounted for downstream — the invariant the per-partition lineage
+manifest counts rely on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["chunk_layout", "chunk_layout_sql"]
+
+
+def chunk_layout(docs: DataFrame, chunk_len: int = 256, stride: int = 192,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-chunk layout rows: ``(id_col, chunk_idx, start_off,
+    chunk_chars, chunk_md5)``. ``stride`` < ``chunk_len`` gives
+    ``chunk_len - stride`` chars of overlap between neighbours."""
+    if not (0 < stride <= chunk_len):
+        raise ValueError("need 0 < stride <= chunk_len")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(txt) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    e = docs.select(
+        F.col(id_col),
+        txt.alias("_txt"),
+        F.posexplode(starts).alias("chunk_idx", "start_off"),
+    )
+    chunk = F.col("_txt").substr(F.col("start_off") + 1, F.lit(chunk_len))
+    return e.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_off").cast("long").alias("start_off"),
+        F.length(chunk).cast("long").alias("chunk_chars"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+def chunk_layout_sql(table: str = "documents", chunk_len: int = 256,
+                     stride: int = 192, id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """DuckDB twin of :func:`chunk_layout` (same start grid, same
+    one-empty-chunk rule for empty docs)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, coalesce({text_col}, '') AS txt FROM {table}
+), s AS (
+  SELECT {id_col}, txt, i AS start_off
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0, greatest(length(txt) - 1, 0),
+                                  {stride})) AS i) u
+)
+SELECT {id_col},
+       CAST(start_off // {stride} AS BIGINT) AS chunk_idx,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(length(substr(txt, start_off + 1, {chunk_len})) AS BIGINT)
+         AS chunk_chars,
+       md5(substr(txt, start_off + 1, {chunk_len})) AS chunk_md5
+FROM s
+"""

@@ -1,0 +1,162 @@
+"""Line-level boilerplate removal (CCNet / RefinedWeb-style line dedup).
+
+Drops lines that recur across ``min_docs``+ distinct documents — license
+header lines, shared import blocks, generated-file banners — and
+reassembles each document from its surviving lines. This is the
+line-granularity sibling of the file-level exact dedup
+(``operators/exact.py``) and the segment-level pass
+(``functions/segments.py``): exact dedup collapses whole identical
+files, segment dedup collapses repeated windows, line dedup removes the
+corpus-wide boilerplate VOCABULARY that makes near-dup signatures
+collide (the reference strips one known header pattern per file,
+`src/handlers/validation/syntax.rs`-adjacent normalize stage; a corpus
+engine has to learn the boilerplate from the data instead).
+
+Scale shape (the 100-TB audit, PLANS.md has the full entry):
+
+- lines are shipped through the frequency shuffle as ``md5(line)``
+  (32 hex chars) rather than raw text, so shuffle volume is bounded by
+  line COUNT, not line bytes;
+- the boilerplate set (df >= min_docs) is at most ``total_lines /
+  min_docs`` rows — at any realistic threshold it is orders of
+  magnitude smaller than the corpus and is BROADCAST back, so the
+  flagging join never shuffles the line table a second time;
+- reassembly is one groupBy(doc) with ``array_sort(collect_list(...))``
+  — per-doc state only, no global sort.
+
+Blank lines are never treated as boilerplate (every corpus would drop
+them) — they are exempt from the frequency set and always kept.
+
+The synthetic corpus is single-line, so the contract query wraps it
+with :func:`with_planted_lines` (deterministic multi-line derivation
+from the table's own columns — same idiom as
+``corpus_stats.with_planted_urls``): a per-source license header
+(high df), a per-(lang, doc_id%5) import line (moderate df), and the
+original text split into two body lines (mostly unique).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_planted_lines",
+    "with_planted_lines_sql",
+    "line_dedup",
+    "line_dedup_sql",
+]
+
+
+def with_planted_lines(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Deterministic multi-line view of a single-line corpus: license
+    header (per source), import line (per lang and ``doc_id % 5``), then
+    the original text split at char 60. Character-identical DuckDB twin:
+    :func:`with_planted_lines_sql`."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    header = F.concat(F.lit("// (c) "), F.col("source"),
+                      F.lit(" contributors - all rights reserved"))
+    imp = F.concat(F.lit("import "), F.col("lang"), F.lit("_mod_"),
+                   (F.col(id_col) % 5).cast("string"))
+    body1 = F.substring(txt, 1, 60)
+    body2 = txt.substr(F.lit(61), F.greatest(F.length(txt) - 60, F.lit(0)))
+    planted = F.concat_ws("\n", header, imp, body1, body2)
+    return docs.withColumn(text_col, planted)
+
+
+def with_planted_lines_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB twin of :func:`with_planted_lines`, usable as FROM subquery."""
+    return f"""(
+  SELECT * REPLACE (
+    '// (c) ' || source || ' contributors - all rights reserved'
+    || chr(10) || 'import ' || lang || '_mod_'
+    || CAST({id_col} % 5 AS VARCHAR)
+    || chr(10) || substr(coalesce({text_col}, ''), 1, 60)
+    || chr(10) || substr(coalesce({text_col}, ''), 61) AS {text_col})
+  FROM {table})"""
+
+
+def line_dedup(docs: DataFrame, min_docs: int = 10,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document line-dedup report.
+
+    Output: ``(id_col, n_lines, n_dropped, cleaned_chars, cleaned_md5)``
+    where ``cleaned_md5`` digests the document reassembled from the
+    lines NOT in the corpus boilerplate set (non-blank lines appearing
+    in >= ``min_docs`` distinct documents).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
+    ).withColumn("line_key", F.md5("line"))
+
+    # boilerplate set: non-blank lines recurring across min_docs docs.
+    # Shipped as md5 keys; bounded by total_lines/min_docs rows.
+    boiler = (
+        lines.where(F.trim("line") != "")
+        .groupBy("line_key")
+        .agg(F.countDistinct(id_col).alias("df_docs"))
+        .where(F.col("df_docs") >= min_docs)
+        .select("line_key", F.lit(True).alias("_boiler"))
+    )
+
+    flagged = (
+        lines.join(F.broadcast(boiler), "line_key", "left")
+        .withColumn("_boiler", F.coalesce(F.col("_boiler"), F.lit(False)))
+    )
+    kept_arr = F.array_sort(F.collect_list(
+        F.when(~F.col("_boiler"), F.struct("pos", "line"))))
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_boiler").cast("long")).alias("n_dropped"),
+        kept_arr.alias("_kept"),
+    )
+    cleaned = F.array_join(
+        F.transform(F.col("_kept"), lambda x: x["line"]), "\n")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.col("n_dropped"),
+        F.length(cleaned).cast("long").alias("cleaned_chars"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
+def line_dedup_sql(table: str = "documents", min_docs: int = 10,
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`line_dedup` (same md5 line keys, same
+    blank-line exemption, same pos-ordered reassembly)."""
+    return f"""
+WITH lines AS (
+  SELECT {id_col}, i - 1 AS pos, parts[i] AS line
+  FROM (SELECT {id_col},
+               string_split(coalesce({text_col}, ''), chr(10)) AS parts
+        FROM {table}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) u
+), boiler AS (
+  SELECT md5(line) AS line_key
+  FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT {id_col}) >= {min_docs}
+), flagged AS (
+  SELECT l.{id_col}, l.pos, l.line,
+         (b.line_key IS NOT NULL) AS boiler
+  FROM lines l LEFT JOIN boiler b ON md5(l.line) = b.line_key
+), per_doc AS (
+  SELECT {id_col},
+         count(*) AS n_lines,
+         sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_dropped,
+         coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE NOT boiler), '') AS cleaned
+  FROM flagged GROUP BY 1
+)
+SELECT {id_col},
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_dropped AS BIGINT) AS n_dropped,
+       CAST(length(cleaned) AS BIGINT) AS cleaned_chars,
+       md5(cleaned) AS cleaned_md5
+FROM per_doc
+"""

@@ -1,0 +1,130 @@
+"""Overlapping chunk layout (functions/chunking.py) + Bloom pre-prune
+(functions/bloom.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.bloom import (
+    bloom_might_contain,
+    bloom_word_array,
+)
+from email_sanitizer_api_spark.functions.chunking import chunk_layout
+
+
+def _mk(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+
+
+def _py_chunks(text, chunk_len, stride):
+    t = text or ""
+    starts = list(range(0, max(len(t) - 1, 0) + 1, stride))
+    return [(i, s, t[s:s + chunk_len]) for i, s in enumerate(starts)]
+
+
+def test_matches_python_oracle(spark):
+    texts = ["abcdefghij" * 7, "x", "", "short text", "ab" * 500, None]
+    rows = chunk_layout(_mk(spark, texts), chunk_len=16, stride=10).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_off"], r["chunk_chars"],
+             r["chunk_md5"]))
+    for i, t in enumerate(texts):
+        exp = [(ci, s, len(c), hashlib.md5(c.encode()).hexdigest())
+               for ci, s, c in _py_chunks(t, 16, 10)]
+        assert sorted(got[i]) == exp, i
+
+
+def test_overlap_reconstructs_text(spark):
+    # stride < chunk_len: consecutive chunks overlap by chunk_len-stride
+    text = "0123456789" * 20
+    rows = sorted(
+        chunk_layout(_mk(spark, [text]), chunk_len=32, stride=24).collect(),
+        key=lambda r: r["chunk_idx"])
+    assert rows[0]["start_off"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_off"] - a["start_off"] == 24
+    # full coverage: last chunk reaches the end
+    last = rows[-1]
+    assert last["start_off"] + last["chunk_chars"] == len(text)
+
+
+def test_empty_doc_yields_one_empty_chunk(spark):
+    rows = chunk_layout(_mk(spark, ["", None]), 64, 48).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r["chunk_idx"], r["start_off"], r["chunk_chars"]) == (0, 0, 0)
+        assert r["chunk_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_exact_multiple_has_no_empty_tail_chunk(spark):
+    # len == 2*stride: starts grid stops at len-1, no zero-length chunk
+    rows = chunk_layout(_mk(spark, ["a" * 96]), chunk_len=48,
+                        stride=48).collect()
+    assert len(rows) == 2 and all(r["chunk_chars"] == 48 for r in rows)
+
+
+def test_invalid_stride_rejected(spark):
+    with pytest.raises(ValueError):
+        chunk_layout(_mk(spark, ["x"]), chunk_len=10, stride=0)
+    with pytest.raises(ValueError):
+        chunk_layout(_mk(spark, ["x"]), chunk_len=10, stride=11)
+
+
+def test_chunking_is_exchange_free(spark):
+    plan = chunk_layout(
+        _mk(spark, ["abc" * 50]), 32, 24)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame(pd.DataFrame({"k": keys}))
+
+
+@pytest.mark.parametrize("m_bits,k", [(256, 2), (4096, 3), (1 << 16, 3)])
+def test_bloom_no_false_negatives(spark, m_bits, k):
+    members = [f"key-{i}" for i in range(200)]
+    words = bloom_word_array(_keys_df(spark, members), "k", m_bits, k)
+    assert len(words) == (m_bits + 31) // 32
+    probe = _keys_df(spark, members).select(
+        bloom_might_contain(F.col("k"), words, m_bits, k).alias("hit"))
+    assert probe.where(~F.col("hit")).count() == 0
+
+
+def test_bloom_fp_rate_near_theory(spark):
+    import math
+    m_bits, k, n = 2048, 3, 200
+    members = [f"m-{i}" for i in range(n)]
+    others = [f"o-{i}" for i in range(2000)]
+    words = bloom_word_array(_keys_df(spark, members), "k", m_bits, k)
+    fp = (_keys_df(spark, others)
+          .where(bloom_might_contain(F.col("k"), words, m_bits, k))
+          .count()) / 2000
+    theory = (1 - math.exp(-k * n / m_bits)) ** k
+    assert fp <= 3 * theory + 0.01, (fp, theory)
+
+
+def test_bloom_prune_keeps_all_true_members(spark):
+    # the pre-prune use: rows the filter rejects never reach the state
+    # join; every known sha must survive the filter
+    m_bits, k = 512, 2
+    state_keys = [f"sha-{i}" for i in range(150)]
+    batch = state_keys + [f"new-{i}" for i in range(300)]
+    words = bloom_word_array(_keys_df(spark, state_keys), "k", m_bits, k)
+    kept = (_keys_df(spark, batch)
+            .where(bloom_might_contain(F.col("k"), words, m_bits, k)))
+    kept_set = {r["k"] for r in kept.collect()}
+    assert set(state_keys) <= kept_set
+    # and the filter actually prunes something at this density
+    assert len(kept_set) < len(batch)

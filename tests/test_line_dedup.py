@@ -1,0 +1,100 @@
+"""Line-level boilerplate dedup (functions/line_dedup.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.line_dedup import (
+    line_dedup,
+    with_planted_lines,
+)
+
+
+def _mk(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+
+
+def _py_line_dedup(texts, min_docs):
+    """Pure-python third engine."""
+    from collections import defaultdict
+    df_docs = defaultdict(set)
+    for i, t in enumerate(texts):
+        for ln in (t or "").split("\n"):
+            if ln.strip() != "":
+                df_docs[ln].add(i)
+    boiler = {ln for ln, docs in df_docs.items() if len(docs) >= min_docs}
+    out = {}
+    for i, t in enumerate(texts):
+        lines = (t or "").split("\n")
+        kept = [ln for ln in lines if ln not in boiler]
+        cleaned = "\n".join(kept)
+        out[i] = (len(lines), len(lines) - len(kept), len(cleaned),
+                  hashlib.md5(cleaned.encode()).hexdigest())
+    return out
+
+
+def test_matches_python_oracle(spark):
+    texts = []
+    for i in range(30):
+        header = "// shared header"
+        body = f"unique body line {i}"
+        rare = "rare line" if i < 3 else f"filler {i}"
+        texts.append("\n".join([header, rare, body]))
+    got = {r["doc_id"]: (r["n_lines"], r["n_dropped"], r["cleaned_chars"],
+                         r["cleaned_md5"])
+           for r in line_dedup(_mk(spark, texts), min_docs=5).collect()}
+    assert got == _py_line_dedup(texts, 5)
+
+
+def test_blank_lines_never_dropped(spark):
+    texts = ["a\n\nb", "c\n\nd", "e\n\nf", "g\n\nh"]
+    res = {r["doc_id"]: r for r in
+           line_dedup(_mk(spark, texts), min_docs=2).collect()}
+    # the blank middle line recurs in all 4 docs but must survive
+    for i in range(4):
+        assert res[i]["n_dropped"] == 0
+        assert res[i]["n_lines"] == 3
+
+
+def test_threshold_boundary(spark):
+    # line in exactly min_docs docs -> dropped; min_docs-1 -> kept
+    texts = (["at3\nu%d" % i for i in range(3)]
+             + ["at2\nv%d" % i for i in range(2)])
+    res = {r["doc_id"]: r["n_dropped"] for r in
+           line_dedup(_mk(spark, texts), min_docs=3).collect()}
+    assert [res[i] for i in range(5)] == [1, 1, 1, 0, 0]
+
+
+def test_duplicate_line_within_one_doc_counts_once(spark):
+    # "x" appears twice in doc0 but in only 2 distinct docs < min_docs=3
+    texts = ["x\nx\na", "x\nb", "c\nd", "e\nf"]
+    res = {r["doc_id"]: r["n_dropped"] for r in
+           line_dedup(_mk(spark, texts), min_docs=3).collect()}
+    assert res[0] == 0 and res[1] == 0
+
+
+def test_all_lines_dropped_yields_empty_md5(spark):
+    texts = ["same"] * 6 + ["other\nsame"]
+    res = {r["doc_id"]: r for r in
+           line_dedup(_mk(spark, texts), min_docs=6).collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert res[0]["cleaned_md5"] == empty_md5
+    assert res[0]["cleaned_chars"] == 0
+    assert res[6]["n_dropped"] == 1 and res[6]["cleaned_chars"] == 5
+
+
+def test_planted_lines_structure(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = with_planted_lines(docs)
+    n_lines = planted.select(
+        F.size(F.split("text", "\n", -1)).alias("n")).agg(
+        F.min("n"), F.max("n")).collect()[0]
+    assert n_lines[0] == 4 and n_lines[1] == 4
+    # header is per-source: recurs across every doc of that source
+    hdr = planted.select(
+        F.split("text", "\n", -1).getItem(0).alias("h"), "source").distinct()
+    assert hdr.groupBy("source").count().where("count > 1").count() == 0

@@ -140,6 +140,16 @@ EXCHANGE_BUDGET = {
     "source_overlap_pairs": 6, "source_overlap_chunks": 6,
     "minhash_near_dup_pairs_est": 9, "token_jaccard_pairs": 10,
     "neardup_decontamination_report": 12,
+    # line dedup: md5-keyed line-frequency distinct agg (2-level) + the
+    # per-doc reassembly groupBy; boilerplate set joins back broadcast
+    # (functions/line_dedup.py)
+    "line_dedup_documents": 3,
+    # chunk layout: pure narrow explode+substring — exchange-free
+    "chunk_layout_documents": 0,
+    # bloom probe is codegen over an array literal; the one exchange is
+    # the state-sha distinct feeding the exact `known` audit join
+    # (functions/bloom.py)
+    "bloom_prune_new_batch": 1,
 }
 
 
