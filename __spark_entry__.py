@@ -2184,6 +2184,27 @@ def _sql_bloom_prune_new_batch() -> str:
     return bloom_prune_sql("documents", m_bits=512, k=2)
 
 
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Levenshtein-threshold similarity join (PassJoin segment blocking,
+    PVLDB'11): pigeonhole t+1 segments per indexed string, substring
+    probes in the ±t shift window, ONE equi-join on (segment, index,
+    length) + bounded-levenshtein verify — never the O(n²) compare. The
+    corpus has no natural short-key column, so the table is wrapped by
+    `with_planted_fnames` (md5-stem filename groups carrying fixed
+    1/2/3/5-edit variants derived from doc_id alone, identical expression
+    in the DuckDB oracle) (functions/edit_distance.py)."""
+    from email_sanitizer_api_spark.functions.edit_distance import (
+        edit_distance_pairs, with_planted_fnames)
+    docs = with_planted_fnames(_t(spark, sf_dir, "documents"))
+    return edit_distance_pairs(docs)
+
+
+def _sql_edit_distance_pairs() -> str:
+    from email_sanitizer_api_spark.functions.edit_distance import (
+        edit_distance_pairs_sql, with_planted_fnames_sql)
+    return edit_distance_pairs_sql(table=with_planted_fnames_sql())
+
+
 def _q_containment_pairs(spark, sf_dir):
     """Exact-substring containment: doc A verbatim inside doc B (vendored
     copies with prepended/appended wrapping — low symmetric Jaccard, so the
@@ -2418,6 +2439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_layout_documents": _q_chunk_layout_documents,
         # Bloom-filter state-join pre-prune (r04 s4)
         "bloom_prune_new_batch": _q_bloom_prune_new_batch,
+        # Levenshtein-threshold similarity join (r04, fifth session)
+        "edit_distance_pairs": _q_edit_distance_pairs,
     }
 
 
@@ -2522,6 +2545,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_layout_documents": _sql_chunk_layout_documents(),
         # Bloom-filter state-join pre-prune (r04, fourth session)
         "bloom_prune_new_batch": _sql_bloom_prune_new_batch(),
+        # Levenshtein-threshold similarity join (r04, fifth session)
+        "edit_distance_pairs": _sql_edit_distance_pairs(),
         # semantic_dedup_kmeans: intentionally omitted — k-means list
         # assignment (Lloyd-refined centroids) is the probabilistic
         # production path; semantic_dedup_embeddings is its exact oracle

@@ -1,0 +1,252 @@
+"""Edit-distance similarity join (PassJoin-style segment blocking).
+
+Token/shingle Jaccard and MinHash treat a string as a SET, so they are
+blind to the class of near-duplicates that differ by a handful of
+single-character edits concentrated in one token (version bumps in a
+path, one renamed identifier in a short key, an off-by-one-char typo in
+a vendored filename). The standard exact operator for that class is the
+string-similarity join under a Levenshtein threshold ``t``.
+
+The O(n²) definition (compare every pair) is a scale-killer; the
+candidate generator here is the segment/substring blocking scheme of
+PassJoin (Li, Deng, Wang, Feng — "PASS-JOIN: a partition-based method
+for similarity joins", PVLDB 5(3), 2011), chosen because every piece of
+it is pure integer/substring arithmetic, hence expressible identically
+in Spark SQL and the DuckDB oracle:
+
+- **pigeonhole partition**: split every indexed string ``s`` (length
+  ``ls``) into ``k = t+1`` contiguous segments (even partition: the
+  first ``k - ls%k`` segments have length ``ls div k``, the rest one
+  more). If ``ed(s, r) <= t``, at least one of the ``k`` segments of
+  ``s`` appears in ``r`` EXACTLY (t edits cannot touch t+1 disjoint
+  segments).
+- **substring probe window**: for a probe string ``r`` (length ``lr``)
+  and an assumed index length ``ls`` in ``[lr-t, lr+t]``, segment ``i``
+  of the ``ls``-partition (start ``p_i``, length ``l_i``) can only
+  match a substring of ``r`` starting in ``[p_i - t, p_i + t]``
+  (a matching segment cannot be displaced by more than the number of
+  edits). This loose window is complete; PassJoin's multi-match-aware
+  tightening is an optimization we trade for oracle parity.
+- **equi-join on (segment text, segment index, indexed length)** — a
+  plain shuffle-partitionable hash join; candidates are pairs sharing a
+  positioned segment, not all pairs. Each unordered pair is generated
+  under one orientation only (shorter string is the indexed side; ties
+  by id), then ``DISTINCT`` collapses multi-segment matches.
+- **verify**: ``levenshtein(s, r) <= t`` on the survivors. Both engines
+  implement the classic DP definition; inputs here are short ASCII keys
+  so codepoint-vs-byte semantics cannot diverge. Spark evaluates the
+  bounded form ``levenshtein(s, r, t)`` (early-abandon above ``t``,
+  returns -1) — within the threshold it equals the unbounded value the
+  oracle computes.
+
+Scale shape: two narrow explodes (index: k rows/string, probe:
+O(k * (2t+1)^2) rows/string — constants, not data-dependent), ONE
+equi-join, one DISTINCT, codegen verify. No window over the corpus, no
+driver collection. Hot segment values (a ubiquitous 8-char chunk)
+behave like hot LSH bands; they inflate one join key's bucket and the
+standard salting/cap treatments from operators/lsh.py apply unchanged.
+
+Reference analog: the reference's per-address normalize-then-compare
+loop (src/handlers/validation/syntax.rs) is per-row and in-memory; this
+is the corpus-wide join form of "how far is this key from that one".
+
+The synthetic corpus has no natural short-key column, so the query
+wraps the table with ``with_planted_fnames`` (filenames derived
+deterministically from ``doc_id`` alone — groups of 8 share a stem and
+carry single-edit variants, including pairs at exactly ``t`` and
+``t+1`` so both boundary sides are exercised), same pattern as
+``corpus_stats.with_planted_urls``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "edit_distance_pairs",
+    "edit_distance_pairs_sql",
+    "with_planted_fnames",
+    "with_planted_fnames_sql",
+]
+
+#: default Levenshtein threshold; k = t+1 segments
+DEFAULT_T = 2
+
+
+def _seg_geometry(l_col, i_col, k: int):
+    """(start0, length) of 0-based segment ``i`` in the even ``k``-way
+    partition of a string of length ``l`` (first ``k - l%k`` segments get
+    ``l div k`` chars, the last ``l%k`` get one more)."""
+    a = l_col - (l_col % k)  # k * (l div k), avoids float division
+    base = (a / k).cast("long")  # exact: a is a multiple of k
+    b = l_col % k
+    extra = F.when(i_col >= (F.lit(k) - b), F.lit(1)).otherwise(F.lit(0))
+    li = base + extra
+    pi = i_col * base + F.greatest(F.lit(0), i_col - (F.lit(k) - b))
+    return pi, li
+
+
+def edit_distance_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        key_col: str = "fname",
+                        t: int = DEFAULT_T) -> DataFrame:
+    """All unordered pairs with ``levenshtein(key_a, key_b) <= t``:
+    (doc_id_a, doc_id_b, edit_dist). PassJoin segment blocking; see
+    module docstring for the completeness argument."""
+    k = t + 1
+    strs = (docs.select(F.col(id_col).alias("id"),
+                        F.col(key_col).alias("s"))
+            .where(F.col("s").isNotNull())
+            .withColumn("l", F.length("s"))
+            .where(F.col("l") >= k))
+
+    # index side: k segments per string
+    i_col = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    idx = strs.select(F.col("id").alias("id_s"), F.col("s").alias("ss"),
+                      F.col("l").alias("ls"), i_col)
+    pi, li = _seg_geometry(F.col("ls"), F.col("i"), k)
+    idx = idx.withColumn("seg", F.col("ss").substr(pi + 1, li))
+
+    # probe side: candidate substrings of r for every assumed index
+    # length ls in [lr-t, lr+t] and every segment's shift window
+    pr = strs.select(F.col("id").alias("id_r"), F.col("s").alias("rr"),
+                     F.col("l").alias("lr"),
+                     F.explode(F.sequence(F.lit(-t), F.lit(t))).alias("dl"))
+    pr = (pr.withColumn("ls2", F.col("lr") + F.col("dl"))
+          .where(F.col("ls2") >= k)
+          .select("id_r", "rr", "lr", "ls2",
+                  F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i2")))
+    pi2, li2 = _seg_geometry(F.col("ls2"), F.col("i2"), k)
+    pr = (pr.withColumn("li2", li2)
+          .withColumn("qlo", F.greatest(F.lit(0), pi2 - t))
+          .withColumn("qhi", F.least(F.col("lr") - F.col("li2"), pi2 + t))
+          .where(F.col("qhi") >= F.col("qlo"))
+          .select("id_r", "rr", "lr", "ls2", "i2", "li2",
+                  F.explode(
+                      F.sequence(F.col("qlo"), F.col("qhi"))).alias("q"))
+          .withColumn("sub",
+                      F.col("rr").substr(F.col("q") + 1, F.col("li2"))))
+
+    # one orientation per unordered pair: index the not-longer string
+    cand = idx.join(
+        pr,
+        on=[idx.seg == pr.sub, idx.i == pr.i2, idx.ls == pr.ls2],
+        how="inner",
+    ).where((F.col("ls") < F.col("lr"))
+            | ((F.col("ls") == F.col("lr"))
+               & (F.col("id_s") < F.col("id_r"))))
+
+    pairs = cand.select("id_s", "ss", "id_r", "rr").distinct()
+    return (pairs
+            .withColumn("edit_dist",
+                        F.levenshtein("ss", "rr", t))
+            .where(F.col("edit_dist") >= 0)
+            .select(F.least("id_s", "id_r").alias("doc_id_a"),
+                    F.greatest("id_s", "id_r").alias("doc_id_b"),
+                    "edit_dist"))
+
+
+def edit_distance_pairs_sql(table: str = "documents",
+                            id_col: str = "doc_id", key_col: str = "fname",
+                            t: int = DEFAULT_T) -> str:
+    """DuckDB twin of :func:`edit_distance_pairs` (same partition
+    geometry, same probe windows, same orientation rule, unbounded
+    ``levenshtein`` + the same ``<= t`` filter)."""
+    k = t + 1
+    return f"""
+WITH strs AS (
+  SELECT {id_col} AS id, {key_col} AS s, length({key_col}) AS l
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND length({key_col}) >= {k}),
+idx0 AS (
+  SELECT id AS id_s, s AS ss, l AS ls,
+         unnest(range(0, {k})) AS i
+  FROM strs),
+idx AS (
+  SELECT id_s, ss, ls, i,
+         substr(ss,
+                CAST(i * (ls // {k})
+                     + greatest(0, i - ({k} - ls % {k})) + 1 AS BIGINT),
+                CAST(ls // {k}
+                     + CASE WHEN i >= {k} - ls % {k} THEN 1 ELSE 0 END
+                     AS BIGINT)) AS seg
+  FROM idx0),
+pr0 AS (
+  SELECT id AS id_r, s AS rr, l AS lr,
+         unnest(range(-{t}, {t} + 1)) AS dl
+  FROM strs),
+pr1 AS (
+  SELECT id_r, rr, lr, lr + dl AS ls2,
+         unnest(range(0, {k})) AS i2
+  FROM pr0 WHERE lr + dl >= {k}),
+pr2 AS (
+  SELECT id_r, rr, lr, ls2, i2,
+         ls2 // {k}
+           + CASE WHEN i2 >= {k} - ls2 % {k} THEN 1 ELSE 0 END AS li2,
+         i2 * (ls2 // {k})
+           + greatest(0, i2 - ({k} - ls2 % {k})) AS pi2
+  FROM pr1),
+pr AS (
+  SELECT id_r, rr, lr, ls2, i2, li2,
+         unnest(range(greatest(0, pi2 - {t}),
+                      least(lr - li2, pi2 + {t}) + 1)) AS q
+  FROM pr2),
+cand AS (
+  SELECT DISTINCT idx.id_s, idx.ss, pr.id_r, pr.rr
+  FROM idx JOIN pr
+    ON idx.seg = substr(pr.rr, CAST(pr.q + 1 AS BIGINT),
+                        CAST(pr.li2 AS BIGINT))
+   AND idx.i = pr.i2 AND idx.ls = pr.ls2
+  WHERE idx.ls < pr.lr OR (idx.ls = pr.lr AND idx.id_s < pr.id_r))
+SELECT least(id_s, id_r) AS doc_id_a,
+       greatest(id_s, id_r) AS doc_id_b,
+       levenshtein(ss, rr) AS edit_dist
+FROM cand
+WHERE levenshtein(ss, rr) <= {t}
+"""
+
+
+def with_planted_fnames(docs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic short-key column ``fname`` from ``doc_id``
+    alone: groups of 8 consecutive ids share an md5-derived stem (so
+    cross-group keys are far apart) and members carry fixed single-edit
+    variants — substitutions, insertions, deletions, and two
+    beyond-threshold decoys (edit distance 3 and 5 from the base) so
+    the t/t+1 boundary is exercised on both sides."""
+    grp = F.md5((F.col(id_col) - (F.col(id_col) % 8)).cast("string"))
+    base = F.concat(F.lit("src/m"), F.substring(grp, 1, 8),
+                    F.lit("_impl.py"))
+    stem = base.substr(F.lit(1), F.length(base) - 8)  # drop '_impl.py'
+    m = F.col(id_col) % 8
+    fname = (
+        F.when(m == 1, F.concat(stem, F.lit("_Impl.py")))
+        .when(m == 2, F.concat(base, F.lit("x")))
+        .when(m == 3, F.concat(base, F.lit("xy")))
+        .when(m == 4, base.substr(F.lit(1), F.length(base) - 1))
+        .when(m == 5, F.concat(F.lit("a"), base))
+        .when(m == 6, F.concat(stem, F.lit("_util.py")))
+        .when(m == 7, F.concat(F.lit("test_"), base))
+        .otherwise(base))
+    return docs.withColumn("fname", fname)
+
+
+def with_planted_fnames_sql(table: str = "documents",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`with_planted_fnames`, usable as a FROM
+    subquery. ``doc_id - doc_id % 8`` (not ``// 8``) feeds the md5 so
+    both engines hash the identical string."""
+    base = (f"'src/m' || substr(md5(CAST({id_col} - {id_col} % 8 "
+            f"AS VARCHAR)), 1, 8) || '_impl.py'")
+    return f"""(
+  SELECT *,
+    CASE {id_col} % 8
+      WHEN 1 THEN substr({base}, 1, length({base}) - 8) || '_Impl.py'
+      WHEN 2 THEN {base} || 'x'
+      WHEN 3 THEN {base} || 'xy'
+      WHEN 4 THEN substr({base}, 1, length({base}) - 1)
+      WHEN 5 THEN 'a' || {base}
+      WHEN 6 THEN substr({base}, 1, length({base}) - 8) || '_util.py'
+      WHEN 7 THEN 'test_' || {base}
+      ELSE {base} END AS fname
+  FROM {table})"""

@@ -1,0 +1,120 @@
+"""Edit-distance similarity join (functions/edit_distance.py).
+
+Completeness/exactness is pinned against a pure-Python DP Levenshtein
+brute force over all pairs — independent of both Spark and the DuckDB
+oracle — plus targeted cases for the PassJoin geometry and boundary
+behavior (pairs at exactly t must survive; t+1 must not).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.edit_distance import (
+    DEFAULT_T,
+    edit_distance_pairs,
+    with_planted_fnames,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(strings: dict[int, str], t: int) -> set[tuple[int, int, int]]:
+    ids = sorted(strings)
+    out = set()
+    for x, ia in enumerate(ids):
+        for ib in ids[x + 1:]:
+            if abs(len(strings[ia]) - len(strings[ib])) > t:
+                continue
+            d = _lev(strings[ia], strings[ib])
+            if d <= t:
+                out.add((ia, ib, d))
+    return out
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    docs = with_planted_fnames(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    rows = docs.select("doc_id", "fname").collect()
+    return docs, {r["doc_id"]: r["fname"] for r in rows}
+
+
+def test_matches_brute_force(planted):
+    docs, strings = planted
+    got = {(r["doc_id_a"], r["doc_id_b"], r["edit_dist"])
+           for r in edit_distance_pairs(docs).collect()}
+    assert got == _brute(strings, DEFAULT_T)
+    assert got, "planted corpus must yield a non-empty pair set"
+
+
+def test_boundary_t_and_t_plus_1(spark):
+    # base vs +'xy' is exactly t=2 (kept); base vs '_util.py' variant is
+    # 3 (dropped); test on hand-built rows so the distances are explicit
+    rows = [(0, "src/mAAAA_impl.py"), (3, "src/mAAAA_impl.pyxy"),
+            (6, "src/mAAAA_util.py")]
+    df = spark.createDataFrame(rows, ["doc_id", "fname"])
+    got = {(r["doc_id_a"], r["doc_id_b"], r["edit_dist"])
+           for r in edit_distance_pairs(df).collect()}
+    assert (0, 3, 2) in got
+    assert all(b != 6 and a != 6 for a, b, _ in got)
+
+
+def test_cross_length_orientation_unique(spark):
+    # ls < lr and ls == lr orientations each produce every pair exactly
+    # once (no duplicates from multi-segment matches either)
+    rows = [(1, "abcdefghij"), (2, "abcdefghijk"), (3, "abcdefghij")]
+    df = spark.createDataFrame(rows, ["doc_id", "fname"])
+    out = edit_distance_pairs(df, t=1).collect()
+    pairs = [(r["doc_id_a"], r["doc_id_b"]) for r in out]
+    assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)]
+    dists = {(r["doc_id_a"], r["doc_id_b"]): r["edit_dist"] for r in out}
+    assert dists == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+
+def test_short_and_null_keys_excluded(spark):
+    rows = [(1, "ab"), (2, None), (3, "abcd"), (4, "abcd")]
+    df = spark.createDataFrame(rows, ["doc_id", "fname"])
+    out = edit_distance_pairs(df).collect()
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in out} == {(3, 4)}
+
+
+def test_random_strings_vs_brute(spark):
+    # randomized-but-deterministic small alphabet so edits are dense and
+    # every segment-geometry branch (l % k in {0,1,2}) is hit
+    import hashlib
+
+    def mk(i: int) -> str:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return "ab"[i % 2] + h[: 6 + i % 5].replace("0", "a")
+
+    strings = {i: mk(i) for i in range(120)}
+    df = spark.createDataFrame(sorted(strings.items()),
+                               ["doc_id", "fname"])
+    got = {(r["doc_id_a"], r["doc_id_b"], r["edit_dist"])
+           for r in edit_distance_pairs(df).collect()}
+    assert got == _brute(strings, DEFAULT_T)
+
+
+def test_plan_is_single_equijoin(planted):
+    # candidate generation must plan as ONE hash equi-join — no
+    # cartesian / nested-loop fallback
+    docs, _ = planted
+    plan = edit_distance_pairs(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -150,6 +150,10 @@ EXCHANGE_BUDGET = {
     # the state-sha distinct feeding the exact `known` audit join
     # (functions/bloom.py)
     "bloom_prune_new_batch": 1,
+    # PassJoin edit-distance join: 1 exchange at lint SF (the index side
+    # broadcasts); ceiling covers the at-scale shuffle-join regime (two
+    # join inputs + pair distinct + one AQE re-shuffle)
+    "edit_distance_pairs": 4,
 }
 
 
