@@ -2184,6 +2184,25 @@ def _sql_bloom_prune_new_batch() -> str:
     return bloom_prune_sql("documents", m_bits=512, k=2)
 
 
+def _q_events_priced_asof(spark, sf_dir):
+    """As-of (point-in-time) join, an operator Spark lacks: every event
+    priced by the latest per-user plan version with version_ts <= event
+    ts. Implemented as the union-window rewrite (ONE shuffle, zero
+    joins, streaming running-last frame — never a range join's
+    nested-loop plan); the DuckDB oracle is its NATIVE ASOF LEFT JOIN,
+    an independent engine implementation of the same backward-inclusive
+    semantics. Snapshots derived deterministically from the events table
+    itself (operators/asof.py)."""
+    from email_sanitizer_api_spark.operators.asof import events_priced_asof
+    return events_priced_asof(_t(spark, sf_dir, "events"))
+
+
+def _sql_events_priced_asof() -> str:
+    from email_sanitizer_api_spark.operators.asof import (
+        events_priced_asof_sql)
+    return events_priced_asof_sql()
+
+
 def _q_edit_distance_pairs(spark, sf_dir):
     """Levenshtein-threshold similarity join (PassJoin segment blocking,
     PVLDB'11): pigeonhole t+1 segments per indexed string, substring
@@ -2441,6 +2460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_new_batch": _q_bloom_prune_new_batch,
         # Levenshtein-threshold similarity join (r04, fifth session)
         "edit_distance_pairs": _q_edit_distance_pairs,
+        # as-of join via the union-window rewrite (r04 s5)
+        "events_priced_asof": _q_events_priced_asof,
     }
 
 
@@ -2547,6 +2568,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prune_new_batch": _sql_bloom_prune_new_batch(),
         # Levenshtein-threshold similarity join (r04, fifth session)
         "edit_distance_pairs": _sql_edit_distance_pairs(),
+        # as-of join vs DuckDB's NATIVE ASOF LEFT JOIN (r04 s5)
+        "events_priced_asof": _sql_events_priced_asof(),
         # semantic_dedup_kmeans: intentionally omitted — k-means list
         # assignment (Lloyd-refined centroids) is the probabilistic
         # production path; semantic_dedup_embeddings is its exact oracle

@@ -1,0 +1,138 @@
+"""As-of (temporal point-in-time) join — an operator Spark lacks.
+
+"For each fact row, the latest dimension version with
+``version_ts <= fact_ts``" is the canonical enrichment join for slowly
+changing dimensions: which license header was in force when this file
+version was committed, which per-repo config snapshot governed this
+ingest batch, which user-plan version priced this event. Spark has no
+ASOF JOIN; the naive encodings are a range join (planned as a
+nested-loop scale-killer) or a per-key correlated subquery.
+
+The scale-safe encoding used here is the classic union-window rewrite:
+
+1. tag dimension versions ``is_l = 0`` and fact rows ``is_l = 1`` and
+   UNION them into one relation (narrow, no shuffle);
+2. one window partitioned by the join key, ordered by
+   ``(ts, is_l)`` — at equal timestamps the dimension row sorts FIRST,
+   which makes the join boundary INCLUSIVE (``version_ts <= fact_ts``),
+   matching DuckDB's ``ASOF JOIN`` / pandas ``merge_asof``
+   (direction="backward") semantics;
+3. ``last(value, ignorenulls=True)`` over
+   ``rowsBetween(unboundedPreceding, currentRow)`` — every fact row
+   picks up the nearest preceding dimension payload; facts before the
+   first version keep NULLs (left-join semantics);
+4. filter back to the fact rows.
+
+Cost shape: ONE shuffle (the window partitioning), zero joins — strictly
+cheaper than any join encoding, and the window never needs the whole key
+group in memory (running ``last`` is a streaming frame). Determinism at
+ties: dimension versions are pre-collapsed to one row per (key, ts)
+(``max_by`` payload), so tie-groups contain at most one value-bearing
+row and the rows-frame ambiguity among tied NULL fact rows is harmless.
+
+Hot-key caveat at 100 TB: a key owning a huge fact stream lands in one
+window partition. Because the frame is a running aggregate, the standard
+fix composes: range-bucket the timeline per key (salt = time bucket),
+run the window per (key, bucket), then carry each bucket's last version
+forward with an O(buckets) second pass — same two-level scan pattern as
+functions/packing.global_running_sum.
+
+Oracle: DuckDB has a NATIVE ``ASOF LEFT JOIN`` — an independent engine
+implementation of the same semantics, so the contract check pins this
+rewrite against a true second implementation rather than a transcribed
+one. Reference analog: the reference consults the memo-cache entry that
+was current at request time (src/routes/email.rs memo lookup); this is
+that lookup as a corpus-scale batch operator.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "events_priced_asof", "events_priced_asof_sql"]
+
+
+def asof_join(facts: DataFrame, versions: DataFrame, key: str,
+              facts_ts: str = "ts", versions_ts: str = "ts",
+              payload: Sequence[str] = ("plan_cents",),
+              asof_ts_col: str = "asof_ts") -> DataFrame:
+    """Left as-of join: every ``facts`` row gains the ``payload`` columns
+    of the latest ``versions`` row with the same ``key`` and
+    ``versions_ts <= facts_ts`` (NULLs if none). ``asof_ts_col`` carries
+    the matched version's timestamp. ``versions`` must be unique per
+    (key, ts) — collapse it first (see :func:`events_priced_asof`)."""
+    payload = list(payload)
+    fact_cols = [c for c in facts.columns if c != facts_ts]
+    dim = versions.select(
+        F.col(key),
+        F.col(versions_ts).alias("_ts"),
+        F.lit(0).alias("_is_l"),
+        F.col(versions_ts).alias(asof_ts_col),
+        *[F.col(c) for c in payload],
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(c)
+          for c in fact_cols if c != key],
+    )
+    fct = facts.select(
+        F.col(key),
+        F.col(facts_ts).alias("_ts"),
+        F.lit(1).alias("_is_l"),
+        F.lit(None).cast(versions.schema[versions_ts].dataType)
+        .alias(asof_ts_col),
+        *[F.lit(None).cast(versions.schema[c].dataType).alias(c)
+          for c in payload],
+        *[F.col(c) for c in fact_cols if c != key],
+    )
+    w = (Window.partitionBy(key).orderBy("_ts", "_is_l")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = dim.unionByName(fct).select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_c_{c}")
+          for c in [asof_ts_col] + payload],
+    )
+    return (carried.where(F.col("_is_l") == 1)
+            .select(F.col(key),
+                    F.col("_ts").alias(facts_ts),
+                    *[F.col(c) for c in fact_cols if c != key],
+                    *[F.col(f"_c_{c}").alias(c)
+                      for c in [asof_ts_col] + payload]))
+
+
+def events_priced_asof(events: DataFrame) -> DataFrame:
+    """Contract query over the events table, derived deterministically
+    from the table's own rows (no external data): rows with
+    ``event_id % 17 == 0`` act as per-user plan-version snapshots
+    (payload = value in integer cents, collapsed to one row per
+    (user_id, ts) by max); every other row is a fact priced as-of its
+    timestamp."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    versions = (events.where(F.col("event_id") % 17 == 0)
+                .select("user_id", "ts", cents.alias("plan_cents"))
+                .groupBy("user_id", "ts")
+                .agg(F.max("plan_cents").alias("plan_cents")))
+    facts = (events.where(F.col("event_id") % 17 != 0)
+             .select("event_id", "user_id", "ts"))
+    out = asof_join(facts, versions, key="user_id")
+    return out.select("event_id", "user_id", "ts", "asof_ts",
+                      "plan_cents")
+
+
+def events_priced_asof_sql(table: str = "events") -> str:
+    """DuckDB twin via its NATIVE ASOF LEFT JOIN (independent engine
+    implementation of the backward-inclusive semantics)."""
+    return f"""
+WITH versions AS (
+  SELECT user_id, ts,
+         max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS plan_cents
+  FROM {table} WHERE event_id % 17 = 0
+  GROUP BY user_id, ts),
+facts AS (
+  SELECT event_id, user_id, ts FROM {table} WHERE event_id % 17 <> 0)
+SELECT f.event_id, f.user_id, f.ts,
+       v.ts AS asof_ts, v.plan_cents AS plan_cents
+FROM facts f
+ASOF LEFT JOIN versions v
+  ON f.user_id = v.user_id AND f.ts >= v.ts
+"""

@@ -1,0 +1,84 @@
+"""As-of join (operators/asof.py) vs pandas merge_asof — a THIRD
+independent implementation of backward-inclusive point-in-time
+semantics (the DuckDB native ASOF JOIN is the contract oracle)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.asof import (
+    asof_join,
+    events_priced_asof,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(m: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_matches_pandas_merge_asof(spark, events):
+    got = (events_priced_asof(events)
+           .toPandas()
+           .sort_values("event_id")
+           .reset_index(drop=True))
+
+    pdf = events.toPandas()
+    snaps = pdf[pdf.event_id % 17 == 0].copy()
+    snaps["plan_cents"] = (snaps.value * 100 + 0.5).pipe(
+        lambda s: s.apply(int))  # floor for positive values
+    versions = (snaps.groupby(["user_id", "ts"], as_index=False)
+                .plan_cents.max()
+                .sort_values("ts"))
+    facts = (pdf[pdf.event_id % 17 != 0][["event_id", "user_id", "ts"]]
+             .sort_values("ts"))
+    want = pd.merge_asof(facts, versions.rename(columns={"ts": "asof_ts"}),
+                         left_on="ts", right_on="asof_ts", by="user_id",
+                         direction="backward", allow_exact_matches=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+
+    assert len(got) == len(want)
+    assert (got.event_id == want.event_id).all()
+    assert got.asof_ts.isna().equals(want.asof_ts.isna())
+    mask = ~want.asof_ts.isna()
+    assert (got.asof_ts[mask] == want.asof_ts[mask]).all()
+    assert (got.plan_cents[mask] == want.plan_cents[mask]).all()
+
+
+def test_inclusive_boundary_and_pre_first_version(spark):
+    versions = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(20), 200)],
+        ["user_id", "ts", "plan_cents"])
+    facts = spark.createDataFrame(
+        [(0, 1, _ts(5)),    # before any version -> NULLs
+         (1, 1, _ts(10)),   # exactly at a version ts -> inclusive
+         (2, 1, _ts(15)),   # between versions -> first
+         (3, 1, _ts(20)),   # at second -> second
+         (4, 1, _ts(99)),   # long after -> latest
+         (5, 2, _ts(50))],  # key with no versions at all
+        ["event_id", "user_id", "ts"])
+    out = {r["event_id"]: (r["asof_ts"], r["plan_cents"])
+           for r in asof_join(facts, versions, key="user_id").collect()}
+    assert out[0] == (None, None)
+    assert out[1] == (_ts(10), 100)
+    assert out[2] == (_ts(10), 100)
+    assert out[3] == (_ts(20), 200)
+    assert out[4] == (_ts(20), 200)
+    assert out[5] == (None, None)
+
+
+def test_single_shuffle_no_join(events):
+    plan = events_priced_asof(events)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan, "as-of must plan join-free"
+    assert plan.count("Exchange") <= 2  # window partitioning (+AQE read)

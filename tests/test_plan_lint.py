@@ -154,6 +154,9 @@ EXCHANGE_BUDGET = {
     # broadcasts); ceiling covers the at-scale shuffle-join regime (two
     # join inputs + pair distinct + one AQE re-shuffle)
     "edit_distance_pairs": 4,
+    # as-of join via the union-window rewrite: the single key-partitioned
+    # window (+ the version-collapse agg riding the same partitioning)
+    "events_priced_asof": 2,
 }
 
 
