@@ -2184,6 +2184,24 @@ def _sql_bloom_prune_new_batch() -> str:
     return bloom_prune_sql("documents", m_bits=512, k=2)
 
 
+def _q_textrank_tokens(spark, sf_dir):
+    """Fixed-superstep weighted PageRank (TextRank keyword ranking) over
+    the adjacent-token co-occurrence graph — the engine's second
+    iterative-graph shape beside connected components: 4 unrolled
+    supersteps of join + partial-aggregable sum + node-spine left join,
+    ALL-INTEGER fixed-point so the DuckDB chained-CTE oracle is
+    bit-identical (operators/graph_rank.py)."""
+    from email_sanitizer_api_spark.operators.graph_rank import (
+        textrank_tokens)
+    return textrank_tokens(_t(spark, sf_dir, "documents"))
+
+
+def _sql_textrank_tokens() -> str:
+    from email_sanitizer_api_spark.operators.graph_rank import (
+        textrank_tokens_sql)
+    return textrank_tokens_sql()
+
+
 def _q_events_priced_asof(spark, sf_dir):
     """As-of (point-in-time) join, an operator Spark lacks: every event
     priced by the latest per-user plan version with version_ts <= event
@@ -2462,6 +2480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         # as-of join via the union-window rewrite (r04 s5)
         "events_priced_asof": _q_events_priced_asof,
+        # fixed-superstep weighted PageRank / TextRank (r04 s5)
+        "textrank_tokens": _q_textrank_tokens,
     }
 
 
@@ -2570,6 +2590,8 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _sql_edit_distance_pairs(),
         # as-of join vs DuckDB's NATIVE ASOF LEFT JOIN (r04 s5)
         "events_priced_asof": _sql_events_priced_asof(),
+        # fixed-superstep weighted PageRank / TextRank (r04 s5)
+        "textrank_tokens": _sql_textrank_tokens(),
         # semantic_dedup_kmeans: intentionally omitted — k-means list
         # assignment (Lloyd-refined centroids) is the probabilistic
         # production path; semantic_dedup_embeddings is its exact oracle

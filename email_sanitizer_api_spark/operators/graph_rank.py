@@ -1,0 +1,169 @@
+"""Weighted PageRank over a corpus-derived graph (TextRank).
+
+The engine's only iterative-graph primitive so far is connected
+components (operators/cluster.py) — label propagation to a FIXED point.
+This module adds the other canonical iterative-graph shape: a
+FIXED-NUMBER-of-supersteps value iteration, exemplified by TextRank
+(Mihalcea & Tarau, EMNLP 2004): weighted PageRank over the token
+co-occurrence graph, ranking corpus keywords. The same
+``pagerank(edges, nodes)`` core ranks any corpus-derived graph — repo
+dependency edges, cluster adjacency, domain link graphs.
+
+Graph derivation is pure column math over the table's own rows (no
+external data): tokens via the engine's standard whitespace tokenizer
+(identical expression to functions/text.vocab_topk), an edge per
+ADJACENT token pair, symmetrized (both directions) and weighted by
+adjacency count. One superstep is
+
+    pr'(v) = (15·SCALE) div 100
+             + (85 · Σ_{(u,v)∈E} (pr(u)·w(u,v)) div wout(u)) div 100
+
+— ALL-INTEGER fixed-point (SCALE = 1e6 per-node initial mass, div =
+integer floor division), so four unrolled supersteps are bit-identical
+between Spark and the DuckDB oracle's four chained CTEs: no float
+accumulation order to diverge, the same class of quantization used by
+semantic_medoid_keepers and lm_quality. Overflow bound: the summed
+mass is conserved-or-shrinking (integer div only loses), so
+``pr·w <= N·SCALE·w_max`` must stay under 2^63 — at 1e12-node scale
+drop SCALE to 1e4 or renormalize per superstep.
+
+Scale shape per superstep: one equi-join (edges ⋈ ranks on src — the
+standard vertex-cut message exchange; both sides hash-partition on the
+key) + one dst-keyed partial-aggregable sum + a left join back to the
+node spine for rank sinks with no in-edges. Skewed hubs (a stopword
+adjacent to everything) inflate one reduce key exactly like a hot LSH
+band; the salted two-stage sum from operators/skew.py composes
+unchanged. The contract query keeps all 4 supersteps LAZY (one
+Catalyst plan, exchange-budget-checked); a production run at 100 TB
+checkpoints ranks per superstep exactly like the distributed CC path
+checkpoints labels — the iteration driver is
+operators/cluster.label_propagation's pattern with a fixed trip count
+instead of a convergence test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "textrank_tokens", "textrank_tokens_sql"]
+
+#: fixed-point scale for rank mass (1e6 per node of initial mass)
+SCALE = 1_000_000
+#: unrolled supersteps in the contract query / oracle
+ITERATIONS = 4
+
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame,
+             iterations: int = ITERATIONS,
+             scale: int = SCALE) -> DataFrame:
+    """Fixed-point weighted PageRank: ``edges`` = (src, dst, w) with
+    every src present (symmetrize beforehand for undirected graphs),
+    ``nodes`` = (token,) spine including isolated vertices. Returns
+    (token, pr_fp) after ``iterations`` supersteps, pr_fp in 1/scale
+    units. All-integer arithmetic — see module docstring."""
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    e = edges.join(wout, "src")
+    ranks = nodes.select("token", F.lit(scale).cast("long").alias("pr_fp"))
+    base = (15 * scale) // 100
+    # rank sinks (no in-edges) re-enter via a zero-contribution spine row
+    # folded into the SAME dst aggregation — a union costs no shuffle,
+    # where a nodes-left-join would cost two per superstep
+    zero_spine = nodes.select(F.col("token").alias("dst"),
+                              F.lit(0).cast("long").alias("c"))
+    for _ in range(iterations):
+        msgs = (e.join(ranks, e.src == ranks.token)
+                .select(F.col("dst"),
+                        F.expr("(pr_fp * w) DIV wout").alias("c")))
+        ranks = (msgs.unionByName(zero_spine)
+                 .groupBy("dst")
+                 .agg(F.sum("c").alias("inflow"))
+                 .select(
+                     F.col("dst").alias("token"),
+                     (F.lit(base) + F.expr("(85 * inflow) DIV 100"))
+                     .cast("long").alias("pr_fp")))
+    return ranks
+
+
+def _token_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                _WS_CLASS),
+        lambda x: x != "")
+    return docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+
+
+def textrank_tokens(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    iterations: int = ITERATIONS) -> DataFrame:
+    """TextRank keyword scores: (token, pr_fp) over the symmetrized
+    adjacent-token co-occurrence graph of the corpus."""
+    arr = _token_arrays(docs, id_col, text_col)
+    pos = arr.where(F.size("toks") >= 2).select(
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"))
+    fwd = pos.select(
+        F.element_at("toks", F.col("i")).alias("src"),
+        F.element_at("toks", F.col("i") + 1).alias("dst"))
+    sym = fwd.unionAll(fwd.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+    edges = sym.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("w"))
+    nodes = (arr.select(F.explode("toks").alias("token")).distinct())
+    return pagerank(edges, nodes, iterations=iterations)
+
+
+def textrank_tokens_sql(table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text",
+                        iterations: int = ITERATIONS) -> str:
+    """DuckDB twin: identical tokenizer, edge derivation, and
+    ``iterations`` chained CTE supersteps with the same integer
+    fixed-point arithmetic (``//`` floor division on non-negative
+    values == Spark's DIV; BIGINT casts collapse DuckDB's HUGEINT
+    sums)."""
+    base = (15 * SCALE) // 100
+    steps = []
+    prev = "pr0"
+    for k in range(1, iterations + 1):
+        steps.append(f"""pr{k} AS (
+  SELECT n.token,
+         CAST({base} + (85 * coalesce(inf.s, 0)) // 100 AS BIGINT) AS pr_fp
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS token,
+           CAST(sum((p.pr_fp * e.w) // e.wout) AS BIGINT) AS s
+    FROM edges e JOIN {prev} p ON e.src = p.token
+    GROUP BY e.dst) inf USING (token))""")
+        prev = f"pr{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH arr AS (
+  SELECT {id_col} AS id,
+         list_filter(
+           regexp_split_to_array(lower(trim(coalesce({text_col}, ''))),
+                                 '{_WS_CLASS}'),
+           x -> x <> '') AS toks
+  FROM {table}),
+fwd AS (
+  SELECT toks[i] AS src, toks[i + 1] AS dst
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        FROM arr WHERE len(toks) >= 2)),
+sym AS (
+  SELECT src, dst FROM fwd
+  UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+edges0 AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM sym GROUP BY src, dst),
+edges AS (
+  SELECT e.src, e.dst, e.w, o.wout
+  FROM edges0 e JOIN (
+    SELECT src, CAST(sum(w) AS BIGINT) AS wout
+    FROM edges0 GROUP BY src) o USING (src)),
+nodes AS (
+  SELECT DISTINCT unnest(toks) AS token FROM arr),
+pr0 AS (
+  SELECT token, CAST({SCALE} AS BIGINT) AS pr_fp FROM nodes),
+{chain}
+SELECT token, pr_fp FROM {prev}
+"""

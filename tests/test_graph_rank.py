@@ -1,0 +1,104 @@
+"""Fixed-point weighted PageRank / TextRank (operators/graph_rank.py)
+vs a pure-Python third implementation of the identical integer
+arithmetic, plus structural sanity (hub outranks leaf, mass behavior,
+isolated nodes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.graph_rank import (
+    ITERATIONS,
+    SCALE,
+    pagerank,
+    textrank_tokens,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_pagerank(edges: list[tuple[str, str, int]], nodes: set[str],
+                 iterations: int = ITERATIONS,
+                 scale: int = SCALE) -> dict[str, int]:
+    wout: dict[str, int] = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    pr = {n: scale for n in nodes}
+    base = (15 * scale) // 100
+    for _ in range(iterations):
+        inflow: dict[str, int] = {}
+        for s, d, w in edges:
+            inflow[d] = inflow.get(d, 0) + (pr[s] * w) // wout[s]
+        pr = {n: base + (85 * inflow.get(n, 0)) // 100 for n in nodes}
+    return pr
+
+
+def _tokenize(text: str) -> list[str]:
+    return [t for t in (text or "").strip().lower().split() if t]
+
+
+def _py_textrank(texts: list[str]) -> dict[str, int]:
+    fwd: list[tuple[str, str]] = []
+    nodes: set[str] = set()
+    for txt in texts:
+        toks = _tokenize(txt)
+        nodes.update(toks)
+        fwd.extend(zip(toks, toks[1:]))
+    counts: dict[tuple[str, str], int] = {}
+    for s, d in fwd:
+        counts[(s, d)] = counts.get((s, d), 0) + 1
+        counts[(d, s)] = counts.get((d, s), 0) + 1
+    edges = [(s, d, w) for (s, d), w in counts.items()]
+    return _py_pagerank(edges, nodes)
+
+
+def test_corpus_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {r["token"]: r["pr_fp"]
+           for r in textrank_tokens(docs).collect()}
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert got == _py_textrank(texts)
+    assert got, "corpus vocabulary must be non-empty"
+
+
+def test_constructed_graph_matches_python(spark):
+    # star hub + chain + isolated node, weighted multi-edges
+    texts = [
+        "hub a", "hub b", "hub c", "hub a",   # hub-heavy star
+        "x y z x y",                          # chain with repeats
+        "solo",                               # isolated vertex
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    got = {r["token"]: r["pr_fp"] for r in textrank_tokens(df).collect()}
+    want = _py_textrank(texts)
+    assert got == want
+    # structure: the hub outranks its leaves; isolated nodes keep only
+    # the damping base (no in-edges after step 1)
+    assert got["hub"] > got["b"]
+    base = (15 * SCALE) // 100
+    assert got["solo"] == base
+
+
+def test_pagerank_core_direct(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 2), ("b", "c", 1), ("c", "b", 1)],
+        ["src", "dst", "w"])
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)],
+                                  ["token"])
+    got = {r["token"]: r["pr_fp"]
+           for r in pagerank(edges, nodes).collect()}
+    want = _py_pagerank([("a", "b", 2), ("b", "a", 2), ("b", "c", 1),
+                         ("c", "b", 1)], {"a", "b", "c", "d"})
+    assert got == want
+    assert got["b"] > got["a"] > 0 and got["d"] == (15 * SCALE) // 100
+
+
+def test_mass_never_grows(spark):
+    # integer floor division only loses mass: total rank after k steps
+    # <= N * SCALE (the conservation bound the overflow analysis uses)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = textrank_tokens(docs)
+    n, total = out.agg(F.count("*"), F.sum("pr_fp")).first()
+    assert total <= n * SCALE

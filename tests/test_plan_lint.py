@@ -157,6 +157,13 @@ EXCHANGE_BUDGET = {
     # as-of join via the union-window rewrite: the single key-partitioned
     # window (+ the version-collapse agg riding the same partitioning)
     "events_priced_asof": 2,
+    # TextRank, 4 unrolled lazy supersteps: 3 exchanges per superstep
+    # (message join + dst agg) but the UN-CACHED edges subtree (edge agg
+    # + wout agg) repeats under every superstep in the lazy plan —
+    # runtime exchange reuse dedupes identical subtrees, and the
+    # production iteration checkpoints edges + per-superstep ranks like
+    # the distributed-CC path (operators/graph_rank.py docstring)
+    "textrank_tokens": 21,
 }
 
 
