@@ -2184,6 +2184,27 @@ def _sql_bloom_prune_new_batch() -> str:
     return bloom_prune_sql("documents", m_bits=512, k=2)
 
 
+def _q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (rsync/LBFS/restic idiom): rolling
+    polynomial hash cuts wherever the trailing-8-byte hash satisfies the
+    mask, so identical regions chunk identically at ANY byte offset —
+    the shared-blob class stride chunking misses. Boundary detection is
+    pure codegen lambda math (zero shuffles, no UDF); the only exchange
+    is the md5-keyed chunk aggregation. A deterministic license-banner
+    footer is planted at differing offsets (with_planted_footer) so the
+    offset-invariance is exercised non-vacuously (operators/cdc.py)."""
+    from email_sanitizer_api_spark.operators.cdc import (
+        cdc_chunk_dedup, with_planted_footer)
+    return cdc_chunk_dedup(with_planted_footer(_t(spark, sf_dir,
+                                                  "documents")))
+
+
+def _sql_cdc_chunk_dedup() -> str:
+    from email_sanitizer_api_spark.operators.cdc import (
+        cdc_chunk_dedup_sql, with_planted_footer_sql)
+    return cdc_chunk_dedup_sql(table=with_planted_footer_sql())
+
+
 def _q_textrank_tokens(spark, sf_dir):
     """Fixed-superstep weighted PageRank (TextRank keyword ranking) over
     the adjacent-token co-occurrence graph — the engine's second
@@ -2482,6 +2503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_priced_asof": _q_events_priced_asof,
         # fixed-superstep weighted PageRank / TextRank (r04 s5)
         "textrank_tokens": _q_textrank_tokens,
+        # content-defined chunking dedup (r04 s5)
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
     }
 
 
@@ -2592,6 +2615,8 @@ def oracle_sql() -> dict[str, str]:
         "events_priced_asof": _sql_events_priced_asof(),
         # fixed-superstep weighted PageRank / TextRank (r04 s5)
         "textrank_tokens": _sql_textrank_tokens(),
+        # content-defined chunking dedup (r04 s5)
+        "cdc_chunk_dedup": _sql_cdc_chunk_dedup(),
         # semantic_dedup_kmeans: intentionally omitted — k-means list
         # assignment (Lloyd-refined centroids) is the probabilistic
         # production path; semantic_dedup_embeddings is its exact oracle

@@ -1,0 +1,202 @@
+"""Content-defined chunking (CDC) dedup — offset-invariant shared-blob
+detection.
+
+Fixed-window chunking (functions/chunking.py) breaks at multiples of a
+stride, so inserting ONE byte near the front of a file shifts every
+later boundary and defeats chunk-level dedup. Content-defined chunking
+(the rsync / LBFS / borg/restic idiom) cuts wherever a rolling hash of
+the trailing ``w`` bytes satisfies a mask condition — boundaries are a
+function of LOCAL content only, so identical regions of two files chunk
+identically no matter how far apart they sit. This is the dedup
+primitive for "the same vendored blob embedded at different offsets",
+complementary to winnowed fingerprints (operators/suffix.py picks
+SAMPLES to find overlap; CDC partitions EVERY byte so shared regions
+dedup losslessly).
+
+Rolling hash: plain degree-``w`` polynomial over the trailing window,
+
+    H(i) = Σ_{j=0..w-1} ascii(s[i-j]) · B^j      (w = 8, B = 31)
+
+— int64-exact with NO modulus (8 terms · 127·31^7 < 2^45), so Spark and
+DuckDB agree bit-for-bit. Cut after position ``i`` iff
+``H(i) % 64 == 0`` → expected chunk length 64. This is the STATELESS
+mask variant: every qualifying position cuts. Production CDC
+(FastCDC's normalized chunking) adds min/max chunk bounds, which makes
+each cut depend on the previous one — a sequential scan per doc, fine
+inside the same per-doc expression but deliberately not taken here so
+the oracle stays a pure per-position predicate.
+
+Scale shape: boundary detection is ``transform`` / ``filter`` LAMBDA
+MATH over a per-row positions array — whole-stage codegen, ZERO
+shuffles, no UDF, O(w·bytes) work that scales embarrassingly with the
+scan. Chunk rows then explode (narrow) and the only exchange is the
+final chunk-hash aggregation, keyed by md5 — uniformly distributed by
+construction, the friendliest possible shuffle key. At 100 TB the
+identical numpy rolling hash drops into the signatures.py iterator-UDF
+pattern if the codegen expression ever bottlenecks; nothing else
+changes.
+
+Reference analog: the reference normalizes then hashes the WHOLE
+payload (src/handlers/validation/syntax.rs + sha256 parity); CDC is the
+sub-file refinement of that exact-hash dedup.
+
+The synthetic corpus has near-dup documents but few long VERBATIM
+shared regions, so the contract query wraps the table with
+``with_planted_footer`` (a deterministic license-banner footer appended
+to every third doc at differing offsets — the exact offset-invariance
+CDC exists for), same pattern as ``corpus_stats.with_planted_urls``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cdc_chunks",
+    "cdc_chunk_dedup",
+    "cdc_chunk_dedup_sql",
+    "with_planted_footer",
+    "with_planted_footer_sql",
+]
+
+#: rolling-hash window (bytes) and polynomial base
+WINDOW = 8
+BASE = 31
+#: cut mask: H % MASK_MOD == 0 → expected chunk length == MASK_MOD
+MASK_MOD = 64
+
+_POWERS = [BASE ** j for j in range(WINDOW)]
+
+
+def _ends_expr(s, l):
+    """Sorted array of chunk END positions (1-based, inclusive) for
+    string ``s`` of length ``l``: qualifying cut positions < l, then l."""
+    def rolling(i):
+        h = F.lit(0)
+        for j, p in enumerate(_POWERS):
+            h = h + (F.ascii(s.substr(i - j, F.lit(1))).cast("long")
+                     * F.lit(p).cast("long"))
+        return h
+
+    positions = F.when(l >= WINDOW,
+                       F.sequence(F.lit(WINDOW), l)
+                       ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(positions, lambda i: rolling(i) % MASK_MOD == 0)
+    return F.concat(F.filter(cuts, lambda x: x < l),
+                    F.array(l.cast("int")))
+
+
+def cdc_chunks(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Exploded CDC chunks: (doc_id, chunk_idx, chunk_len, chunk_md5).
+    One row per chunk; empty docs yield one empty chunk so every input
+    row stays accounted for downstream (the lineage invariant the
+    manifest counts rely on)."""
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    l = F.length(s)
+    base = docs.select(F.col(id_col).alias("doc_id"), s.alias("s"),
+                       _ends_expr(s, l).alias("ends"))
+    k = F.explode(F.sequence(F.lit(1), F.size("ends"))).alias("k")
+    ch = base.select("doc_id", "s", "ends", k)
+    start = F.when(F.col("k") == 1, F.lit(1)).otherwise(
+        F.element_at("ends", F.col("k") - 1) + 1)
+    end = F.element_at("ends", F.col("k"))
+    chunk = F.col("s").substr(start, end - start + 1)
+    return ch.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_idx"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"))
+
+
+def cdc_chunk_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Shared-chunk inventory: every CDC chunk appearing more than once
+    in the corpus, with copy/doc counts and the bytes dedup would
+    reclaim: (chunk_md5, chunk_len, n_copies, n_docs, bytes_saved)."""
+    chunks = cdc_chunks(docs, id_col=id_col, text_col=text_col)
+    return (chunks.groupBy("chunk_md5")
+            .agg(F.max("chunk_len").alias("chunk_len"),
+                 F.count(F.lit(1)).alias("n_copies"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .where(F.col("n_copies") >= 2)
+            .select("chunk_md5", "chunk_len", "n_copies", "n_docs",
+                    ((F.col("n_copies") - 1) * F.col("chunk_len"))
+                    .alias("bytes_saved")))
+
+
+def cdc_chunk_dedup_sql(table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """DuckDB twin: identical rolling polynomial, mask, chunk geometry,
+    and md5 keys (list comprehension == Spark's sequence+filter — both
+    yield the empty cut set for docs shorter than the window)."""
+    terms = " + ".join(
+        f"CAST(ascii(substr(s, CAST(i - {j} AS BIGINT), 1)) AS BIGINT)"
+        f" * CAST({p} AS BIGINT)"
+        for j, p in enumerate(_POWERS))
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, coalesce({text_col}, '') AS s,
+         length(coalesce({text_col}, '')) AS l
+  FROM {table}),
+cuts AS (
+  SELECT doc_id, s, l,
+         list_concat(
+           [CAST(i AS INT) FOR i IN range({WINDOW}, l + 1)
+            IF ({terms}) % {MASK_MOD} = 0 AND i < l],
+           [CAST(l AS INT)]) AS ends
+  FROM base),
+ch AS (
+  SELECT doc_id, s, ends, unnest(range(1, len(ends) + 1)) AS k
+  FROM cuts),
+chunks AS (
+  SELECT doc_id, k,
+         substr(s,
+                CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END
+                     AS BIGINT),
+                CAST(ends[k]
+                     - (CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END)
+                     + 1 AS BIGINT)) AS chunk
+  FROM ch)
+SELECT md5(chunk) AS chunk_md5,
+       CAST(max(length(chunk)) AS BIGINT) AS chunk_len,
+       count(*) AS n_copies,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST((count(*) - 1) * max(length(chunk)) AS BIGINT) AS bytes_saved
+FROM chunks
+GROUP BY md5(chunk)
+HAVING count(*) >= 2
+"""
+
+
+_FOOTER = ("\\n/* Licensed under the Example License v1.0. "
+           "See the LICENSE file in the project root for terms. "
+           "All rights reserved to their respective owners. */")
+
+
+def with_planted_footer(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Append one shared license banner to every third doc — at a
+    DIFFERENT byte offset per doc (after each doc's own text), which is
+    exactly the shifted-content case CDC chunks identically and
+    stride-chunking cannot."""
+    footer = _FOOTER.replace("\\n", "\n")
+    planted = F.when(F.col(id_col) % 3 == 0,
+                     F.concat(F.coalesce(F.col(text_col), F.lit("")),
+                              F.lit(footer))
+                     ).otherwise(F.col(text_col))
+    return docs.withColumn(text_col, planted)
+
+
+def with_planted_footer_sql(table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """DuckDB twin of :func:`with_planted_footer` (E-string escape keeps
+    the newline byte identical)."""
+    return f"""(
+  SELECT * REPLACE (
+    CASE WHEN {id_col} % 3 = 0
+         THEN coalesce({text_col}, '') || E'{_FOOTER}'
+         ELSE {text_col} END AS {text_col})
+  FROM {table})"""

@@ -1,0 +1,114 @@
+"""Content-defined chunking (operators/cdc.py) vs a pure-Python third
+implementation, plus the property CDC exists for: identical regions
+chunk identically regardless of byte offset."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.cdc import (
+    BASE,
+    MASK_MOD,
+    WINDOW,
+    cdc_chunk_dedup,
+    cdc_chunks,
+    with_planted_footer,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_chunks(s: str) -> list[str]:
+    s = s or ""
+    l = len(s)
+    cuts = []
+    for i in range(WINDOW, l + 1):  # 1-based window-end positions
+        h = sum(ord(s[i - 1 - j]) * BASE ** j for j in range(WINDOW))
+        if h % MASK_MOD == 0 and i < l:
+            cuts.append(i)
+    ends = cuts + [l]
+    out, start = [], 0
+    for e in ends:
+        out.append(s[start:e])
+        start = e
+    return out
+
+
+def test_chunks_match_python(spark):
+    docs = with_planted_footer(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    got = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_len"], r["chunk_md5"]))
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.select("doc_id", "text").collect()}
+    for doc_id, text in texts.items():
+        want = [(i + 1, len(c), hashlib.md5(c.encode()).hexdigest())
+                for i, c in enumerate(_py_chunks(text))]
+        assert sorted(got[doc_id]) == want, f"doc {doc_id}"
+
+
+def test_chunks_reassemble_losslessly(spark):
+    # chunk set partitions every byte: concatenating chunks in index
+    # order reproduces the text (the "losslessly dedupable" invariant)
+    texts = ["", "short", "a" * 200,
+             "x" * 50 + "SHARED REGION " * 20 + "y" * 50]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    base = df.select("doc_id", F.coalesce("text", F.lit("")).alias("s"))
+    joined = (cdc_chunks(df).groupBy("doc_id")
+              .agg(F.sum("chunk_len").alias("n")))
+    lens = {r["doc_id"]: r["n"] for r in joined.collect()}
+    assert lens == {i: len(t) for i, t in enumerate(texts)}
+
+
+def test_offset_invariance(spark):
+    # the same shared region embedded at different offsets yields
+    # identical interior chunks — the property stride chunking lacks
+    shared = ("def shared_vendored_function(arg):\n"
+              "    return arg * 2  # common blob\n") * 8
+    docs = [(0, "A" * 37 + shared + "B" * 11),
+            (1, "C" * 113 + shared + "D" * 59)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = cdc_chunks(df).collect()
+    by_doc = {0: set(), 1: set()}
+    for r in rows:
+        by_doc[r["doc_id"]].add(r["chunk_md5"])
+    common = by_doc[0] & by_doc[1]
+    # interior chunks of the shared region must coincide (boundary
+    # chunks differ because they straddle the unshared prefix/suffix);
+    # count per-doc bytes covered by cross-doc-shared chunks
+    bytes0 = sum(r["chunk_len"] for r in rows
+                 if r["doc_id"] == 0 and r["chunk_md5"] in common)
+    assert bytes0 >= len(shared) // 2, (
+        "most of the shared region must dedup across offsets")
+
+
+def test_dedup_report_counts(spark):
+    text = ("import os\nimport sys\n\n"
+            "def main():\n    print('hello CDC world')\n" * 6)
+    df = spark.createDataFrame(
+        [(0, text), (1, text)], ["doc_id", "text"])
+    out = cdc_chunk_dedup(df).collect()
+    assert out, "identical docs must share every chunk"
+    total = 0
+    for r in out:
+        # identical docs: every chunk occurrence pairs up across docs
+        assert r["n_docs"] == 2 and r["n_copies"] % 2 == 0
+        assert r["bytes_saved"] == (r["n_copies"] - 1) * r["chunk_len"]
+        total += r["n_copies"] * r["chunk_len"]
+    assert total == 2 * len(text), "every byte of both docs must dedup"
+
+
+def test_single_exchange_plan(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = cdc_chunk_dedup(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Join" not in plan
+    # the countDistinct(doc_id) two-level agg: (md5, doc) distinct +
+    # the md5 rollup — boundary detection itself adds zero exchanges
+    assert plan.count("Exchange") <= 2, plan

@@ -164,6 +164,10 @@ EXCHANGE_BUDGET = {
     # production iteration checkpoints edges + per-superstep ranks like
     # the distributed-CC path (operators/graph_rank.py docstring)
     "textrank_tokens": 21,
+    # CDC chunk dedup: boundary detection is exchange-free codegen
+    # lambda math; the two exchanges are countDistinct's standard
+    # two-level agg on the md5 key (operators/cdc.py)
+    "cdc_chunk_dedup": 2,
 }
 
 
