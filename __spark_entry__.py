@@ -2184,6 +2184,20 @@ def _sql_bloom_prune_new_batch() -> str:
     return bloom_prune_sql("documents", m_bits=512, k=2)
 
 
+def _q_cosine_topk_pq(spark, sf_dir):
+    """Product-quantization ANN twin (Jégou et al., TPAMI'11): 64 floats
+    → 8 one-byte codes (32× shuffle/cache compression), ADC LUT-gather
+    shortlist on the compressed linear scan, exact cosine re-rank on the
+    shortlist only. Approximate by design (k-means codebooks are
+    float-iterative) → rows-only; cosine_topk_embeddings is the exact
+    oracle twin and recall@k >= 0.9 is pinned by tests/test_pq.py
+    (functions/pq.py)."""
+    from email_sanitizer_api_spark.functions.pq import cosine_topk_pq
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_pq(emb, queries, k=5)
+
+
 def _q_cdc_chunk_dedup(spark, sf_dir):
     """Content-defined chunking dedup (rsync/LBFS/restic idiom): rolling
     polynomial hash cuts wherever the trailing-8-byte hash satisfies the
@@ -2505,6 +2519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_tokens": _q_textrank_tokens,
         # content-defined chunking dedup (r04 s5)
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
+        # product-quantization ANN + exact re-rank (r04 s5)
+        "cosine_topk_pq": _q_cosine_topk_pq,
     }
 
 
@@ -2617,6 +2633,10 @@ def oracle_sql() -> dict[str, str]:
         "textrank_tokens": _sql_textrank_tokens(),
         # content-defined chunking dedup (r04 s5)
         "cdc_chunk_dedup": _sql_cdc_chunk_dedup(),
+        # cosine_topk_pq: intentionally omitted — PQ codebooks are
+        # float-iterative k-means (not SQL-expressible); its exact oracle
+        # twin is cosine_topk_embeddings and tests/test_pq.py pins
+        # recall@k >= 0.9 at the defaults
         # semantic_dedup_kmeans: intentionally omitted — k-means list
         # assignment (Lloyd-refined centroids) is the probabilistic
         # production path; semantic_dedup_embeddings is its exact oracle

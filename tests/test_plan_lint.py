@@ -58,6 +58,11 @@ NLJ_OK = {
     "kmeans_assign_embeddings": "broadcast side is k=8 seed centroids (O(k) rows)",
     "semantic_contamination_report": "broadcast side is the fixed-size benchmark embedding set",
     "bm25_topk_docs": "crossJoins with broadcast 1-row df/corpus scalar aggregates",
+    # PQ is a COMPRESSED linear scan by definition (FAISS IndexPQ): the
+    # broadcast side is the fixed small query set and the big side ships
+    # ~16x-compressed codes, not vectors; compose with IVF lists to
+    # prune candidates when the corpus is clustered
+    "cosine_topk_pq": "broadcast side is the fixed query set; scan side ships PQ codes (compressed exhaustive scan by design)",
 }
 
 LINT_NAMES = sorted(set(entry.queries()) - EAGER)
@@ -168,6 +173,9 @@ EXCHANGE_BUDGET = {
     # lambda math; the two exchanges are countDistinct's standard
     # two-level agg on the md5 key (operators/cdc.py)
     "cdc_chunk_dedup": 2,
+    # PQ-ADC + re-rank: shortlist window + two broadcast re-rank joins;
+    # ceiling covers the AQE shuffle around the per-query windows
+    "cosine_topk_pq": 3,
 }
 
 

@@ -1,0 +1,80 @@
+"""Product-quantization ANN (functions/pq.py): recall vs the exact
+baseline, compression shape, encode determinism, and re-rank exactness
+(output cosines must be TRUE cosines, not ADC estimates)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.pq import (
+    cosine_topk_pq,
+    make_pq_encode_udf,
+    train_pq_codebooks,
+)
+from email_sanitizer_api_spark.functions.similarity import cosine_topk
+
+SF_DIR = "/root/testdata/sf0.01"
+K = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.where(F.col("vec_id") < 10)
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_recall_at_k_vs_exact(emb, queries):
+    exact = _topk_sets(cosine_topk(emb, queries, k=K))
+    approx = _topk_sets(cosine_topk_pq(emb, queries, k=K))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.9, f"PQ recall@{K} {recall:.3f} < 0.9"
+
+
+def test_reranked_cosines_are_exact(emb, queries):
+    # every (query, neighbor) the PQ path returns must carry the same
+    # cosine the exact path computes for that pair — the re-rank
+    # guarantee that ADC error never reaches the output scores
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in cosine_topk(emb, queries, k=100).collect()}
+    for r in cosine_topk_pq(emb, queries, k=K).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cosine"] == pytest.approx(exact[key], abs=1e-5)
+
+
+def test_codebook_shape_and_determinism(emb):
+    b1 = train_pq_codebooks(emb, m_sub=8, ks=16, n_iters=1)
+    b2 = train_pq_codebooks(emb, m_sub=8, ks=16, n_iters=1)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2), "content-defined training must be stable"
+
+
+def test_encode_compression_shape(emb):
+    books = train_pq_codebooks(emb, m_sub=8, ks=16, n_iters=1)
+    enc = make_pq_encode_udf(books)
+    rows = (emb.limit(20)
+            .select("vec_id", enc(F.col("embedding")).alias("codes"))
+            .collect())
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_self_match_excluded(emb, queries):
+    for r in cosine_topk_pq(emb, queries, k=K).collect():
+        assert r["query_id"] != r["neighbor_id"]
