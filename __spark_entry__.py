@@ -2184,6 +2184,26 @@ def _sql_bloom_prune_new_batch() -> str:
     return bloom_prune_sql("documents", m_bits=512, k=2)
 
 
+def _q_cms_token_counts(spark, sf_dir):
+    """Count-min sketch token counts (Cormode-Muthukrishnan): FIXED
+    d×w counter grid — shuffle volume bounded by the grid, not the
+    vocabulary; sketches merge by plain sum (the streaming/incremental
+    companion to exact vocab_topk). Deterministic md5 cells make even
+    the collision overestimates reproducible, so the grid is
+    deliberately undersized (w=16 against the corpus's 31-token
+    vocabulary) and the overestimate branch itself is hash-checked
+    against DuckDB — the bloom_prune adversarial-sizing trick
+    (functions/cms.py)."""
+    from email_sanitizer_api_spark.functions.cms import cms_token_counts
+    return cms_token_counts(_t(spark, sf_dir, "documents"), w=16, d=2)
+
+
+def _sql_cms_token_counts() -> str:
+    from email_sanitizer_api_spark.functions.cms import (
+        cms_token_counts_sql)
+    return cms_token_counts_sql(w=16, d=2)
+
+
 def _q_cosine_topk_pq(spark, sf_dir):
     """Product-quantization ANN twin (Jégou et al., TPAMI'11): 64 floats
     → 8 one-byte codes (32× shuffle/cache compression), ADC LUT-gather
@@ -2521,6 +2541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         # product-quantization ANN + exact re-rank (r04 s5)
         "cosine_topk_pq": _q_cosine_topk_pq,
+        # count-min sketch token counts (r04 s5)
+        "cms_token_counts": _q_cms_token_counts,
     }
 
 
@@ -2633,6 +2655,8 @@ def oracle_sql() -> dict[str, str]:
         "textrank_tokens": _sql_textrank_tokens(),
         # content-defined chunking dedup (r04 s5)
         "cdc_chunk_dedup": _sql_cdc_chunk_dedup(),
+        # count-min sketch token counts (r04 s5)
+        "cms_token_counts": _sql_cms_token_counts(),
         # cosine_topk_pq: intentionally omitted — PQ codebooks are
         # float-iterative k-means (not SQL-expressible); its exact oracle
         # twin is cosine_topk_embeddings and tests/test_pq.py pins

@@ -1,0 +1,132 @@
+"""Count-min sketch token frequencies — a MERGEABLE counting sketch
+with a bit-exact cross-engine oracle.
+
+``vocab_topk`` keeps exact global counts: fine when the vocabulary fits
+a shuffle, wrong tool for a 10^12-file corpus's n-gram table or for
+incremental state that must absorb per-batch counts without re-reading
+the corpus. The count-min sketch (Cormode & Muthukrishnan, J.Alg 2005)
+is the standard fix: a FIXED (d × w) grid of counters; every occurrence
+increments one cell per row (d md5-derived hashes); a key's estimate is
+the MIN over its d cells. Properties the tests pin:
+
+- **never undercounts** (every cell the key hashes to holds its true
+  count plus non-negative collision mass);
+- **bounded overestimate**: ≤ ε·N with probability 1−δ for w = e/ε,
+  d = ln(1/δ), N = total occurrences;
+- **mergeable**: sketches add cell-wise, so per-batch sketches fold
+  into incremental state by a plain ``sum`` groupBy — the same
+  partial-aggregable shape as the Bloom word array
+  (functions/bloom.py), and the reason this beats exact counting for
+  streaming/incremental top-k.
+
+Unlike HyperLogLog (``distinct_fp_by_lang_approx``, rows-only by
+necessity), CMS with DETERMINISTIC md5 hashing is exactly reproducible
+in SQL: the contract query deliberately undersizes the grid (w = 256
+over a larger vocabulary) so collisions are COMMON and the
+overestimate branch itself is hash-checked against DuckDB, the same
+adversarial-sizing trick as ``bloom_prune_new_batch``.
+
+Scale shape: the sketch build is one explode (d rows per occurrence,
+map-side combinable) into a groupBy over AT MOST d·w cells — the
+shuffle volume is bounded by the GRID, not the vocabulary. The
+estimate pass joins distinct keys to the d·w-row sketch — broadcast,
+since the grid is constant-size by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cms_cells", "cms_build", "cms_token_counts",
+           "cms_token_counts_sql"]
+
+#: contract-query grid: deliberately small so collisions are exercised
+WIDTH = 256
+DEPTH = 3
+
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def cms_cells(key: Column, j: int, w: int) -> Column:
+    """Row-``j`` cell for ``key``: 60-bit md5 of ``key || ':' || j``
+    mod ``w`` (the bloom.py / Merkle cross-engine idiom)."""
+    return (F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(f":{j}"))), 1, 15),
+        16, 10).cast("long") % w)
+
+
+def _occurrences(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        F.explode(F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    _WS_CLASS),
+            lambda x: x != "")).alias("tok"))
+
+
+def cms_build(occurrences: DataFrame, key_col: str = "tok",
+              w: int = WIDTH, d: int = DEPTH) -> DataFrame:
+    """(j, cell, cnt) sketch rows — at most d·w of them regardless of
+    input size; merge two sketches by unioning and summing cnt."""
+    rows = occurrences.select(*[
+        F.struct(F.lit(j).alias("j"),
+                 cms_cells(F.col(key_col), j, w).alias("cell")).alias(f"s{j}")
+        for j in range(d)])
+    cells = rows.select(F.explode(F.array(
+        *[F.col(f"s{j}") for j in range(d)])).alias("s"))
+    return (cells.select(F.col("s.j").alias("j"),
+                         F.col("s.cell").alias("cell"))
+            .groupBy("j", "cell")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_token_counts(docs: DataFrame, text_col: str = "text",
+                     w: int = WIDTH, d: int = DEPTH) -> DataFrame:
+    """Per-token true vs sketch-estimated occurrence counts:
+    (token, n_true, n_est). n_est >= n_true always; equality whenever
+    none of the token's d cells collide."""
+    occ = _occurrences(docs, text_col)
+    true_counts = (occ.groupBy(F.col("tok").alias("token"))
+                   .agg(F.count(F.lit(1)).alias("n_true")))
+    sketch = F.broadcast(cms_build(occ, w=w, d=d))
+    probes = true_counts.select(
+        "token", "n_true",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     cms_cells(F.col("token"), j, w).alias("cell"))
+            for j in range(d)])).alias("s"))
+    return (probes
+            .join(sketch, (F.col("s.j") == sketch.j)
+                  & (F.col("s.cell") == sketch.cell))
+            .groupBy("token", "n_true")
+            .agg(F.min("cnt").alias("n_est")))
+
+
+def cms_token_counts_sql(table: str = "documents",
+                         text_col: str = "text", w: int = WIDTH,
+                         d: int = DEPTH) -> str:
+    """DuckDB twin: same tokenizer, md5 cells, grid, and min-of-d."""
+    cell = ("(('0x' || substring(md5(tok || ':' || j), 1, 15))::BIGINT"
+            f" % {w})")
+    cell_tok = cell.replace("tok", "token")
+    return f"""
+WITH occ AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(trim(coalesce({text_col}, ''))),
+                                 '{_WS_CLASS}'),
+           x -> x <> '')) AS tok
+  FROM {table}),
+truec AS (
+  SELECT tok AS token, count(*) AS n_true FROM occ GROUP BY tok),
+cells AS (
+  SELECT j, {cell} AS cell
+  FROM occ, (SELECT unnest(range(0, {d})) AS j)),
+sketch AS (
+  SELECT j, cell, count(*) AS cnt FROM cells GROUP BY j, cell),
+probes AS (
+  SELECT t.token, t.n_true, u.j, {cell_tok} AS cell
+  FROM truec t, (SELECT unnest(range(0, {d})) AS j) u)
+SELECT p.token, p.n_true, CAST(min(s.cnt) AS BIGINT) AS n_est
+FROM probes p JOIN sketch s ON p.j = s.j AND p.cell = s.cell
+GROUP BY p.token, p.n_true
+"""

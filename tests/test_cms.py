@@ -1,0 +1,106 @@
+"""Count-min sketch (functions/cms.py): never-undercount, error bound,
+mergeability, and a pure-Python third implementation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.cms import (
+    cms_build,
+    cms_token_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_cell(tok: str, j: int, w: int) -> int:
+    return int(hashlib.md5(f"{tok}:{j}".encode()).hexdigest()[:15], 16) % w
+
+
+def _py_cms(tokens: list[str], w: int, d: int) -> dict[str, int]:
+    grid: dict[tuple[int, int], int] = {}
+    for t in tokens:
+        for j in range(d):
+            key = (j, _py_cell(t, j, w))
+            grid[key] = grid.get(key, 0) + 1
+    return {t: min(grid[(j, _py_cell(t, j, w))] for j in range(d))
+            for t in set(tokens)}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _tokens(docs) -> list[str]:
+    out = []
+    for r in docs.select("text").collect():
+        out.extend(t for t in (r["text"] or "").strip().lower().split()
+                   if t)
+    return out
+
+
+def test_matches_python_and_never_undercounts(spark, docs):
+    w, d = 16, 2  # the contract query's adversarial sizing
+    got = {r["token"]: (r["n_true"], r["n_est"])
+           for r in cms_token_counts(docs, w=w, d=d).collect()}
+    toks = _tokens(docs)
+    want_est = _py_cms(toks, w, d)
+    true = {}
+    for t in toks:
+        true[t] = true.get(t, 0) + 1
+    assert {t: e for t, (_, e) in got.items()} == want_est
+    collided = 0
+    for t, (n_true, n_est) in got.items():
+        assert n_true == true[t]
+        assert n_est >= n_true, "CMS must never undercount"
+        collided += n_est > n_true
+    assert collided > 0, "adversarial sizing must exercise collisions"
+
+
+def test_exact_when_grid_is_large(spark, docs):
+    # w far above the vocabulary: estimates collapse to exact counts
+    for r in cms_token_counts(docs, w=1 << 14, d=3).collect():
+        assert r["n_est"] == r["n_true"]
+
+
+def test_error_bound(spark, docs):
+    # CMS bound: overestimate <= 2N/w per row, and min-of-d tightens it;
+    # check the (loose, deterministic-friendly) 4N/w bound at d=2
+    w, d = 16, 2
+    n_total = len(_tokens(docs))
+    for r in cms_token_counts(docs, w=w, d=d).collect():
+        assert r["n_est"] - r["n_true"] <= 4 * n_total / w
+
+
+def test_sketches_merge_by_sum(spark, docs):
+    # sketch(A ∪ B) == cellwise sum of sketch(A) and sketch(B) — the
+    # property that lets per-batch sketches fold into incremental state
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+
+    def occ(d_):
+        return d_.select(F.explode(F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+                    "[ \\t\\n\\x0B\\f\\r]+"),
+            lambda x: x != "")).alias("tok"))
+
+    w, d = 16, 2
+    whole = {(r["j"], r["cell"]): r["cnt"]
+             for r in cms_build(occ(docs), w=w, d=d).collect()}
+    merged: dict[tuple[int, int], int] = {}
+    for part in (a, b):
+        for r in cms_build(occ(part), w=w, d=d).collect():
+            k = (r["j"], r["cell"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == whole
+
+
+def test_grid_bounded_rows(spark, docs):
+    w, d = 16, 2
+    assert cms_build(
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok")),
+        w=w, d=d).count() <= w * d

@@ -176,6 +176,9 @@ EXCHANGE_BUDGET = {
     # PQ-ADC + re-rank: shortlist window + two broadcast re-rank joins;
     # ceiling covers the AQE shuffle around the per-query windows
     "cosine_topk_pq": 3,
+    # CMS: true-count agg + the d*w-cell sketch agg (grid-bounded);
+    # the probe join broadcasts the constant-size sketch
+    "cms_token_counts": 2,
 }
 
 
