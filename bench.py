@@ -124,6 +124,15 @@ def main() -> None:
         "weighted_jaccard_pairs",
         # distributed prefix scan (bucket offsets + mapInPandas cumsum)
         "sequence_packing_layout",
+        # r04 session-5 additions (same caveat: per-query compare):
+        # PassJoin segment blocking + bounded-levenshtein verify
+        "edit_distance_pairs",
+        # union-window as-of join — one shuffle, zero joins
+        "events_priced_asof",
+        # CDC: codegen rolling-hash cuts + md5-keyed chunk inventory
+        "cdc_chunk_dedup",
+        # PQ-ADC compressed scan + exact re-rank (Arrow einsum UDFs)
+        "cosine_topk_pq",
     ]
     headline = [q for q in headline if q in queries]
 
