@@ -2184,6 +2184,24 @@ def _sql_bloom_prune_new_batch() -> str:
     return bloom_prune_sql("documents", m_bits=512, k=2)
 
 
+def _q_bpe_merge_table(spark, sf_dir):
+    """BPE merge learning (Sennrich ACL'16) — training the subword
+    tokenizer ON the corpus: 5 supersteps of (narrow pair explode over
+    the word-frequency table + partial-aggregable pair sum +
+    TakeOrdered(1) argmax), greedy non-overlapping merge application as
+    pure array lambda math (run parity — no UDF). Learning runs on
+    O(distinct words), corpus touched once. Oracle replays every
+    superstep as chained CTEs with the identical tie-break — hash-exact
+    including the self-pair greedy case (functions/bpe.py)."""
+    from email_sanitizer_api_spark.functions.bpe import bpe_learn_merges
+    return bpe_learn_merges(_t(spark, sf_dir, "documents"))
+
+
+def _sql_bpe_merge_table() -> str:
+    from email_sanitizer_api_spark.functions.bpe import bpe_learn_merges_sql
+    return bpe_learn_merges_sql()
+
+
 def _q_cms_token_counts(spark, sf_dir):
     """Count-min sketch token counts (Cormode-Muthukrishnan): FIXED
     d×w counter grid — shuffle volume bounded by the grid, not the
@@ -2543,6 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_pq": _q_cosine_topk_pq,
         # count-min sketch token counts (r04 s5)
         "cms_token_counts": _q_cms_token_counts,
+        # BPE merge learning (r04 s5)
+        "bpe_merge_table": _q_bpe_merge_table,
     }
 
 
@@ -2657,6 +2677,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_dedup": _sql_cdc_chunk_dedup(),
         # count-min sketch token counts (r04 s5)
         "cms_token_counts": _sql_cms_token_counts(),
+        # BPE merge learning (r04 s5)
+        "bpe_merge_table": _sql_bpe_merge_table(),
         # cosine_topk_pq: intentionally omitted — PQ codebooks are
         # float-iterative k-means (not SQL-expressible); its exact oracle
         # twin is cosine_topk_embeddings and tests/test_pq.py pins

@@ -1,0 +1,211 @@
+"""BPE merge learning — training a subword tokenizer ON the corpus.
+
+The one tokenizer artifact an LLM data pipeline actually has to
+PRODUCE (not just apply) is the BPE merge table (Sennrich, Haddow,
+Birch — "Neural machine translation of rare words with subword units",
+ACL 2016): start from characters, repeatedly merge the most frequent
+adjacent symbol pair. This module learns the first ``n_merges`` merges
+distributed, with the reference algorithm's exact semantics:
+
+- **learning runs on the word-frequency table, not the corpus** — the
+  classic trick and the whole scale story: the corpus is touched ONCE
+  (tokenize + word count, the heavy shuffle); every BPE superstep then
+  aggregates over O(distinct words), weighted by frequency. At 10^12
+  files the vocabulary is ~1e8 rows — superstep cost is independent of
+  corpus bytes.
+- **pair counting** sums word frequency over ALL adjacent symbol
+  positions (overlaps included) — Sennrich's ``get_stats``.
+- **argmax** by (count DESC, left ASC, right ASC) — a deterministic
+  tie-break, collected as a 1-row bounded driver artifact per
+  superstep (the union-find / Bloom-array class).
+- **merge application** is greedy left-to-right NON-overlapping —
+  Sennrich's ``re.sub``. Overlapping candidates only exist when
+  ``left == right`` (a candidate at i+1 would need
+  ``sym[i+1] = left = right`` of the candidate at i), so greediness
+  reduces to run parity: within each maximal run of consecutive
+  candidate positions, merge the 1st, 3rd, … — pure array lambda math
+  (filter/transform in Spark, list comprehensions in DuckDB), no UDF,
+  bit-identical across engines and pinned against a pure-Python
+  implementation of the reference algorithm.
+
+Per superstep the distributed work is: one narrow pair explode over
+the vocabulary + one partial-aggregable (left, right) sum + a
+TakeOrdered(1). The vocabulary rewrite is lazy column math chained on
+the previous state; a production run at 1e4 merges would checkpoint
+the vocabulary every few hundred supersteps exactly like the
+distributed-CC label loop. Hot pairs ('e','</w>') are ONE reduce key
+each — the aggregation is over pairs, so stopword-scale skew lands in
+the map-side combine, not a reducer.
+
+The contract query returns the merge table itself — the artifact a
+tokenizer ships — and the DuckDB oracle replays all supersteps as
+generated chained CTEs with scalar-subquery argmaxes: hash-exact,
+including every tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_learn_merges", "bpe_learn_merges_sql"]
+
+#: end-of-word marker (Sennrich)
+EOW = "</w>"
+#: contract-query merge count
+N_MERGES = 5
+
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
+    toks = docs.select(
+        F.explode(F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    _WS_CLASS),
+            lambda x: x != "")).alias("w"))
+    return toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of (left, right) in a
+    symbol array — the run-parity formulation (module docstring)."""
+    l, r = F.lit(left), F.lit(right)
+    n = F.size(syms)
+    # guard: Spark's sequence(1, 0) counts DOWN (yields [1, 0]); a fully
+    # merged single-symbol word must produce the empty candidate set
+    positions = F.when(n >= 2, F.sequence(F.lit(1), n - 1)
+                       ).otherwise(F.array().cast("array<int>"))
+    cands = F.filter(
+        positions,
+        lambda i: (F.element_at(syms, i) == l)
+        & (F.element_at(syms, i + 1) == r))
+    starts = F.filter(cands, lambda c: ~F.array_contains(cands, c - 1))
+    merged = F.filter(
+        cands,
+        lambda c: (c - F.array_max(F.filter(starts, lambda s: s <= c)))
+        % 2 == 0)
+    kept = F.filter(F.sequence(F.lit(1), n),
+                    lambda i: ~F.array_contains(merged, i - 1))
+    return F.transform(
+        kept,
+        lambda i: F.when(F.array_contains(merged, i),
+                         F.concat(l, r)).otherwise(F.element_at(syms, i)))
+
+
+def bpe_learn_merges(docs: DataFrame, text_col: str = "text",
+                     n_merges: int = N_MERGES) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges:
+    (merge_rank, left_sym, right_sym, pair_count)."""
+    spark = docs.sparkSession
+    vocab = _word_freq(docs, text_col).select(
+        "freq",
+        F.concat(F.regexp_extract_all(F.col("w"), F.lit("."), F.lit(0)),
+                 F.array(F.lit(EOW))).alias("syms"))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (vocab
+                 .where(F.size("syms") >= 2)
+                 .select("freq",
+                         F.explode(F.sequence(
+                             F.lit(1), F.size("syms") - 1)).alias("i"),
+                         F.col("syms"))
+                 .select("freq",
+                         F.element_at("syms", F.col("i")).alias("l"),
+                         F.element_at("syms", F.col("i") + 1).alias("r"))
+                 .groupBy("l", "r")
+                 .agg(F.sum("freq").alias("cnt")))
+        best = (pairs.orderBy(F.col("cnt").desc(), F.col("l").asc(),
+                              F.col("r").asc())
+                .limit(1).collect())
+        if not best:
+            break
+        b = best[0]
+        merges.append((rank, b["l"], b["r"], int(b["cnt"])))
+        # _apply_merge references `syms` ~8 times, so a lazy chain grows
+        # the expression tree exponentially; truncate lineage per
+        # superstep (the distributed-CC loop's localCheckpoint pattern —
+        # the vocabulary is the small, already-aggregated table)
+        vocab = vocab.select(
+            "freq", _apply_merge(F.col("syms"), b["l"], b["r"])
+            .alias("syms")).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank long, left_sym string, right_sym string, "
+                "pair_count long")
+
+
+def bpe_learn_merges_sql(table: str = "documents", text_col: str = "text",
+                         n_merges: int = N_MERGES) -> str:
+    """DuckDB twin: every superstep replayed as chained CTEs — pair
+    counts, scalar-subquery argmax with the identical tie-break, and
+    the same run-parity greedy merge as list comprehensions."""
+    def apply_merge(k: int, prev: str, b: str) -> list[str]:
+        # mirrors _apply_merge; the 1-row argmax CTE `b` is cross-joined
+        # so l/r are plain columns (no scalar subqueries anywhere)
+        return [f"""w{k} AS (
+  SELECT freq, syms, l, r,
+         [i FOR i IN range(1, len(syms))
+          IF syms[i] = l AND syms[i + 1] = r] AS cands
+  FROM {prev}, {b})""",
+                f"""m{k} AS (
+  SELECT freq, syms, l, r,
+         [c FOR c IN cands
+          IF (c - list_max(
+                [s FOR s IN
+                   [c2 FOR c2 IN cands
+                    IF NOT list_contains(cands, c2 - 1)]
+                 IF s <= c])) % 2 = 0] AS merged
+  FROM w{k})""",
+                f"""v{k} AS (
+  SELECT freq,
+         [CASE WHEN list_contains(merged, i) THEN l || r
+               ELSE syms[i] END
+          FOR i IN range(1, len(syms) + 1)
+          IF NOT list_contains(merged, i - 1)] AS syms
+  FROM m{k})"""]
+
+    ctes = [f"""occ AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(trim(coalesce({text_col}, ''))),
+                                 '{_WS_CLASS}'),
+           x -> x <> '')) AS w
+  FROM {table})""",
+            f"""v0 AS (
+  SELECT count(*) AS freq,
+         list_concat(regexp_extract_all(w, '.'), ['{EOW}']) AS syms
+  FROM occ GROUP BY w)"""]
+    selects = []
+    for k in range(1, n_merges + 1):
+        prev = f"v{k - 1}"
+        ctes.append(f"""p{k} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+        FROM {prev} WHERE len(syms) >= 2)
+  GROUP BY syms[i], syms[i + 1])""")
+        ctes.append(f"""b{k} AS (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""")
+        if k < n_merges:
+            ctes.extend(apply_merge(k, prev, f"b{k}"))
+        selects.append(
+            f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, "
+            f"cnt AS pair_count FROM b{k}")
+    body = "\nUNION ALL\n".join(selects)
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+def apply_merge_python(syms: list[str], left: str,
+                       right: str) -> list[str]:
+    """Reference greedy non-overlapping merge (Sennrich's re.sub
+    semantics) — the pytest third engine."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if (i + 1 < len(syms) and syms[i] == left
+                and syms[i + 1] == right):
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out

@@ -1,0 +1,99 @@
+"""BPE merge learning (functions/bpe.py) vs a pure-Python
+implementation of the reference algorithm (Sennrich get_stats +
+greedy non-overlapping merge), plus adversarial merge-application
+cases (self-pair runs — the overlap regime)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.bpe import (
+    EOW,
+    _apply_merge,
+    apply_merge_python,
+    bpe_learn_merges,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_learn(texts: list[str], n: int):
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in (t or "").strip().lower().split():
+            freq[w] = freq.get(w, 0) + 1
+    vocab = {tuple(list(w) + [EOW]): f for w, f in freq.items()}
+    out = []
+    for rank in range(1, n + 1):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + f
+        if not stats:
+            break
+        (l, r), c = min(stats.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, l, r, c))
+        vocab = {tuple(apply_merge_python(list(s), l, r)): f
+                 for s, f in vocab.items()}
+    return out
+
+
+def _spark_learn(spark, texts, n=5):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    rows = bpe_learn_merges(df, n_merges=n).collect()
+    return [(r["merge_rank"], r["left_sym"], r["right_sym"],
+             r["pair_count"]) for r in rows]
+
+
+def test_corpus_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got = [(r["merge_rank"], r["left_sym"], r["right_sym"],
+            r["pair_count"])
+           for r in bpe_learn_merges(docs).collect()]
+    assert got == _py_learn(texts, 5)
+
+
+def test_classic_sennrich_example(spark):
+    texts = ["low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3]
+    got = _spark_learn(spark, texts, n=4)
+    want = _py_learn(texts, 4)
+    assert got == want
+    # the famous first merges for this corpus: ('e','s') then ('es','t')
+    assert (got[0][1], got[0][2]) == ("e", "s")
+    assert (got[1][1], got[1][2]) == ("es", "t")
+
+
+def test_self_pair_runs(spark):
+    # 'aaaa' exercises the overlap regime: counts are overlapping
+    # (Sennrich get_stats) but application is greedy non-overlapping
+    texts = ["aaaa aaa aa a b"]
+    got = _spark_learn(spark, texts, n=3)
+    assert got == _py_learn(texts, 3)
+    assert (got[0][1], got[0][2]) == ("a", "a")
+
+
+def test_tie_break_deterministic(spark):
+    # every pair appears exactly once -> ties everywhere; the
+    # (count desc, left, right) order must pick the same winner
+    texts = ["ab ba cd dc"]
+    assert _spark_learn(spark, texts, n=4) == _py_learn(texts, 4)
+
+
+@pytest.mark.parametrize("syms,pair,want", [
+    (["a", "a", "a"], ("a", "a"), ["aa", "a"]),
+    (["a", "a", "a", "a"], ("a", "a"), ["aa", "aa"]),
+    (["l", "o", "l", "o"], ("l", "o"), ["lo", "lo"]),
+    (["x"], ("a", "b"), ["x"]),
+    (["a", "b", "b", "c"], ("b", "b"), ["a", "bb", "c"]),
+])
+def test_apply_merge_column_vs_python(spark, syms, pair, want):
+    assert apply_merge_python(list(syms), *pair) == want
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(_apply_merge(F.col("syms"), *pair).alias("m")) \
+        .first()["m"]
+    assert got == want

@@ -44,6 +44,9 @@ EAGER = {
     "cluster_split_assignment",
     "split_leakage_report",
     "semantic_dedup_kmeans",
+    # BPE learning collects a 1-row argmax per superstep and returns the
+    # driver-built merge table; superstep plans audited in PLANS.md
+    "bpe_merge_table",
 }
 
 # name -> reason a BroadcastNestedLoopJoin / CartesianProduct is safe.
