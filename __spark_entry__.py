@@ -2261,18 +2261,21 @@ def _q_textrank_tokens(spark, sf_dir):
     """Fixed-superstep weighted PageRank (TextRank keyword ranking) over
     the adjacent-token co-occurrence graph — the engine's second
     iterative-graph shape beside connected components: 4 unrolled
-    supersteps of join + partial-aggregable sum + node-spine left join,
+    supersteps of join + partial-aggregable sum + zero-spine union,
     ALL-INTEGER fixed-point so the DuckDB chained-CTE oracle is
-    bit-identical (operators/graph_rank.py)."""
+    bit-identical; planted keyword chains (with_planted_keywords) grow
+    the node set ~5x beyond the corpus's small natural vocabulary
+    (operators/graph_rank.py)."""
     from email_sanitizer_api_spark.operators.graph_rank import (
-        textrank_tokens)
-    return textrank_tokens(_t(spark, sf_dir, "documents"))
+        textrank_tokens, with_planted_keywords)
+    return textrank_tokens(
+        with_planted_keywords(_t(spark, sf_dir, "documents")))
 
 
 def _sql_textrank_tokens() -> str:
     from email_sanitizer_api_spark.operators.graph_rank import (
-        textrank_tokens_sql)
-    return textrank_tokens_sql()
+        textrank_tokens_sql, with_planted_keywords_sql)
+    return textrank_tokens_sql(table=with_planted_keywords_sql())
 
 
 def _q_events_priced_asof(spark, sf_dir):

@@ -46,7 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "textrank_tokens", "textrank_tokens_sql"]
+__all__ = ["pagerank", "textrank_tokens", "textrank_tokens_sql",
+           "with_planted_keywords", "with_planted_keywords_sql"]
 
 #: fixed-point scale for rank mass (1e6 per node of initial mass)
 SCALE = 1_000_000
@@ -113,6 +114,38 @@ def textrank_tokens(docs: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).cast("long").alias("w"))
     nodes = (arr.select(F.explode("toks").alias("token")).distinct())
     return pagerank(edges, nodes, iterations=iterations)
+
+
+def with_planted_keywords(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Append two md5-derived keyword tokens per doc — groups of 4 docs
+    share keyword ``kw<h(g)>`` which co-occurs with the NEXT group's
+    keyword, chaining the groups into a long path glued onto the text
+    graph. The synthetic corpus has a ~31-token vocabulary; the plant
+    grows the node set ~5× and adds hub/chain structure so the ranking
+    is exercised beyond a small dense core (the with_planted_urls
+    pattern; identical expression in the DuckDB twin)."""
+    g = (F.col(id_col) - (F.col(id_col) % 4)).cast("string")
+    g_next = (F.col(id_col) - (F.col(id_col) % 4) + 4).cast("string")
+    planted = F.concat(
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit(" kw"), F.substring(F.md5(g), 1, 6),
+        F.lit(" kw"), F.substring(F.md5(g_next), 1, 6))
+    return docs.withColumn(text_col, planted)
+
+
+def with_planted_keywords_sql(table: str = "documents",
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB twin of :func:`with_planted_keywords`."""
+    g = f"CAST({id_col} - {id_col} % 4 AS VARCHAR)"
+    g_next = f"CAST({id_col} - {id_col} % 4 + 4 AS VARCHAR)"
+    return f"""(
+  SELECT * REPLACE (
+    coalesce({text_col}, '')
+      || ' kw' || substring(md5({g}), 1, 6)
+      || ' kw' || substring(md5({g_next}), 1, 6) AS {text_col})
+  FROM {table})"""
 
 
 def textrank_tokens_sql(table: str = "documents", id_col: str = "doc_id",
