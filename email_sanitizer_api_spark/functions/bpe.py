@@ -54,16 +54,23 @@ __all__ = ["bpe_learn_merges", "bpe_learn_merges_sql"]
 EOW = "</w>"
 #: contract-query merge count
 N_MERGES = 5
+#: words longer than this are excluded from learning — a whitespace-free
+#: 100 KB minified/binary blob is a 100k-symbol array whose per-merge
+#: array lambda work is O(L²); real tokenizers impose the same cap, and
+#: such blobs are exactly what the validate stage flags. Part of the
+#: cross-engine spec (the oracle applies the identical predicate).
+MAX_WORD_LEN = 64
 
 _WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
 
 
-def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
+def _word_freq(docs: DataFrame, text_col: str,
+               max_word_len: int = MAX_WORD_LEN) -> DataFrame:
     toks = docs.select(
         F.explode(F.filter(
             F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
                     _WS_CLASS),
-            lambda x: x != "")).alias("w"))
+            lambda x: (x != "") & (F.length(x) <= max_word_len))).alias("w"))
     return toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
 
 
@@ -168,7 +175,7 @@ def bpe_learn_merges_sql(table: str = "documents", text_col: str = "text",
   SELECT unnest(list_filter(
            regexp_split_to_array(lower(trim(coalesce({text_col}, ''))),
                                  '{_WS_CLASS}'),
-           x -> x <> '')) AS w
+           x -> x <> '' AND length(x) <= {MAX_WORD_LEN})) AS w
   FROM {table})""",
             f"""v0 AS (
   SELECT count(*) AS freq,

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cdc_chunks",
+    "cdc_chunks_pandas",
     "cdc_chunk_dedup",
     "cdc_chunk_dedup_sql",
     "with_planted_footer",
@@ -70,13 +71,17 @@ _POWERS = [BASE ** j for j in range(WINDOW)]
 
 
 def _codes_expr(s, l):
-    """Per-character ascii codes as one array column — ONE substr pass;
-    the rolling hash then reads O(1) element_at lookups instead of
-    re-slicing the string 8× per position (measured 5.4× faster at
-    sf0.1, byte-identical cut set)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(l, F.lit(1))),
-        lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"))
+    """Per-character codepoints as one array column, built by a SINGLE
+    split('') pass — the rolling hash then reads O(1) element_at
+    lookups. Two generations of fix live here: element_at lookups
+    replaced 8 substr slices per position (5.4× at sf0.1), and split('')
+    replaced substr(s, i, 1) per position, whose codepoint walk is O(i)
+    and went quadratic on a single 175 KB no-whitespace blob (>195 s for
+    ONE row; now linear). ``l`` is unused but kept for signature
+    stability."""
+    del l
+    return F.transform(F.split(s, ""),
+                       lambda c: F.ascii(c).cast("long"))
 
 
 def _ends_expr(codes, l):
@@ -122,12 +127,75 @@ def cdc_chunks(docs: DataFrame, id_col: str = "doc_id",
         F.md5(chunk).alias("chunk_md5"))
 
 
+def cdc_chunks_pandas(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Production twin of :func:`cdc_chunks` — identical arithmetic,
+    LINEAR extraction via numpy over ``mapInPandas``. The pure-SQL path
+    extracts each chunk with ``substr``, whose codepoint walk is
+    O(offset); on a low-entropy blob where EVERY position cuts (the
+    degenerate regime of any stateless mask) that goes quadratic —
+    observed >195 s for one 175 KB constant-run row, where this path
+    takes milliseconds (utf-32 decode vectorizes the codepoints, the
+    rolling hash is one ``np.correlate``, chunk slices are contiguous
+    so slicing totals O(n)). The SQL twin remains the oracle-checked
+    contract path; per-chunk equality between the two is pinned by
+    tests/test_cdc.py."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, chunk_idx long, chunk_len long, "
+              "chunk_md5 string")
+    kernel = np.array(_POWERS[::-1], dtype=np.int64)  # oldest byte first
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_idx, out_len, out_md5 = [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                s = text or ""
+                n = len(s)
+                if n >= WINDOW:
+                    codes = np.frombuffer(
+                        s.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    h = np.correlate(codes, kernel, mode="valid")
+                    cut = np.nonzero(h % MASK_MOD == 0)[0] + WINDOW
+                    ends = cut[cut < n].tolist() + [n]
+                else:
+                    ends = [n]
+                start = 0
+                for k, e in enumerate(ends, 1):
+                    piece = s[start:e]
+                    out_id.append(rid)
+                    out_idx.append(k)
+                    out_len.append(len(piece))
+                    out_md5.append(
+                        hashlib.md5(piece.encode()).hexdigest())
+                    start = e
+            yield pd.DataFrame({id_col: out_id, "chunk_idx": out_idx,
+                                "chunk_len": out_len,
+                                "chunk_md5": out_md5})
+
+    cols = docs.select(F.col(id_col),
+                       F.coalesce(F.col(text_col), F.lit(""))
+                       .alias(text_col))
+    return cols.mapInPandas(gen, schema=schema)
+
+
 def cdc_chunk_dedup(docs: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    impl: str = "sql") -> DataFrame:
     """Shared-chunk inventory: every CDC chunk appearing more than once
     in the corpus, with copy/doc counts and the bytes dedup would
-    reclaim: (chunk_md5, chunk_len, n_copies, n_docs, bytes_saved)."""
-    chunks = cdc_chunks(docs, id_col=id_col, text_col=text_col)
+    reclaim: (chunk_md5, chunk_len, n_copies, n_docs, bytes_saved).
+    ``impl="pandas"`` swaps in the linear numpy chunker (identical
+    output) for corpora with oversize low-entropy blobs."""
+    chunker = cdc_chunks_pandas if impl == "pandas" else cdc_chunks
+    chunks = chunker(docs, id_col=id_col, text_col=text_col)
+    if id_col != "doc_id":
+        chunks = chunks.withColumnRenamed(id_col, "doc_id")
     return (chunks.groupBy("chunk_md5")
             .agg(F.max("chunk_len").alias("chunk_len"),
                  F.count(F.lit(1)).alias("n_copies"),

@@ -273,6 +273,18 @@ def main(argv: list[str] | None = None) -> None:
          .join(keyed.select("file_id", "repo", "path", "commit"), "file_id")
          .drop("file_id")
          .write.mode("overwrite").parquet(f"{args.analytics}/lm_quality"))
+        # r04 s5: CDC shared-chunk inventory (the bytes sub-file dedup
+        # would reclaim — one md5-keyed agg) + the corpus-trained BPE
+        # merge table (the tokenizer artifact; learning runs on the
+        # word-frequency table, corpus touched once)
+        from email_sanitizer_api_spark.functions.bpe import (
+            bpe_learn_merges)
+        from email_sanitizer_api_spark.operators.cdc import cdc_chunk_dedup
+        (cdc_chunk_dedup(keyed, id_col="file_id", text_col="content",
+                         impl="pandas")
+         .write.mode("overwrite").parquet(f"{args.analytics}/cdc_chunks"))
+        (bpe_learn_merges(files, text_col="content", n_merges=16)
+         .write.mode("overwrite").parquet(f"{args.analytics}/bpe_merges"))
 
     if args.incremental:
         if not args.state_dir:

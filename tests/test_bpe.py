@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from email_sanitizer_api_spark.functions.bpe import (
     EOW,
+    MAX_WORD_LEN,
     _apply_merge,
     apply_merge_python,
     bpe_learn_merges,
@@ -22,7 +23,8 @@ def _py_learn(texts: list[str], n: int):
     freq: dict[str, int] = {}
     for t in texts:
         for w in (t or "").strip().lower().split():
-            freq[w] = freq.get(w, 0) + 1
+            if len(w) <= MAX_WORD_LEN:  # same cap as the engine+oracle
+                freq[w] = freq.get(w, 0) + 1
     vocab = {tuple(list(w) + [EOW]): f for w, f in freq.items()}
     out = []
     for rank in range(1, n + 1):
@@ -75,6 +77,19 @@ def test_self_pair_runs(spark):
     got = _spark_learn(spark, texts, n=3)
     assert got == _py_learn(texts, 3)
     assert (got[0][1], got[0][2]) == ("a", "a")
+
+
+def test_oversize_word_excluded(spark):
+    # a whitespace-free minified blob must not enter learning (its
+    # per-merge array work is O(L²)); merges come from the real words
+    blob = "ab" * (MAX_WORD_LEN * 50)  # one 6400-char "word" of a/b
+    texts = ["low " * 5 + blob, "low low"]
+    got = _spark_learn(spark, texts, n=2)
+    want = _py_learn(texts, 2)
+    assert got == want
+    # with the blob excluded, the corpus is 7×'low': first merge (l,o)
+    # count 7 — the blob would have made ('a','b') count 3200 win
+    assert (got[0][1], got[0][2], got[0][3]) == ("l", "o", 7)
 
 
 def test_tie_break_deterministic(spark):

@@ -15,6 +15,7 @@ from email_sanitizer_api_spark.operators.cdc import (
     WINDOW,
     cdc_chunk_dedup,
     cdc_chunks,
+    cdc_chunks_pandas,
     with_planted_footer,
 )
 
@@ -102,6 +103,41 @@ def test_dedup_report_counts(spark):
         assert r["bytes_saved"] == (r["n_copies"] - 1) * r["chunk_len"]
         total += r["n_copies"] * r["chunk_len"]
     assert total == 2 * len(text), "every byte of both docs must dedup"
+
+
+def test_pandas_twin_matches_sql(spark):
+    # the linear numpy production twin must emit the byte-identical
+    # chunk set as the oracle-checked SQL path, on real corpus text
+    # with the planted footer (guaranteed multi-chunk docs)
+    docs = with_planted_footer(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    key = ["doc_id", "chunk_idx", "chunk_len", "chunk_md5"]
+    sql_rows = sorted(tuple(r[k] for k in key)
+                      for r in cdc_chunks(docs).collect())
+    pd_rows = sorted(tuple(r[k] for k in key)
+                     for r in cdc_chunks_pandas(docs).collect())
+    assert pd_rows == sql_rows
+
+
+def test_pandas_twin_low_entropy_blob(spark):
+    # the degenerate regime the twin exists for: a constant-run blob
+    # where EVERY window position is a cut (hash of 'aaaaaaaa' ≡ 0 mod
+    # MASK_MOD would make each position cut; here verify vs the pure-
+    # Python reference whatever the cut density) — the SQL substr path
+    # is O(n²) on this shape, the numpy path linear
+    blob = "\x00" * 20_000  # codepoint 0 → rolling hash 0 → all cuts
+    edge = ["", "short", "é世" * 10, blob,
+            "a" * (WINDOW - 1), "b" * WINDOW]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(edge)],
+                               ["doc_id", "text"])
+    got = {}
+    for r in cdc_chunks_pandas(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_len"], r["chunk_md5"]))
+    for i, t in enumerate(edge):
+        want = [(k + 1, len(c), hashlib.md5(c.encode()).hexdigest())
+                for k, c in enumerate(_py_chunks(t))]
+        assert sorted(got[i]) == want, f"doc {i}"
 
 
 def test_single_exchange_plan(spark):

@@ -194,6 +194,17 @@ def test_spark_submit_analytics_side_outputs(tmp_path):
     assert {"n_bigrams", "avg_logp_q", "lm_quality_ok"} <= set(lm.columns)
     assert {"repo", "path", "commit"} <= set(lm.columns)
 
+    cdc = pd.read_parquet(an_dir / "cdc_chunks")
+    assert {"chunk_md5", "chunk_len", "n_copies", "n_docs",
+            "bytes_saved"} <= set(cdc.columns)
+    assert (cdc["n_copies"] >= 2).all()
+
+    bpe = pd.read_parquet(an_dir / "bpe_merges")
+    assert len(bpe) == 16
+    assert list(bpe.sort_values("merge_rank")["merge_rank"]) == \
+        list(range(1, 17))
+    assert (bpe["pair_count"] > 0).all()
+
 
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
 def test_spark_submit_delete_and_purge(tmp_path):
