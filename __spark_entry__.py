@@ -2278,6 +2278,56 @@ def _sql_textrank_tokens() -> str:
     return textrank_tokens_sql(table=with_planted_keywords_sql())
 
 
+def _q_dup_graph_triangles(spark, sf_dir):
+    """Per-node triangle census / local clustering coefficients over the
+    verified near-dup pair graph — the cluster-trust audit: triangle-
+    dense families are genuine (every member pairwise-similar), while
+    triangle-free chains through a hub are the false-merge smell CC
+    alone cannot see. Degree-ordered orientation bounds the wedge join
+    at O(m^1.5) for ANY degree distribution (operators/triangles.py).
+    Edges: exact token-Jaccard >= 0.8 pairs (PPJoin prefix-filter join;
+    0.8 not 0.5 — the synthetic corpus's shared vocabulary makes the
+    organic tau=0.5 graph a 3.4M-edge near-clique at sf0.1) over
+    prefix-inclusion planted families whose pairwise Jaccard is the
+    exact rational (21 + c*min)/(21 + c*max) — shapes range from
+    6-cliques to chains with skips, so closed AND open wedges both
+    occur. All-integer output (1e-6 fixed-point lcc), hash-exact."""
+    from email_sanitizer_api_spark.functions.similarity import (
+        token_set_similarity_join)
+    from email_sanitizer_api_spark.operators.triangles import (
+        triangle_counts, with_planted_dup_families)
+    docs = with_planted_dup_families(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.trim("text")),
+                                 "[ \\t\\n\\x0B\\f\\r]+")).alias("toks"))
+    pairs = token_set_similarity_join(
+        toks, threshold=0.8, id_col="doc_id", tokens_col="toks")
+    return triangle_counts(pairs.select("a", "b")).select(
+        F.col("id").alias("doc_id"), "degree", "triangles", "wedges",
+        "lcc_q")
+
+
+def _sql_dup_graph_triangles() -> str:
+    from email_sanitizer_api_spark.operators.triangles import (
+        triangle_counts_sql_tail, with_planted_dup_families_sql)
+    planted = with_planted_dup_families_sql()
+    jac = ("CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)"
+           " / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)),
+                                             '[ \\t\\n\\x0B\\f\\r]+')) AS t
+  FROM {planted} p),
+near AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE {jac} >= 0.8),
+{triangle_counts_sql_tail('near', id_alias='doc_id')}
+"""
+
+
 def _q_events_priced_asof(spark, sf_dir):
     """As-of (point-in-time) join, an operator Spark lacks: every event
     priced by the latest per-user plan version with version_ts <= event
@@ -2566,6 +2616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_counts": _q_cms_token_counts,
         # BPE merge learning (r04 s5)
         "bpe_merge_table": _q_bpe_merge_table,
+        # dup-graph triangle census / clustering coefficients (r04 s6)
+        "dup_graph_triangles": _q_dup_graph_triangles,
     }
 
 
@@ -2682,6 +2734,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_counts": _sql_cms_token_counts(),
         # BPE merge learning (r04 s5)
         "bpe_merge_table": _sql_bpe_merge_table(),
+        # dup-graph triangle census (r04 s6)
+        "dup_graph_triangles": _sql_dup_graph_triangles(),
         # cosine_topk_pq: intentionally omitted — PQ codebooks are
         # float-iterative k-means (not SQL-expressible); its exact oracle
         # twin is cosine_topk_embeddings and tests/test_pq.py pins

@@ -133,6 +133,9 @@ def main() -> None:
         "cdc_chunk_dedup",
         # PQ-ADC compressed scan + exact re-rank (Arrow einsum UDFs)
         "cosine_topk_pq",
+        # r04 session-6 additions (same caveat: per-query compare):
+        # degree-ordered triangle census over a 1.1M-edge dup graph
+        "dup_graph_triangles",
     ]
     headline = [q for q in headline if q in queries]
 

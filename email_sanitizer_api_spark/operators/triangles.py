@@ -1,0 +1,252 @@
+"""Triangle counting / local clustering coefficients over the dup-pair
+graph.
+
+Dedup-graph diagnostics: connected components (operators/cluster.py)
+says WHICH files merge; triangle structure says WHY a cluster is
+trustworthy. A near-dup cluster whose pair graph is triangle-dense is a
+genuine family (every member pairwise-similar — license banners,
+vendored libs); a cluster glued by triangle-free chains is the classic
+FALSE-MERGE smell (A~B, B~C, A≁C transitivity leak through a hub file),
+the thing a corpus owner audits before trusting keeper pruning. The
+reference collapses per-address duplicates pairwise and never audits
+transitivity (SelfSend/email-sanitizer-api src/handlers/validation/
+mod.rs pipeline has no cluster-quality notion); at corpus scale the
+audit is load-bearing, so the engine grows the canonical third
+graph primitive beside CC (fixed point) and PageRank (fixed
+supersteps): a STRUCTURAL join census.
+
+Algorithm — degree-ordered orientation (the MapReduce-standard plan;
+Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the
+Last Reducer"; Cohen, "Graph Twiddling in a MapReduce World"):
+
+* orient every undirected edge from its (degree, id)-smaller endpoint
+  to its larger — a total order, so each triangle has exactly ONE
+  source vertex with two out-edges;
+* wedges = oriented ⋈ oriented on src, keeping (deg,id)-ordered
+  neighbor pairs (v, w);
+* triangles = wedges ⋈ oriented on (v, w) — the closing edge, if
+  present, is oriented v→w BY CONSTRUCTION of the total order.
+
+Why this survives 100×: out-degree under degree-orientation is
+O(√m) for ANY graph (a vertex of degree d > √(2m) has < √(2m)
+higher-degree neighbors), so the wedge self-join emits O(m^{3/2})
+rows worst-case instead of Σ deg² — the hub file with 100k near-dup
+partners (an empty __init__.py) contributes its wedges at the LOW-
+degree endpoints, never as a 100k² explosion on one reduce key. This
+is the same hot-key defusal the LSH bucket caps perform, derived from
+graph structure instead of a cap. All joins are hash-partitionable
+equi-joins; no driver state, no iteration.
+
+Everything is integer (degrees, counts, and a 1e-6-fixed-point local
+clustering coefficient via BIGINT floor division), so the DuckDB twin
+is bit-identical — the semantic_medoid_keepers / textrank quantization
+pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["triangle_counts", "with_planted_dup_families",
+           "with_planted_dup_families_sql", "triangle_counts_sql_tail"]
+
+#: fixed-point scale for the local clustering coefficient
+LCC_SCALE = 1_000_000
+
+
+def triangle_counts(pairs: DataFrame, a_col: str = "a",
+                    b_col: str = "b",
+                    cleanup: list | None = None) -> DataFrame:
+    """Per-node triangle census over an undirected simple graph given as
+    canonical pairs (``a < b``, no duplicates): returns one row per
+    vertex — (id, degree, triangles, wedges, lcc_q) where ``wedges`` =
+    C(degree, 2) (potential closures centered at the vertex) and
+    ``lcc_q`` = floor(1e6 · triangles / wedges) (0 for degree-1
+    vertices): the local clustering coefficient in 1e-6 units.
+
+    One degree aggregation, two degree-annotation joins, one wedge
+    self-join, one closing-edge join, one final count — all equi-joins
+    on uniform keys; see module docstring for the O(m^{3/2}) bound.
+
+    The edge list and the oriented edge list are PERSISTED (the
+    token_set_similarity_join pattern): ``e`` fans out 5 ways and
+    ``oriented`` 3 ways, so the lazy tree would otherwise replicate the
+    upstream pair-generation subtree ~15× (measured: a 793-Exchange
+    plan at sf0.1 collapses to single digits). ``cleanup`` receives the
+    persisted frames for the caller to unpersist."""
+    e = pairs.select(F.col(a_col).alias("x"),
+                     F.col(b_col).alias("y")).persist()
+    e.count()
+    if cleanup is not None:
+        cleanup.append(e)
+    und = e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = und.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+
+    # annotate both endpoints with degree, then orient by (deg, id)
+    ann = (e.join(deg.withColumnRenamed("x", "a_id")
+                  .withColumnRenamed("deg", "deg_a"),
+                  e.x == F.col("a_id"))
+           .join(deg.withColumnRenamed("x", "b_id")
+                 .withColumnRenamed("deg", "deg_b"),
+                 e.y == F.col("b_id"))
+           .select("x", "y", "deg_a", "deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("x") < F.col("y")))
+    oriented = ann.select(
+        F.when(a_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(a_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a"))
+        .alias("deg_dst")).persist()
+    oriented.count()
+    if cleanup is not None:
+        cleanup.append(oriented)
+
+    # wedges centered at src: ordered out-neighbor pairs (v, w)
+    o1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                         F.col("deg_dst").alias("deg_v"))
+    o2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                         F.col("deg_dst").alias("deg_w"))
+    v_first = (F.col("deg_v") < F.col("deg_w")) | (
+        (F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    wedges = o1.join(o2, "u").where(v_first).select("u", "v", "w")
+
+    # closing edge is oriented v -> w by the total order
+    closing = oriented.select(F.col("src").alias("v"),
+                              F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+
+    member = (tri.select(F.col("u").alias("x"))
+              .unionAll(tri.select(F.col("v").alias("x")))
+              .unionAll(tri.select(F.col("w").alias("x"))))
+    per_node = member.groupBy("x").agg(
+        F.count(F.lit(1)).alias("triangles"))
+
+    out = (deg.join(per_node, "x", "left")
+           .select(
+               F.col("x").alias("id"),
+               F.col("deg").cast("long").alias("degree"),
+               F.coalesce("triangles", F.lit(0)).cast("long")
+               .alias("triangles"),
+               F.expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)")
+               .alias("wedges")))
+    return out.withColumn(
+        "lcc_q",
+        F.when(F.col("wedges") > 0,
+               F.expr(f"CAST(triangles * {LCC_SCALE} AS BIGINT) "
+                      "DIV wedges")).otherwise(F.lit(0)).cast("long"))
+
+
+# --- deterministic plant: near-dup families with decaying similarity ---
+#
+# The synthetic corpus yields a 25-edge, 1-triangle pair graph at
+# sf0.01 — too thin to exercise a triangle census. The plant rewrites
+# members m = doc_id%16 ∈ [0,6) of every 16-doc group into a
+# PREFIX-INCLUSION family: member m's text is a family-common base of
+# B=21 md5 TOKENS followed by the first m of five family-common
+# "steps" of c tokens each, so the token sets are nested and pairwise
+# token Jaccard is EXACTLY the rational (21 + c·min) / (21 + c·max) —
+# decaying with member distance. c cycles with the group (c = g%4+1),
+# so at τ=0.8 family shapes range over the full spectrum the census
+# distinguishes: c=1 → 6-clique (worst pair 21/26 ≈ 0.81), c=2 →
+# dense near-clique (low-end skip pairs open), c=3/c=4 → chains whose
+# skip edges survive only at the high-m end (e.g. c=4 keeps (3,5) =
+# 33/41 but opens (0,2),(1,3),(2,4)) — open wedges, the false-merge
+# shape the census exists to expose. τ=0.8 (not 0.5) keeps the
+# ORGANIC graph sparse: the synthetic corpus's shared vocabulary makes
+# nearly every doc pair token-Jaccard ≥ 0.5 (3.4M edges at sf0.1 — a
+# near-clique the wedge join must never be pointed at). Tokens are
+# md5(group, step, k): distinct within and across families, so
+# cross-family Jaccard is 0. Identical expression in the DuckDB twin
+# (NULL-skipping concat_ws keeps token boundaries single-space).
+
+#: family-common base tokens (B)
+_BASE_TERMS = 21
+#: family steps (members m = 1..5 append steps 1..m)
+_STEPS = 5
+#: max tokens per step; actual c = (g % 4) + 1
+_MAX_C = 4
+
+
+def with_planted_dup_families(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Prefix-inclusion near-dup families over members m = doc_id%16 <
+    6 of every 16-doc group (see module comment). Non-members keep
+    their text."""
+    g = F.expr(f"CAST({id_col} DIV 16 AS BIGINT)")
+    m = F.col(id_col) % 16
+    c = (g % 4) + 1
+    parts = [F.md5(F.concat(g.cast("string"), F.lit(f"-b{k}")))
+             for k in range(1, _BASE_TERMS + 1)]
+    for j in range(1, _STEPS + 1):
+        for k in range(1, _MAX_C + 1):
+            term = F.md5(F.concat(g.cast("string"), F.lit(f"-s{j}-{k}")))
+            parts.append(F.when((m >= j) & (c >= k), term))
+    planted = F.when(m < 6, F.concat_ws(" ", *parts)) \
+        .otherwise(F.col(text_col))
+    return docs.withColumn(text_col, planted)
+
+
+def with_planted_dup_families_sql(table: str = "documents",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> str:
+    """DuckDB twin of :func:`with_planted_dup_families`."""
+    g = f"CAST({id_col} // 16 AS BIGINT)"
+    m = f"({id_col} % 16)"
+    c = f"({g} % 4 + 1)"
+    parts = [f"md5(CAST({g} AS VARCHAR) || '-b{k}')"
+             for k in range(1, _BASE_TERMS + 1)]
+    for j in range(1, _STEPS + 1):
+        for k in range(1, _MAX_C + 1):
+            parts.append(
+                f"CASE WHEN {m} >= {j} AND {c} >= {k} "
+                f"THEN md5(CAST({g} AS VARCHAR) || '-s{j}-{k}') END")
+    args = ",\n      ".join(parts)
+    return f"""(
+  SELECT * REPLACE (
+    CASE WHEN {m} < 6
+         THEN concat_ws(' ',
+      {args})
+         ELSE {text_col} END AS {text_col})
+  FROM {table})"""
+
+
+def triangle_counts_sql_tail(pairs_cte: str = "near",
+                             id_alias: str = "id") -> str:
+    """DuckDB tail reproducing :func:`triangle_counts` over a CTE of
+    canonical (a, b) pairs — same orientation, wedge join, closing
+    join, and 1e-6 integer LCC."""
+    return f"""
+e AS (SELECT a AS x, b AS y FROM {pairs_cte}),
+und AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+deg AS (SELECT x, count(*) AS deg FROM und GROUP BY x),
+ann AS (
+  SELECT e.x, e.y, da.deg AS deg_a, db.deg AS deg_b
+  FROM e JOIN deg da ON da.x = e.x JOIN deg db ON db.x = e.y),
+oriented AS (
+  SELECT CASE WHEN (deg_a, x) < (deg_b, y) THEN x ELSE y END AS src,
+         CASE WHEN (deg_a, x) < (deg_b, y) THEN y ELSE x END AS dst,
+         CASE WHEN (deg_a, x) < (deg_b, y) THEN deg_b ELSE deg_a END
+           AS deg_dst
+  FROM ann),
+wedges AS (
+  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+  FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+  WHERE (o1.deg_dst, o1.dst) < (o2.deg_dst, o2.dst)),
+tri AS (
+  SELECT u, v, w FROM wedges
+  JOIN oriented c ON c.src = wedges.v AND c.dst = wedges.w),
+member AS (
+  SELECT u AS x FROM tri UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri),
+per_node AS (SELECT x, count(*) AS triangles FROM member GROUP BY x)
+SELECT deg.x AS {id_alias},
+       CAST(deg.deg AS BIGINT) AS degree,
+       CAST(coalesce(per_node.triangles, 0) AS BIGINT) AS triangles,
+       CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS wedges,
+       CAST(CASE WHEN deg.deg >= 2
+                 THEN coalesce(per_node.triangles, 0) * {LCC_SCALE}
+                      // (deg.deg * (deg.deg - 1) // 2)
+                 ELSE 0 END AS BIGINT) AS lcc_q
+FROM deg LEFT JOIN per_node ON per_node.x = deg.x
+"""

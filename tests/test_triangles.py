@@ -1,0 +1,140 @@
+"""Triangle census (operators/triangles.py) vs a pure-Python brute
+force, on constructed graphs covering the shapes the operator exists to
+distinguish (cliques, chains, shared-edge bowties, stars), plus the
+degree-orientation invariant and the planted-family corpus probe."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from email_sanitizer_api_spark.operators.triangles import (
+    LCC_SCALE,
+    triangle_counts,
+    with_planted_dup_families,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_census(edges: list[tuple[str, str]]) -> dict[str, tuple]:
+    """Brute-force per-node census: degree, triangles, wedges, lcc_q."""
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    out = {}
+    for v in adj:
+        d = len(adj[v])
+        w = d * (d - 1) // 2
+        out[v] = (d, tri[v], w, (tri[v] * LCC_SCALE) // w if w else 0)
+    return out
+
+
+def _spark_census(spark, edges):
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    df = spark.createDataFrame(canon, ["a", "b"])
+    rows = triangle_counts(df).collect()
+    return {r["id"]: (r["degree"], r["triangles"], r["wedges"],
+                      r["lcc_q"]) for r in rows}
+
+
+GRAPHS = {
+    "triangle": [("a", "b"), ("b", "c"), ("a", "c")],
+    "path4": [("a", "b"), ("b", "c"), ("c", "d")],
+    "k5": list(combinations("abcde", 2)),
+    "bowtie": [("a", "b"), ("b", "c"), ("a", "c"),
+               ("c", "d"), ("d", "e"), ("c", "e")],
+    "shared_edge": [("a", "b"), ("b", "c"), ("a", "c"),
+                    ("a", "d"), ("b", "d")],
+    "star_plus_rim": [("h", x) for x in "abcde"] + [("a", "b"), ("c", "d")],
+    "two_components": [("a", "b"), ("b", "c"), ("a", "c"),
+                       ("x", "y")],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_census_matches_python(spark, name):
+    edges = GRAPHS[name]
+    assert _spark_census(spark, edges) == _py_census(edges)
+
+
+def test_k5_all_closed(spark):
+    got = _spark_census(spark, GRAPHS["k5"])
+    # K5: every vertex degree 4, C(4,2)=6 wedges, all 6 closed
+    assert got == {v: (4, 6, 6, LCC_SCALE) for v in "abcde"}
+
+
+def test_path_all_open(spark):
+    got = _spark_census(spark, GRAPHS["path4"])
+    assert all(t == 0 and q == 0 for (_, t, _, q) in got.values())
+
+
+def test_hub_false_merge_signature(spark):
+    # the audit the census exists for: a hub gluing two real cliques
+    # has lcc far below its rim vertices
+    edges = (list(combinations("abc", 2)) + list(combinations("xyz", 2))
+             + [("h", v) for v in "abcxyz"])
+    got = _spark_census(spark, edges)
+    assert got == _py_census(edges)
+    hub_lcc = got["h"][3]
+    rim_lcc = min(got[v][3] for v in "abcxyz")
+    assert hub_lcc < rim_lcc, (hub_lcc, rim_lcc)
+
+
+def test_planted_families_structure(spark):
+    # the corpus plant must produce BOTH closed and open wedges at
+    # sf0.001 (3+ family groups), so the contract query exercises every
+    # branch; census equality vs python is pinned on the same edges
+    from pyspark.sql import functions as F
+
+    from email_sanitizer_api_spark.functions.similarity import (
+        token_set_similarity_join)
+
+    docs = with_planted_dup_families(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.trim("text")),
+                                 "[ \\t\\n\\x0B\\f\\r]+")).alias("toks"))
+    edge_df = token_set_similarity_join(
+        toks, threshold=0.8, id_col="doc_id", tokens_col="toks")
+    pairs = [(r["a"], r["b"]) for r in edge_df.collect()]
+    assert len(pairs) >= 10, "plant must create a non-trivial pair graph"
+    got = _spark_census(spark, pairs)
+    assert got == _py_census(pairs)
+    lccs = {q for (_, _, w, q) in got.values() if w > 0}
+    assert LCC_SCALE in lccs, "plant must close some wedges (cliques)"
+    assert any(q < LCC_SCALE for q in lccs), \
+        "plant must leave some wedges open (chain families)"
+
+
+def test_planted_family_jaccards_exact(spark):
+    # the analytic contract of the plant: token Jaccard between members
+    # m < m' of group g is exactly (21 + c·m) / (21 + c·m'), c = g%4+1
+    from pyspark.sql import functions as F
+
+    docs = with_planted_dup_families(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    rows = (docs.where((F.col("doc_id") % 16 < 6)
+                       & (F.col("doc_id") < 64))
+            .select("doc_id", F.split("text", " ").alias("t")).collect())
+    toks = {r["doc_id"]: set(r["t"]) for r in rows}
+    for a in toks:
+        for b in toks:
+            if a >= b or a // 16 != b // 16:
+                continue
+            c = a // 16 % 4 + 1
+            lo, hi = a % 16, b % 16
+            want = (21 + c * lo) / (21 + c * hi)
+            got = (len(toks[a] & toks[b])
+                   / len(toks[a] | toks[b]))
+            assert abs(got - want) < 1e-12, (a, b, got, want)
+            assert toks[a] <= toks[b], "prefix inclusion must hold"
