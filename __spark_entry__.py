@@ -2278,6 +2278,26 @@ def _sql_textrank_tokens() -> str:
     return textrank_tokens_sql(table=with_planted_keywords_sql())
 
 
+def _q_dsir_selection_weights(spark, sf_dir):
+    """DSIR-style training-data selection (Xie et al., NeurIPS 2023):
+    per-doc importance weight = integer sum of 1e-6-quantized per-bucket
+    log-likelihood ratios of hashed unigram+bigram features under the
+    target model (the corpus's own lang='en' slice) vs the raw-corpus
+    model. The model is a FIXED 1024-bucket table (vocabulary-free, the
+    CMS-grid class); ONE corpus aggregation builds both models; only
+    integer sums touch per-doc state, so the score is bit-reproducible
+    across engines and partitionings (functions/dsir.py)."""
+    from email_sanitizer_api_spark.functions.dsir import (
+        dsir_selection_weights)
+    return dsir_selection_weights(_t(spark, sf_dir, "documents"))
+
+
+def _sql_dsir_selection_weights() -> str:
+    from email_sanitizer_api_spark.functions.dsir import (
+        dsir_selection_weights_sql)
+    return dsir_selection_weights_sql()
+
+
 def _q_dup_graph_triangles(spark, sf_dir):
     """Per-node triangle census / local clustering coefficients over the
     verified near-dup pair graph — the cluster-trust audit: triangle-
@@ -2618,6 +2638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_table": _q_bpe_merge_table,
         # dup-graph triangle census / clustering coefficients (r04 s6)
         "dup_graph_triangles": _q_dup_graph_triangles,
+        # DSIR hashed-ngram importance weights (r04 s6)
+        "dsir_selection_weights": _q_dsir_selection_weights,
     }
 
 
@@ -2736,6 +2758,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_table": _sql_bpe_merge_table(),
         # dup-graph triangle census (r04 s6)
         "dup_graph_triangles": _sql_dup_graph_triangles(),
+        # DSIR hashed-ngram importance weights (r04 s6)
+        "dsir_selection_weights": _sql_dsir_selection_weights(),
         # cosine_topk_pq: intentionally omitted — PQ codebooks are
         # float-iterative k-means (not SQL-expressible); its exact oracle
         # twin is cosine_topk_embeddings and tests/test_pq.py pins

@@ -136,6 +136,9 @@ def main() -> None:
         # r04 session-6 additions (same caveat: per-query compare):
         # degree-ordered triangle census over a 1.1M-edge dup graph
         "dup_graph_triangles",
+        # DSIR hashed-ngram selection: 2 corpus-pass shuffles + K-row
+        # broadcast model
+        "dsir_selection_weights",
     ]
     headline = [q for q in headline if q in queries]
 

@@ -1,0 +1,187 @@
+"""DSIR-style importance weights for training-data selection.
+
+Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+score every raw document by the log-likelihood ratio of its hashed
+n-gram features under a TARGET bag-of-words model vs the RAW-corpus
+model, then keep the high-ratio documents — the standard way to tilt a
+web-scale crawl toward a quality domain without training a classifier.
+The reference engine has no analog (it validates rows one at a time,
+SelfSend/email-sanitizer-api src/handlers/validation/mod.rs); at corpus
+scale the selection step is a first-class pipeline stage alongside
+dedup, so the engine grows it with the same cross-engine contract as
+lm_quality (the other log-probability scorer).
+
+Model shape — exactly the paper's hashed bag of n-grams:
+
+* features = word unigrams + adjacent bigrams of lower(trim(text)),
+  hashed into a FIXED ``K``-bucket table (the cms.py md5 idiom, so the
+  "model" is K rows regardless of vocabulary — the sketch-sized-state
+  class);
+* target model p = add-one-smoothed bucket frequencies over the
+  TARGET slice (``lang = 'en'`` — the corpus's own plurality slice,
+  standing in for "formal English" exactly as DSIR's Wikipedia+books
+  target does); raw model q = the same over ALL documents;
+* per-bucket log ratio ln(p_b) − ln(q_b) is quantized ONCE to a 1e-6
+  fixed-point BIGINT, and a document's score is the INTEGER sum of its
+  features' quantized ratios — integer addition commutes, so the score
+  is reproducible to the bit across engines and partitionings (the
+  only float op is one ln per bucket on identical doubles, the
+  lm_quality precedent, but here no float SUM exists at all);
+* ``selected`` = score > 0: the document is likelier under the target
+  model than under the raw model. A top-quota variant is a threshold
+  calibration on top of the same scores (the global-rank machinery in
+  operators/ordering.py composes if an exact quota is needed).
+
+Scale shape: ONE corpus pass aggregates BOTH models (conditional sum
+inside the same bucket groupBy — map-side combinable, ≤K reduce keys);
+totals come from an O(K)-row window, never a driver collect; the ratio
+table (K rows) broadcast-joins onto the feature stream; the per-doc
+score is one more map-side-combinable sum. Two data shuffles total,
+both on uniform keys (md5 buckets / doc ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dsir_features", "dsir_selection_weights",
+           "dsir_selection_weights_sql", "K_BUCKETS", "SCALE",
+           "TARGET_LANG"]
+
+#: hashed feature buckets (the model is this many rows, vocabulary-free)
+K_BUCKETS = 1024
+#: fixed-point scale for per-bucket log ratios
+SCALE = 1_000_000
+#: the in-corpus target slice (DSIR's "formal text" stand-in)
+TARGET_LANG = "en"
+
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _bucket(feat: Column, k: int) -> Column:
+    """60-bit md5 of the feature, mod k (the cms.py cross-engine idiom)."""
+    return (F.conv(F.substring(F.md5(feat), 1, 15), 16, 10)
+            .cast("long") % k)
+
+
+def dsir_features(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  k: int = K_BUCKETS) -> DataFrame:
+    """(id, lang, bucket) feature-occurrence stream: word unigrams +
+    adjacent bigrams, md5-hashed into ``k`` buckets. Bigrams double the
+    signal without a second tokenizer pass — both explodes read the
+    same token-array projection."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), "lang",
+        F.filter(F.split(F.lower(F.trim(F.coalesce(F.col(text_col),
+                                                   F.lit("")))),
+                         _WS_CLASS),
+                 lambda x: x != "").alias("t"))
+    uni = toks.select("id", "lang", F.explode("t").alias("f"))
+    bi = toks.where(F.size("t") >= 2).select(
+        "id", "lang",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat(F.element_at(F.col("t"), i), F.lit(" "),
+                               F.element_at(F.col("t"), i + 1))
+        )).alias("f"))
+    return uni.unionAll(bi).select(
+        "id", "lang", _bucket(F.col("f"), k).alias("bucket"))
+
+
+def dsir_selection_weights(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           target_lang: str = TARGET_LANG,
+                           k: int = K_BUCKETS) -> DataFrame:
+    """Per-document DSIR importance weights: (id_col, n_feats,
+    dsir_score_q, selected). ``dsir_score_q`` is the integer sum of
+    1e-6-quantized per-bucket log ratios; ``selected`` = score > 0.
+    Documents with no features score 0 and are not selected."""
+    feats = dsir_features(docs, id_col, text_col, k)
+    # ONE corpus aggregation builds BOTH models: raw count + conditional
+    # target count per bucket (<= k reduce keys, map-side combined)
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("q_cnt"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
+        .alias("p_cnt"))
+    # totals via an O(k)-row unpartitioned window — bounded, no collect
+    from pyspark.sql import Window
+    w = Window.partitionBy()
+    tot = counts.select(
+        "bucket", "q_cnt", "p_cnt",
+        F.sum("q_cnt").over(w).alias("n_q"),
+        F.sum("p_cnt").over(w).alias("n_p"))
+    ratio = tot.select(
+        "bucket",
+        F.floor(
+            (F.log((F.col("p_cnt") + 1).cast("double")
+                   / (F.col("n_p") + k).cast("double"))
+             - F.log((F.col("q_cnt") + 1).cast("double")
+                     / (F.col("n_q") + k).cast("double"))) * SCALE
+        ).cast("long").alias("ratio_q"))
+    scored = (feats.join(F.broadcast(ratio), "bucket")
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_feats"),
+                   F.sum("ratio_q").alias("score_q")))
+    return (docs.select(F.col(id_col).alias("id")).distinct()
+            .join(scored, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("n_feats", F.lit(0)).cast("long")
+                .alias("n_feats"),
+                F.coalesce("score_q", F.lit(0)).cast("long")
+                .alias("dsir_score_q"),
+                (F.coalesce("score_q", F.lit(0)) > 0).cast("int")
+                .alias("selected")))
+
+
+def dsir_selection_weights_sql(table: str = "documents",
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               target_lang: str = TARGET_LANG,
+                               k: int = K_BUCKETS) -> str:
+    """DuckDB twin: identical tokenizer, bigram construction, md5
+    buckets, add-one smoothing, 1e-6 quantization, and integer sums."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, lang,
+         list_filter(regexp_split_to_array(lower(trim(coalesce({text_col}, ''))),
+                                           '{_WS_CLASS}'),
+                     x -> x <> '') AS t
+  FROM {table}),
+feats AS (
+  SELECT id, lang,
+         ('0x' || substring(md5(f), 1, 15))::BIGINT % {k} AS bucket
+  FROM (
+    SELECT id, lang, unnest(t) AS f FROM toks
+    UNION ALL
+    SELECT id, lang,
+           unnest([t[i] || ' ' || t[i + 1]
+                   for i in range(1, len(t))]) AS f
+    FROM toks WHERE len(t) >= 2)),
+counts AS (
+  SELECT bucket, count(*) AS q_cnt,
+         sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS p_cnt
+  FROM feats GROUP BY bucket),
+tot AS (
+  SELECT bucket, q_cnt, p_cnt,
+         sum(q_cnt) OVER () AS n_q, sum(p_cnt) OVER () AS n_p
+  FROM counts),
+ratio AS (
+  SELECT bucket,
+         CAST(floor((ln((p_cnt + 1)::DOUBLE / (n_p + {k})::DOUBLE)
+                     - ln((q_cnt + 1)::DOUBLE / (n_q + {k})::DOUBLE))
+                    * {SCALE}) AS BIGINT) AS ratio_q
+  FROM tot),
+scored AS (
+  SELECT feats.id, count(*) AS n_feats, sum(ratio.ratio_q) AS score_q
+  FROM feats JOIN ratio ON ratio.bucket = feats.bucket
+  GROUP BY feats.id)
+SELECT d.id AS {id_col},
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(coalesce(s.score_q, 0) AS BIGINT) AS dsir_score_q,
+       CAST(coalesce(s.score_q, 0) > 0 AS INT) AS selected
+FROM (SELECT DISTINCT {id_col} AS id FROM {table}) d
+LEFT JOIN scored s ON s.id = d.id
+"""

@@ -1,0 +1,110 @@
+"""DSIR importance weights (functions/dsir.py) vs a pure-Python third
+implementation, plus the properties selection exists for: target-like
+documents outscore raw-like ones, and the integer score is partition-
+order invariant."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from email_sanitizer_api_spark.functions.dsir import (
+    K_BUCKETS,
+    SCALE,
+    dsir_selection_weights,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _bucket(f: str, k: int) -> int:
+    return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % k
+
+
+def _py_dsir(rows, target_lang="en", k=K_BUCKETS):
+    """rows = [(doc_id, lang, text)] -> {doc_id: (n, score_q, sel)}."""
+    feats = {}
+    for did, lang, text in rows:
+        t = [w for w in (text or "").strip().lower().split() if w]
+        fs = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        feats[did] = (lang, [_bucket(f, k) for f in fs])
+    q_cnt: dict[int, int] = {}
+    p_cnt: dict[int, int] = {}
+    for _, (lang, bs) in feats.items():
+        for b in bs:
+            q_cnt[b] = q_cnt.get(b, 0) + 1
+            if lang == target_lang:
+                p_cnt[b] = p_cnt.get(b, 0) + 1
+    n_q = sum(q_cnt.values())
+    n_p = sum(p_cnt.values())
+    ratio = {b: math.floor(
+        (math.log((p_cnt.get(b, 0) + 1) / (n_p + k))
+         - math.log((q + 1) / (n_q + k))) * SCALE)
+        for b, q in q_cnt.items()}
+    out = {}
+    for did, (_, bs) in feats.items():
+        s = sum(ratio[b] for b in bs)
+        out[did] = (len(bs), s if bs else 0, 1 if s > 0 and bs else 0)
+    return out
+
+
+def _spark_dsir(spark, rows, **kw):
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = dsir_selection_weights(df, **kw).collect()
+    return {r["doc_id"]: (r["n_feats"], r["dsir_score_q"], r["selected"])
+            for r in got}
+
+
+def test_corpus_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = [(r["doc_id"], r["lang"], r["text"])
+            for r in docs.select("doc_id", "lang", "text").collect()]
+    got = {r["doc_id"]: (r["n_feats"], r["dsir_score_q"], r["selected"])
+           for r in dsir_selection_weights(docs).collect()}
+    assert got == _py_dsir(rows)
+
+
+def test_target_tokens_raise_score(spark):
+    # docs made of target-slice-only vocabulary must outscore docs of
+    # off-target-only vocabulary, and the shared-vocab doc sits between
+    rows = [(0, "en", "alpha beta gamma delta " * 8),
+            (1, "en", "alpha beta gamma delta " * 8),
+            (2, "zh", "omega sigma theta kappa " * 8),
+            (3, "zh", "omega sigma theta kappa " * 8),
+            (4, "zh", "alpha beta omega sigma " * 8)]
+    got = _spark_dsir(spark, rows)
+    assert got == _py_dsir(rows)
+    assert got[0][1] > got[4][1] > got[2][1]
+    assert got[0][2] == 1 and got[2][2] == 0
+
+
+def test_no_feature_doc(spark):
+    rows = [(0, "en", "hello world"), (1, "en", "   "), (2, "zh", None)]
+    got = _spark_dsir(spark, rows)
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (0, 0, 0)
+    assert got == _py_dsir(rows)
+
+
+def test_partition_order_invariance(spark):
+    # integer score: repartitioning cannot change a single bit
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {r["doc_id"]: r["dsir_score_q"]
+         for r in dsir_selection_weights(docs).collect()}
+    b = {r["doc_id"]: r["dsir_score_q"]
+         for r in dsir_selection_weights(docs.repartition(13)).collect()}
+    assert a == b
+
+
+def test_bigram_signal(spark):
+    # two docs with identical unigram sets but different orderings get
+    # different scores only through the bigram features
+    rows = [(0, "en", "a b c d " * 4),
+            (1, "zh", "d c b a " * 4),
+            (2, "zh", "a b c d " * 4)]
+    got = _spark_dsir(spark, rows)
+    assert got == _py_dsir(rows)
+    # doc 2 shares doc 0's bigrams (target-heavy), doc 1 does not
+    assert got[2][1] > got[1][1]

@@ -187,6 +187,10 @@ EXCHANGE_BUDGET = {
     # CMS: true-count agg + the d*w-cell sketch agg (grid-bounded);
     # the probe join broadcasts the constant-size sketch
     "cms_token_counts": 2,
+    # DSIR: bucket agg (union of uni+bigram explodes) + O(K)-row totals
+    # window + per-doc score agg + id-spine distinct and left join; the
+    # K-row ratio table broadcasts (functions/dsir.py)
+    "dsir_selection_weights": 6,
 }
 
 
