@@ -2278,6 +2278,23 @@ def _sql_textrank_tokens() -> str:
     return textrank_tokens_sql(table=with_planted_keywords_sql())
 
 
+def _q_bpe_token_stats(spark, sf_dir):
+    """Tokenizer APPLICATION: corpus token counts under the learned BPE
+    merge table — the Chinchilla-style tokens-per-corpus stat. The
+    corpus is touched once (word-frequency shuffle); merges replay on
+    the vocabulary table; the rollup is one weighted explode + one
+    partial-aggregable sum. EAGER (per-superstep 1-row argmax collects,
+    the bpe_merge_table pattern); oracle replays learning AND
+    application as chained CTEs (functions/bpe.py)."""
+    from email_sanitizer_api_spark.functions.bpe import bpe_token_stats
+    return bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_bpe_token_stats() -> str:
+    from email_sanitizer_api_spark.functions.bpe import bpe_token_stats_sql
+    return bpe_token_stats_sql()
+
+
 def _q_dsir_selection_weights(spark, sf_dir):
     """DSIR-style training-data selection (Xie et al., NeurIPS 2023):
     per-doc importance weight = integer sum of 1e-6-quantized per-bucket
@@ -2640,6 +2657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_triangles": _q_dup_graph_triangles,
         # DSIR hashed-ngram importance weights (r04 s6)
         "dsir_selection_weights": _q_dsir_selection_weights,
+        # BPE tokenizer application: corpus token counts (r04 s6)
+        "bpe_token_stats": _q_bpe_token_stats,
     }
 
 
@@ -2760,6 +2779,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_graph_triangles": _sql_dup_graph_triangles(),
         # DSIR hashed-ngram importance weights (r04 s6)
         "dsir_selection_weights": _sql_dsir_selection_weights(),
+        # BPE tokenizer application (r04 s6)
+        "bpe_token_stats": _sql_bpe_token_stats(),
         # cosine_topk_pq: intentionally omitted — PQ codebooks are
         # float-iterative k-means (not SQL-expressible); its exact oracle
         # twin is cosine_topk_embeddings and tests/test_pq.py pins

@@ -48,7 +48,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_learn_merges", "bpe_learn_merges_sql"]
+__all__ = ["bpe_learn_merges", "bpe_learn_merges_sql",
+           "bpe_token_stats", "bpe_token_stats_sql"]
 
 #: end-of-word marker (Sennrich)
 EOW = "</w>"
@@ -100,11 +101,11 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
                          F.concat(l, r)).otherwise(F.element_at(syms, i)))
 
 
-def bpe_learn_merges(docs: DataFrame, text_col: str = "text",
-                     n_merges: int = N_MERGES) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges:
-    (merge_rank, left_sym, right_sym, pair_count)."""
-    spark = docs.sparkSession
+def _learn(docs: DataFrame, text_col: str,
+           n_merges: int) -> tuple[list, DataFrame]:
+    """Shared learner: returns (merge list, vocabulary AFTER applying
+    all learned merges) — the final vocab is what tokenizer APPLICATION
+    (bpe_token_stats) reads."""
     vocab = _word_freq(docs, text_col).select(
         "freq",
         F.concat(F.regexp_extract_all(F.col("w"), F.lit("."), F.lit(0)),
@@ -136,16 +137,45 @@ def bpe_learn_merges(docs: DataFrame, text_col: str = "text",
         vocab = vocab.select(
             "freq", _apply_merge(F.col("syms"), b["l"], b["r"])
             .alias("syms")).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return merges, vocab
+
+
+def bpe_learn_merges(docs: DataFrame, text_col: str = "text",
+                     n_merges: int = N_MERGES) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges:
+    (merge_rank, left_sym, right_sym, pair_count)."""
+    merges, _ = _learn(docs, text_col, n_merges)
+    return docs.sparkSession.createDataFrame(
         merges, "merge_rank long, left_sym string, right_sym string, "
                 "pair_count long")
 
 
-def bpe_learn_merges_sql(table: str = "documents", text_col: str = "text",
-                         n_merges: int = N_MERGES) -> str:
-    """DuckDB twin: every superstep replayed as chained CTEs — pair
-    counts, scalar-subquery argmax with the identical tie-break, and
-    the same run-parity greedy merge as list comprehensions."""
+def bpe_token_stats(docs: DataFrame, text_col: str = "text",
+                    n_merges: int = N_MERGES) -> DataFrame:
+    """Tokenizer APPLICATION: corpus token counts under the learned
+    merge table — (token, n_occurrences, n_positions) where
+    ``n_occurrences`` is the corpus-wide occurrence count (each word's
+    positions weighted by word frequency) and ``n_positions`` the
+    number of distinct (word-type, position) slots the token fills.
+    This is the token-counting stat every data-budget calculation
+    reads (Chinchilla-style tokens-per-corpus), computed WITHOUT
+    re-touching the corpus: the learner's final vocabulary is the
+    word-frequency table after all merges, so application is one
+    weighted explode + one partial-aggregable sum over it."""
+    _, vocab = _learn(docs, text_col, n_merges)
+    return (vocab.select("freq", F.explode("syms").alias("token"))
+            .groupBy("token")
+            .agg(F.sum("freq").cast("long").alias("n_occurrences"),
+                 F.count(F.lit(1)).cast("long").alias("n_positions")))
+
+
+def _sql_parts(table: str, text_col: str, n_merges: int,
+               apply_last: bool) -> tuple[list, list]:
+    """Shared CTE builder for the DuckDB twins: (ctes, per-merge
+    selects). ``apply_last`` extends merge application through the
+    final superstep so v{n_merges} is the fully tokenized vocabulary
+    (needed by bpe_token_stats_sql; learning itself only needs the
+    final argmax)."""
     def apply_merge(k: int, prev: str, b: str) -> list[str]:
         # mirrors _apply_merge; the 1-row argmax CTE `b` is cross-joined
         # so l/r are plain columns (no scalar subqueries anywhere)
@@ -192,13 +222,38 @@ def bpe_learn_merges_sql(table: str = "documents", text_col: str = "text",
   GROUP BY syms[i], syms[i + 1])""")
         ctes.append(f"""b{k} AS (
   SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""")
-        if k < n_merges:
+        if k < n_merges or apply_last:
             ctes.extend(apply_merge(k, prev, f"b{k}"))
         selects.append(
             f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, "
             f"cnt AS pair_count FROM b{k}")
+    return ctes, selects
+
+
+def bpe_learn_merges_sql(table: str = "documents", text_col: str = "text",
+                         n_merges: int = N_MERGES) -> str:
+    """DuckDB twin: every superstep replayed as chained CTEs — pair
+    counts, scalar-subquery argmax with the identical tie-break, and
+    the same run-parity greedy merge as list comprehensions."""
+    ctes, selects = _sql_parts(table, text_col, n_merges,
+                               apply_last=False)
     body = "\nUNION ALL\n".join(selects)
     return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+def bpe_token_stats_sql(table: str = "documents", text_col: str = "text",
+                        n_merges: int = N_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_token_stats`: replay learning, apply
+    ALL merges, then the weighted token rollup over the final
+    vocabulary."""
+    ctes, _ = _sql_parts(table, text_col, n_merges, apply_last=True)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT tok AS token,
+       CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_positions
+FROM (SELECT freq, unnest(syms) AS tok FROM v{n_merges})
+GROUP BY tok
+""")
 
 
 def apply_merge_python(syms: list[str], left: str,

@@ -14,6 +14,7 @@ from email_sanitizer_api_spark.functions.bpe import (
     _apply_merge,
     apply_merge_python,
     bpe_learn_merges,
+    bpe_token_stats,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -77,6 +78,58 @@ def test_self_pair_runs(spark):
     got = _spark_learn(spark, texts, n=3)
     assert got == _py_learn(texts, 3)
     assert (got[0][1], got[0][2]) == ("a", "a")
+
+
+def _py_token_stats(texts: list[str], n: int):
+    """Apply _py_learn's merges, then the weighted token rollup."""
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in (t or "").strip().lower().split():
+            if len(w) <= MAX_WORD_LEN:
+                freq[w] = freq.get(w, 0) + 1
+    vocab = {tuple(list(w) + [EOW]): f for w, f in freq.items()}
+    for _, l, r, _c in _py_learn(texts, n):
+        vocab = {tuple(apply_merge_python(list(s), l, r)): f
+                 for s, f in vocab.items()}
+    occ: dict[str, int] = {}
+    pos: dict[str, int] = {}
+    for syms, f in vocab.items():
+        for tok in syms:
+            occ[tok] = occ.get(tok, 0) + f
+            pos[tok] = pos.get(tok, 0) + 1
+    return {t: (occ[t], pos[t]) for t in occ}
+
+
+def test_token_stats_matches_python(spark):
+    # tokenizer APPLICATION: corpus token counts under the learned
+    # merges — equality vs the pure-Python pipeline at sf0.001
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got = {r["token"]: (r["n_occurrences"], r["n_positions"])
+           for r in bpe_token_stats(docs).collect()}
+    assert got == _py_token_stats(texts, 5)
+    # merged supertokens must exist, and exactly one EOW-carrying token
+    # per word occurrence (a merge may absorb EOW into a supertoken)
+    assert any(len(t) > 1 and t != EOW for t in got)
+    n_words = sum(1 for t in texts
+                  for w in (t or "").strip().lower().split()
+                  if len(w) <= MAX_WORD_LEN)
+    eow_mass = sum(n for t, (n, _) in got.items() if t.endswith(EOW))
+    assert eow_mass == n_words
+
+
+def test_token_stats_conserves_mass(spark):
+    # total character mass: sum over tokens of occurrences * len(token)
+    # equals the corpus's post-cap character count + one EOW per word
+    texts = ["low low lower lowest", "low lowest newer"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    got = {r["token"]: r["n_occurrences"]
+           for r in bpe_token_stats(df, n_merges=3).collect()}
+    char_mass = sum(len(t.replace(EOW, "")) * n
+                    for t, n in got.items())
+    want_chars = sum(len(w) for t in texts for w in t.split())
+    assert char_mass == want_chars
 
 
 def test_oversize_word_excluded(spark):

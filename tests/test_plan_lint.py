@@ -47,6 +47,8 @@ EAGER = {
     # BPE learning collects a 1-row argmax per superstep and returns the
     # driver-built merge table; superstep plans audited in PLANS.md
     "bpe_merge_table",
+    # same learner (tokenizer application reads its final vocabulary)
+    "bpe_token_stats",
     # triangle census persists its two fan-out frames (edge list is read
     # 5 ways, oriented edges 3 ways); the final plan re-reads cached
     # relations whose PRINTED subtrees inflate the Exchange string count
