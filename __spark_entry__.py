@@ -2278,6 +2278,27 @@ def _sql_textrank_tokens() -> str:
     return textrank_tokens_sql(table=with_planted_keywords_sql())
 
 
+def _q_hll_distinct_fp_by_lang(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-fingerprint estimate per lang
+    — the HASH-EXACT approximate path completing the distinct-count
+    trio: distinct_fp_by_lang (exact), distinct_fp_by_lang_approx
+    (Spark HLL++, rows-only — engine-private seeds), and this md5-
+    register HLL whose registers AND 1e-4-quantized estimate DuckDB
+    reproduces bit-for-bit (integer harmonic denominator — no float
+    accumulation anywhere; functions/hll.py). Shuffle O(groups x 256)
+    regardless of key cardinality; registers merge by max."""
+    from email_sanitizer_api_spark.functions.hll import hll_distinct
+    return hll_distinct(_distinct_docs(spark, sf_dir), "fp", ("lang",))
+
+
+def _sql_hll_distinct_fp_by_lang() -> str:
+    from email_sanitizer_api_spark.functions.hll import hll_distinct_sql
+    from email_sanitizer_api_spark.functions.text import fingerprint_sql
+    table = (f"(SELECT lang, {fingerprint_sql('text')} AS fp "
+             f"FROM documents)")
+    return hll_distinct_sql(table, "fp", ("lang",))
+
+
 def _q_bpe_token_stats(spark, sf_dir):
     """Tokenizer APPLICATION: corpus token counts under the learned BPE
     merge table — the Chinchilla-style tokens-per-corpus stat. The
@@ -2659,6 +2680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection_weights": _q_dsir_selection_weights,
         # BPE tokenizer application: corpus token counts (r04 s6)
         "bpe_token_stats": _q_bpe_token_stats,
+        # deterministic HLL distinct sketch (r04 s6)
+        "hll_distinct_fp_by_lang": _q_hll_distinct_fp_by_lang,
     }
 
 
@@ -2781,6 +2804,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_selection_weights": _sql_dsir_selection_weights(),
         # BPE tokenizer application (r04 s6)
         "bpe_token_stats": _sql_bpe_token_stats(),
+        # deterministic HLL distinct sketch (r04 s6)
+        "hll_distinct_fp_by_lang": _sql_hll_distinct_fp_by_lang(),
         # cosine_topk_pq: intentionally omitted — PQ codebooks are
         # float-iterative k-means (not SQL-expressible); its exact oracle
         # twin is cosine_topk_embeddings and tests/test_pq.py pins

@@ -1,0 +1,152 @@
+"""Deterministic HyperLogLog — reproducible approximate distinct counts.
+
+The engine already has both ends of the distinct-counting spectrum:
+exact two-level aggs (`distinct_fp_by_lang`) and Spark's built-in
+HLL++ (`distinct_fp_by_lang_approx` — the production path, rows-only
+checkable because its hash seeds are engine-private). This module adds
+the middle piece the contract methodology wants: a from-scratch HLL
+(Flajolet, Fusy, Gandouet, Meunier, AofA 2007) whose registers come
+off md5 — so the SAME sketch, register for register and estimate bit
+for bit, is computable in DuckDB, and the approximate path itself
+becomes hash-exact. The CMS module did this for counts; this does it
+for cardinality.
+
+Determinism choices (what makes a float-heavy sketch cross-engine
+exact):
+
+* register index = first 2 md5 hex digits (m = 256 = 2^p, p = 8);
+  rank ρ = 53 − bitlen(52-bit md5 suffix) (ρ = 53 when the suffix is
+  0) — all integers off the same hash both engines compute;
+* the harmonic-mean denominator Σ 2^−M_j is scaled by 2^53 and summed
+  as a BIGINT — every term 2^(53−M_j) is an exact integer (M_j ≤ 53),
+  so there is NO float accumulation anywhere; absent registers
+  contribute 2^53 each via (m − present) · 2^53;
+* the only float ops are the final α·m²·2^53 / S division (identical
+  operands → identical IEEE result) and, in the small-range branch
+  (E ≤ 2.5m with empty registers), linear counting m·ln(m/V) — one ln
+  on identical doubles (the lm_quality precedent); the estimate is
+  then quantized to a 1e-4 BIGINT.
+
+Scale shape: registers are a (group, idx) aggregation with ≤ m reduce
+keys per group, map-side combined — shuffle volume O(groups · m),
+independent of distinct-key cardinality, the same reason HLL++ is the
+production path. Sketches MERGE by register-wise max (pinned by test),
+so per-partition / per-day sketches fold without rescanning — the CMS
+mergeability story for cardinality.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_registers", "hll_estimate", "hll_distinct",
+           "hll_distinct_sql", "M_REGISTERS", "ALPHA"]
+
+#: registers (m = 2^p, p = 8) — small enough that the contract query
+#: exercises the estimator's error for real, like the CMS grid
+M_REGISTERS = 256
+#: Flajolet's bias correction for m >= 128
+ALPHA = 0.7213 / (1.0 + 1.079 / M_REGISTERS)
+#: quantization for the float estimate
+EST_SCALE = 10_000
+
+
+def _idx(h: Column) -> Column:
+    """Register index: first 2 md5 hex digits (0..255)."""
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+
+
+def _rho(h: Column) -> Column:
+    """Rank: leading zeros of the 52-bit suffix + 1 (53 for suffix 0).
+    bitlen via length(bin(v)) — identical semantics in DuckDB."""
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    return (F.when(v == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(v))).cast("long"))
+
+
+def hll_registers(keys: DataFrame, key_col: str,
+                  group_cols: tuple = ()) -> DataFrame:
+    """(group_cols..., idx, r): register table — max rank per register
+    per group. At most ``M_REGISTERS`` rows per group, map-side
+    combined; merges across sketches by another max."""
+    h = F.md5(F.col(key_col).cast("string"))
+    return (keys.select(*group_cols, _idx(h).alias("idx"),
+                        _rho(h).alias("rho"))
+            .groupBy(*group_cols, "idx")
+            .agg(F.max("rho").alias("r")))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: tuple = ()) -> DataFrame:
+    """(group_cols..., n_registers, est_q): the HLL estimate per group,
+    1e-4-quantized. Integer harmonic denominator — see module
+    docstring."""
+    m = M_REGISTERS
+    per = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                     "CAST(53 - r AS INT))")).alias("s_present"))
+    s = (F.col("s_present")
+         + (F.lit(m) - F.col("present"))
+         * F.lit(1 << 53).cast("long")).cast("double")
+    raw = F.lit(ALPHA * m * m * float(1 << 53)) / s
+    v_zero = (F.lit(m) - F.col("present")).cast("double")
+    est = F.when((raw <= 2.5 * m) & (F.col("present") < m),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero)
+                 ).otherwise(raw)
+    return per.select(
+        *group_cols,
+        F.col("present").cast("long").alias("n_registers"),
+        F.floor(est * EST_SCALE + F.lit(0.5)).cast("long")
+        .alias("est_q"))
+
+
+def hll_distinct(keys: DataFrame, key_col: str,
+                 group_cols: tuple = ()) -> DataFrame:
+    """Registers + estimate in one call."""
+    return hll_estimate(hll_registers(keys, key_col, group_cols),
+                        group_cols)
+
+
+def hll_distinct_sql(table: str, key_col: str,
+                     group_cols: tuple = ()) -> str:
+    """DuckDB twin: identical registers, integer denominator, branch,
+    and quantization."""
+    m = M_REGISTERS
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gby = ", ".join(group_cols) if group_cols else ""
+    alpha_num = ALPHA * m * m * float(1 << 53)
+    return f"""
+WITH hashed AS (
+  SELECT {gsel}
+         ('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 1, 2))::BIGINT AS idx,
+         CASE WHEN ('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 3, 13))::BIGINT = 0
+              THEN 53
+              ELSE 53 - length(bin(
+                ('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 3, 13))::BIGINT))
+         END AS rho
+  FROM {table}),
+regs AS (
+  SELECT {gsel}idx, max(rho) AS r
+  FROM hashed GROUP BY {gsel}idx),
+per AS (
+  SELECT {gsel}count(*) AS present,
+         sum((1::BIGINT << CAST(53 - r AS INT))) AS s_present
+  FROM regs {f'GROUP BY {gby}' if gby else ''}),
+est AS (
+  SELECT {gsel}present,
+         CAST({alpha_num!r} AS DOUBLE)
+           / CAST(s_present + ({m} - present) * (1::BIGINT << 53)
+                  AS DOUBLE) AS raw
+  FROM per)
+SELECT {gsel}CAST(present AS BIGINT) AS n_registers,
+       CAST(floor(
+         CASE WHEN raw <= 2.5 * {m} AND present < {m}
+              THEN CAST({m} AS DOUBLE)
+                   * ln(CAST({m} AS DOUBLE) / ({m} - present))
+              ELSE raw END * {EST_SCALE} + 0.5) AS BIGINT) AS est_q
+FROM est
+"""

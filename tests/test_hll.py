@@ -1,0 +1,117 @@
+"""Deterministic HLL (functions/hll.py) vs a pure-Python third
+implementation, plus the properties a cardinality sketch exists for:
+bounded relative error, register-wise-max mergeability, and exact
+cross-partition reproducibility."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from email_sanitizer_api_spark.functions.hll import (
+    ALPHA,
+    EST_SCALE,
+    M_REGISTERS,
+    hll_distinct,
+    hll_registers,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_hll(keys):
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        idx = int(h[:2], 16)
+        v = int(h[2:15], 16)
+        rho = 53 if v == 0 else 53 - v.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    m = M_REGISTERS
+    s = sum(1 << (53 - r) for r in regs.values()) \
+        + (m - len(regs)) * (1 << 53)
+    raw = (ALPHA * m * m * float(1 << 53)) / float(s)
+    if raw <= 2.5 * m and len(regs) < m:
+        est = float(m) * math.log(float(m) / (m - len(regs)))
+    else:
+        est = raw
+    return regs, len(regs), math.floor(est * EST_SCALE + 0.5)
+
+
+def _spark_hll(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    out = hll_distinct(df, "k").collect()
+    assert len(out) == 1
+    return out[0]["n_registers"], out[0]["est_q"]
+
+
+def test_registers_match_python(spark):
+    keys = [f"key-{i}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {r["idx"]: r["r"] for r in hll_registers(df, "k").collect()}
+    want, _, _ = _py_hll(keys)
+    assert got == want
+
+
+@pytest.mark.parametrize("n", [3, 40, 400, 5000])
+def test_estimate_matches_python(spark, n):
+    # covers the linear-counting branch (small n) AND the raw harmonic
+    # branch (n=5000 >> 2.5m)
+    keys = [f"item-{i}" for i in range(n)]
+    got = _spark_hll(spark, keys)
+    _, present, est_q = _py_hll(keys)
+    assert got == (present, est_q)
+
+
+@pytest.mark.parametrize("n", [100, 1000, 20000])
+def test_relative_error_bound(spark, n):
+    # HLL standard error is 1.04/sqrt(m) ~ 6.5%; pin 3 sigma
+    keys = [f"card-{i}" for i in range(n)]
+    _, est_q = _spark_hll(spark, keys)
+    est = est_q / EST_SCALE
+    assert abs(est - n) / n < 3 * 1.04 / math.sqrt(M_REGISTERS), est
+
+
+def test_merge_equals_whole(spark):
+    # register-wise max over two half-sketches == the whole sketch
+    from pyspark.sql import functions as F
+    a = [f"x-{i}" for i in range(300)]
+    b = [f"x-{i}" for i in range(150, 450)]  # overlapping halves
+    df_a = spark.createDataFrame([(k,) for k in a], ["k"])
+    df_b = spark.createDataFrame([(k,) for k in b], ["k"])
+    merged = (hll_registers(df_a, "k")
+              .unionAll(hll_registers(df_b, "k"))
+              .groupBy("idx").agg(F.max("r").alias("r")))
+    whole = hll_registers(
+        spark.createDataFrame([(k,) for k in set(a) | set(b)], ["k"]),
+        "k")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_duplicates_invisible(spark):
+    # cardinality sketch: feeding every key 7 times changes nothing
+    keys = [f"dup-{i}" for i in range(200)]
+    once = _spark_hll(spark, keys)
+    many = _spark_hll(spark, keys * 7)
+    assert once == many
+
+
+def test_corpus_grouped_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from email_sanitizer_api_spark.functions.text import fingerprint_expr
+    from pyspark.sql import functions as F
+    keyed = docs.select("lang", fingerprint_expr(F.col("text")).alias("fp"))
+    got = {r["lang"]: (r["n_registers"], r["est_q"])
+           for r in hll_distinct(keyed, "fp", ("lang",)).collect()}
+    rows = keyed.collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["fp"])
+    want = {}
+    for lang, fps in by_lang.items():
+        _, present, est_q = _py_hll(fps)
+        want[lang] = (present, est_q)
+    assert got == want

@@ -189,6 +189,9 @@ EXCHANGE_BUDGET = {
     # CMS: true-count agg + the d*w-cell sketch agg (grid-bounded);
     # the probe join broadcasts the constant-size sketch
     "cms_token_counts": 2,
+    # deterministic HLL: (lang, idx) register agg + per-lang estimate
+    # agg — both map-side combined, <= groups x 256 reduce keys
+    "hll_distinct_fp_by_lang": 2,
     # DSIR: bucket agg (union of uni+bigram explodes) + O(K)-row totals
     # window + per-doc score agg + id-spine distinct and left join; the
     # K-row ratio table broadcasts (functions/dsir.py)
