@@ -2278,6 +2278,58 @@ def _sql_textrank_tokens() -> str:
     return textrank_tokens_sql(table=with_planted_keywords_sql())
 
 
+def _q_cluster_agreement_ari(spark, sf_dir):
+    """Pair-counting Rand/Adjusted-Rand agreement between the planted
+    dup-family GROUND TRUTH and a one-chunk SimHash clustering (16-bit
+    c0 buckets) — the sketch-quality audit: how much family structure
+    does a single 16-bit sketch chunk recover, and what does it over-
+    merge. All confusion cells are integer sums over the contingency
+    table (no pair enumeration anywhere — C(n,2) arithmetic replaces
+    it); Rand/ARI are single float expressions over those integers,
+    1e-6-quantized (functions/cluster_agreement.py)."""
+    from email_sanitizer_api_spark.functions.cluster_agreement import (
+        agreement_report)
+    from email_sanitizer_api_spark.operators.simhash import (
+        simhash_md5_signatures)
+    from email_sanitizer_api_spark.operators.triangles import (
+        with_planted_dup_families)
+    docs = with_planted_dup_families(_t(spark, sf_dir, "documents"))
+    g = F.expr("CAST(doc_id DIV 16 AS BIGINT)")
+    truth = F.when(F.col("doc_id") % 16 < 6,
+                   F.concat(F.lit("fam-"), g.cast("string"))
+                   ).otherwise(F.concat(F.lit("doc-"),
+                                        F.col("doc_id").cast("string")))
+    sigs = simhash_md5_signatures(docs).select("id", "c0")
+    assign = (docs.select("doc_id", truth.alias("truth_c"))
+              .join(sigs, F.col("doc_id") == F.col("id"))
+              .select("truth_c", F.concat(F.lit("sh-"),
+                                          F.col("c0").cast("string"))
+                      .alias("sketch_c")))
+    return agreement_report(assign, c1="truth_c", c2="sketch_c")
+
+
+def _sql_cluster_agreement_ari() -> str:
+    from email_sanitizer_api_spark.functions.cluster_agreement import (
+        agreement_report_sql_tail)
+    from email_sanitizer_api_spark.operators.simhash import (
+        simhash_md5_sig_ctes)
+    from email_sanitizer_api_spark.operators.triangles import (
+        with_planted_dup_families_sql)
+    planted = with_planted_dup_families_sql()
+    g = "CAST(doc_id // 16 AS BIGINT)"
+    truth = (f"CASE WHEN doc_id % 16 < 6 "
+             f"THEN 'fam-' || CAST({g} AS VARCHAR) "
+             f"ELSE 'doc-' || CAST(doc_id AS VARCHAR) END")
+    return f"""
+WITH planted AS (SELECT * FROM {planted} p0),
+{simhash_md5_sig_ctes(table='planted')},
+assign AS (
+  SELECT {truth} AS truth_c, 'sh-' || CAST(sig.c0 AS VARCHAR) AS sketch_c
+  FROM planted JOIN sig ON sig.id = planted.doc_id),
+{agreement_report_sql_tail('assign', c1='truth_c', c2='sketch_c')}
+"""
+
+
 def _q_hll_distinct_fp_by_lang(spark, sf_dir):
     """Deterministic HyperLogLog distinct-fingerprint estimate per lang
     — the HASH-EXACT approximate path completing the distinct-count
@@ -2682,6 +2734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         # deterministic HLL distinct sketch (r04 s6)
         "hll_distinct_fp_by_lang": _q_hll_distinct_fp_by_lang,
+        # pair-counting Rand/ARI clustering agreement (r04 s6)
+        "cluster_agreement_ari": _q_cluster_agreement_ari,
     }
 
 
@@ -2806,6 +2860,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _sql_bpe_token_stats(),
         # deterministic HLL distinct sketch (r04 s6)
         "hll_distinct_fp_by_lang": _sql_hll_distinct_fp_by_lang(),
+        # pair-counting Rand/ARI clustering agreement (r04 s6)
+        "cluster_agreement_ari": _sql_cluster_agreement_ari(),
         # cosine_topk_pq: intentionally omitted — PQ codebooks are
         # float-iterative k-means (not SQL-expressible); its exact oracle
         # twin is cosine_topk_embeddings and tests/test_pq.py pins

@@ -1,0 +1,146 @@
+"""Clustering-agreement metrics — pair-counting Rand / Adjusted Rand.
+
+The engine produces SEVERAL clusterings of the same corpus (exact-sha
+collapse, MinHash-CC, SimHash, suffix spans, semantic k-means); a
+corpus owner's first QA question when two disagree is HOW MUCH. The
+standard answer is pair-counting agreement (Rand 1971; Hubert &
+Arabie's Adjusted Rand, J. Classification 1985): treat each clustering
+as an equivalence relation over unordered element pairs and compare
+the two relations' confusion matrix. The reference has no clustering
+notion at all (it collapses per-address duplicates row-by-row); at
+corpus scale the agreement audit is how you notice a sketch family
+(one SimHash chunk, a 4-bit LSH band) silently fracturing or over-
+merging real dup families.
+
+All four confusion cells come from INTEGER sums over the contingency
+table:
+
+    TP  = Σ_ij C(n_ij, 2)          (pairs together in both)
+    FP  = Σ_i C(a_i, 2) − TP       (together in A only)
+    FN  = Σ_j C(b_j, 2) − TP       (together in B only)
+    TN  = C(n, 2) − TP − FP − FN
+
+so the report is engine-exact by construction; Rand and ARI are then
+single float expressions over those integers (identical operands →
+identical IEEE doubles), quantized to 1e-6. The ARI formula used:
+
+    ARI = (TP − E) / (½(pairs_a + pairs_b) − E),
+    E   = pairs_a · pairs_b / C(n, 2)
+
+computed in DOUBLE — at 10^12 elements the binomials exceed int64, so
+the float form is the scale-correct one; the INTEGER cells remain
+exact because they are sums of per-cluster binomials, each bounded by
+the largest cluster, not by n².
+
+Scale shape: contingency = one groupBy over (c1, c2) — map-side
+combined, keys as numerous as cluster intersections; marginals
+aggregate the contingency table (already small); the three 1-row
+summaries meet in broadcast crossJoins (the bm25 scalar-aggregate
+pattern). Nothing touches pairs explicitly — C(n,2) arithmetic
+replaces pair enumeration, which is the entire point of pair-counting
+metrics at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["agreement_report", "agreement_report_sql_tail",
+           "ARI_SCALE"]
+
+#: fixed-point scale for rand_q / ari_q
+ARI_SCALE = 1_000_000
+
+
+def _c2(expr: str) -> str:
+    return f"CAST(({expr}) * (({expr}) - 1) DIV 2 AS BIGINT)"
+
+
+def agreement_report(assign: DataFrame, c1: str = "c1",
+                     c2: str = "c2") -> DataFrame:
+    """One-row pair-counting agreement report between two cluster
+    assignments over the same elements: (n_items, tp, fp, fn, tn,
+    rand_q, ari_q). ``assign`` has one row per element with its two
+    cluster ids. Degenerate conventions: rand_q is 1e6 when n < 2;
+    ari_q is 1e6 when the correction denominator is 0 (both
+    clusterings trivial — they agree by definition)."""
+    cont = assign.groupBy(c1, c2).agg(F.count(F.lit(1)).alias("nij"))
+    tp_tot = cont.agg(
+        F.sum(F.expr(_c2("nij"))).alias("tp"),
+        F.sum("nij").alias("n"))
+    pa = (cont.groupBy(c1).agg(F.sum("nij").alias("ai"))
+          .agg(F.sum(F.expr(_c2("ai"))).alias("pairs_a")))
+    pb = (cont.groupBy(c2).agg(F.sum("nij").alias("bj"))
+          .agg(F.sum(F.expr(_c2("bj"))).alias("pairs_b")))
+    row = (tp_tot.crossJoin(F.broadcast(pa)).crossJoin(F.broadcast(pb))
+           .withColumn("pairs_n", F.expr(_c2("n")))
+           .withColumn("fp", F.expr("pairs_a - tp"))
+           .withColumn("fn", F.expr("pairs_b - tp"))
+           .withColumn("tn", F.expr("pairs_n - pairs_a - (pairs_b - tp)")))
+    s = ARI_SCALE
+    rand = F.expr(
+        f"CASE WHEN pairs_n = 0 THEN {s} ELSE "
+        f"CAST(floor((tp + tn) / CAST(pairs_n AS DOUBLE) * {s} + 0.5) "
+        f"AS BIGINT) END")
+    ari = F.expr(
+        f"CASE WHEN (pairs_a + pairs_b) / 2.0 "
+        f"     - CAST(pairs_a AS DOUBLE) * pairs_b / pairs_n = 0 "
+        f"     OR pairs_n = 0 THEN {s} ELSE "
+        f"CAST(floor((CAST(tp AS DOUBLE) "
+        f"            - CAST(pairs_a AS DOUBLE) * pairs_b / pairs_n) "
+        f"           / ((pairs_a + pairs_b) / 2.0 "
+        f"              - CAST(pairs_a AS DOUBLE) * pairs_b / pairs_n) "
+        f"           * {s} + 0.5) AS BIGINT) END")
+    return row.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        rand.cast("long").alias("rand_q"),
+        ari.cast("long").alias("ari_q"))
+
+
+def agreement_report_sql_tail(assign_cte: str = "assign",
+                              c1: str = "c1", c2: str = "c2") -> str:
+    """DuckDB tail over a CTE of (c1, c2) per element — identical
+    integer cells, float metrics, quantization."""
+    s = ARI_SCALE
+    return f"""
+cont AS (
+  SELECT {c1} AS c1, {c2} AS c2, count(*) AS nij
+  FROM {assign_cte} GROUP BY {c1}, {c2}),
+tp_tot AS (
+  SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS tp,
+         CAST(sum(nij) AS BIGINT) AS n
+  FROM cont),
+pa AS (
+  SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS pairs_a
+  FROM (SELECT c1, sum(nij) AS ai FROM cont GROUP BY c1)),
+pb AS (
+  SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS pairs_b
+  FROM (SELECT c2, sum(nij) AS bj FROM cont GROUP BY c2)),
+cells AS (
+  SELECT n, tp, pairs_a - tp AS fp, pairs_b - tp AS fn,
+         n * (n - 1) // 2 - pairs_a - (pairs_b - tp) AS tn,
+         pairs_a, pairs_b,
+         CAST(n * (n - 1) // 2 AS DOUBLE) AS pairs_n
+  FROM tp_tot, pa, pb)
+SELECT CAST(n AS BIGINT) AS n_items,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CASE WHEN pairs_n = 0 THEN {s}
+            ELSE CAST(floor((tp + tn) / pairs_n * {s} + 0.5) AS BIGINT)
+       END AS rand_q,
+       CASE WHEN pairs_n = 0
+              OR (pairs_a + pairs_b) / 2.0
+                 - pairs_a::DOUBLE * pairs_b / pairs_n = 0 THEN {s}
+            ELSE CAST(floor((tp::DOUBLE
+                             - pairs_a::DOUBLE * pairs_b / pairs_n)
+                            / ((pairs_a + pairs_b) / 2.0
+                               - pairs_a::DOUBLE * pairs_b / pairs_n)
+                            * {s} + 0.5) AS BIGINT)
+       END AS ari_q
+FROM cells
+"""

@@ -1,0 +1,96 @@
+"""Pair-counting Rand/ARI (functions/cluster_agreement.py) vs a pure-
+Python brute-force over explicit pairs, on constructed clusterings
+covering agreement, refinement, independence, and the degenerate
+conventions."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from email_sanitizer_api_spark.functions.cluster_agreement import (
+    ARI_SCALE,
+    agreement_report,
+)
+
+
+def _py_report(assign: list[tuple[str, str]]):
+    """Brute force over explicit element pairs."""
+    n = len(assign)
+    tp = fp = fn = tn = 0
+    for (a1, b1), (a2, b2) in combinations(assign, 2):
+        sa, sb = a1 == a2, b1 == b2
+        if sa and sb:
+            tp += 1
+        elif sa:
+            fp += 1
+        elif sb:
+            fn += 1
+        else:
+            tn += 1
+    pairs_n = n * (n - 1) // 2
+    import math
+    if pairs_n == 0:
+        rand_q = ARI_SCALE
+    else:
+        rand_q = math.floor((tp + tn) / pairs_n * ARI_SCALE + 0.5)
+    pa, pb = tp + fp, tp + fn
+    if pairs_n == 0 or (pa + pb) / 2 - pa * pb / pairs_n == 0:
+        ari_q = ARI_SCALE
+    else:
+        e = pa * pb / pairs_n
+        ari_q = math.floor((tp - e) / ((pa + pb) / 2 - e)
+                           * ARI_SCALE + 0.5)
+    return (n, tp, fp, fn, tn, rand_q, ari_q)
+
+
+def _spark_report(spark, assign):
+    df = spark.createDataFrame(assign, ["c1", "c2"])
+    r = agreement_report(df).collect()[0]
+    return (r["n_items"], r["tp"], r["fp"], r["fn"], r["tn"],
+            r["rand_q"], r["ari_q"])
+
+
+CASES = {
+    "identical": [("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"),
+                  ("c", "z")],
+    "refinement": [("a", "x1"), ("a", "x1"), ("a", "x2"), ("a", "x2"),
+                   ("b", "y"), ("b", "y")],
+    "independent": [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+                    ("c", "x"), ("c", "y")],
+    "one_vs_singletons": [("all", f"s{i}") for i in range(6)],
+    "all_singletons": [(f"p{i}", f"q{i}") for i in range(5)],
+    "skew": [("a", "x")] * 7 + [("b", "x")] * 2 + [("b", "y")] * 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_matches_python(spark, name):
+    assert _spark_report(spark, CASES[name]) == _py_report(CASES[name])
+
+
+def test_identical_is_perfect(spark):
+    got = _spark_report(spark, CASES["identical"])
+    assert got[5] == ARI_SCALE and got[6] == ARI_SCALE
+    assert got[2] == 0 and got[3] == 0
+
+
+def test_all_singletons_convention(spark):
+    # both trivial clusterings: agreement by definition (guard branch)
+    got = _spark_report(spark, CASES["all_singletons"])
+    assert got[1] == 0 and got[5] == ARI_SCALE and got[6] == ARI_SCALE
+
+
+def test_refinement_has_fn_only(spark):
+    # B refines A: every B-pair is an A-pair (fn>0 means A-only pairs
+    # counted as fp... direction check): A-together B-split pairs = fp
+    n, tp, fp, fn, tn, _, _ = _spark_report(spark, CASES["refinement"])
+    assert fp > 0 and fn == 0
+
+
+def test_ari_orders_quality(spark):
+    # near-identical clusterings must outscore independent ones
+    good = _spark_report(spark, CASES["refinement"])[6]
+    bad = _spark_report(spark, CASES["independent"])[6]
+    assert good > bad

@@ -68,6 +68,7 @@ NLJ_OK = {
     "kmeans_assign_embeddings": "broadcast side is k=8 seed centroids (O(k) rows)",
     "semantic_contamination_report": "broadcast side is the fixed-size benchmark embedding set",
     "bm25_topk_docs": "crossJoins with broadcast 1-row df/corpus scalar aggregates",
+    "cluster_agreement_ari": "crossJoins with broadcast 1-row marginal-pair scalar aggregates",
     # PQ is a COMPRESSED linear scan by definition (FAISS IndexPQ): the
     # broadcast side is the fixed small query set and the big side ships
     # ~16x-compressed codes, not vectors; compose with IVF lists to
@@ -189,6 +190,10 @@ EXCHANGE_BUDGET = {
     # CMS: true-count agg + the d*w-cell sketch agg (grid-bounded);
     # the probe join broadcasts the constant-size sketch
     "cms_token_counts": 2,
+    # ARI: simhash sig agg + the contingency groupBy re-planned under
+    # each of the three 1-row marginal aggregates (tiny tables; runtime
+    # exchange reuse dedupes the shared subtree)
+    "cluster_agreement_ari": 16,
     # deterministic HLL: (lang, idx) register agg + per-lang estimate
     # agg — both map-side combined, <= groups x 256 reduce keys
     "hll_distinct_fp_by_lang": 2,
