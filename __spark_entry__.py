@@ -2278,6 +2278,25 @@ def _sql_textrank_tokens() -> str:
     return textrank_tokens_sql(table=with_planted_keywords_sql())
 
 
+def _q_length_quantile_sketch(spark, sf_dir):
+    """Mergeable log2-histogram quantile sketch — the quantile trio's
+    hash-exact approximate member (exact: length_percentiles_by_lang's
+    full percentile sort; built-in: approx_percentile, engine-private).
+    ALL-integer: bitlen buckets, ceil-rank targets, bucket-midpoint
+    estimates — factor-2 accuracy by construction, O(groups x 64)
+    shuffle independent of rows AND value range, cells merge by sum
+    (functions/quantile_sketch.py)."""
+    from email_sanitizer_api_spark.functions.quantile_sketch import (
+        length_quantile_sketch)
+    return length_quantile_sketch(_t(spark, sf_dir, "documents"))
+
+
+def _sql_length_quantile_sketch() -> str:
+    from email_sanitizer_api_spark.functions.quantile_sketch import (
+        length_quantile_sketch_sql)
+    return length_quantile_sketch_sql()
+
+
 def _q_cluster_agreement_ari(spark, sf_dir):
     """Pair-counting Rand/Adjusted-Rand agreement between the planted
     dup-family GROUND TRUTH and a one-chunk SimHash clustering (16-bit
@@ -2736,6 +2755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_fp_by_lang": _q_hll_distinct_fp_by_lang,
         # pair-counting Rand/ARI clustering agreement (r04 s6)
         "cluster_agreement_ari": _q_cluster_agreement_ari,
+        # mergeable log2-histogram quantile sketch (r04 s6)
+        "length_quantile_sketch_by_lang": _q_length_quantile_sketch,
     }
 
 
@@ -2862,6 +2883,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_fp_by_lang": _sql_hll_distinct_fp_by_lang(),
         # pair-counting Rand/ARI clustering agreement (r04 s6)
         "cluster_agreement_ari": _sql_cluster_agreement_ari(),
+        # mergeable log2-histogram quantile sketch (r04 s6)
+        "length_quantile_sketch_by_lang": _sql_length_quantile_sketch(),
         # cosine_topk_pq: intentionally omitted — PQ codebooks are
         # float-iterative k-means (not SQL-expressible); its exact oracle
         # twin is cosine_topk_embeddings and tests/test_pq.py pins

@@ -1,0 +1,137 @@
+"""Deterministic mergeable quantile sketch — log₂ histogram.
+
+Completes the quantile trio the way cms.py did counts and hll.py did
+cardinality: `length_percentiles_by_lang` is the exact path (a full
+sort-based `percentile` per group — fine at CI scale, a corpus-wide
+sort at 100 TB), Spark's `approx_percentile` is the built-in
+production sketch (KLL-style, engine-private internals → rows-only
+checkable), and THIS is the from-scratch sketch whose every number —
+histogram cells AND quantile estimates — is reproducible bit-for-bit
+in DuckDB, because nothing in it is ever a float:
+
+* cell = bitlen(value) (bucket b holds [2^(b−1), 2^b − 1]; value 0 →
+  bucket 0) — 64 cells bound ANY int64 distribution, the fixed-grid
+  class;
+* quantile rank = ceil(p·n/100) in integer arithmetic
+  ((p·n + 99) DIV 100);
+* the estimate is the bucket-local integer MIDPOINT rule:
+  lo + (width · (2r − 1)) DIV (2·cnt) for the target's rank r within
+  its bucket — deterministic, and within a factor of 2 of the true
+  quantile by construction (the bucket brackets it), which is the
+  right resolution for the skew/size diagnostics this feeds.
+
+Mergeability is cell-wise SUM (pinned by test): per-day or
+per-partition histograms fold into the corpus histogram without
+rescans — the property the exact sort-based path fundamentally lacks
+and the reason a 100 TB pipeline ships histograms, not sorted copies.
+
+Scale shape: one (group, bucket) aggregation — ≤ 64 reduce keys per
+group, map-side combined; the quantile extraction is a ≤64-row-per-
+group window + filter. Shuffle volume O(groups × 64), independent of
+both row count and value range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["log_histogram", "quantile_estimates",
+           "length_quantile_sketch", "length_quantile_sketch_sql",
+           "PERCENTS"]
+
+#: integer percents matching the exact twin's percentile list
+PERCENTS = (25, 50, 75, 90, 99)
+
+
+def log_histogram(docs: DataFrame, value_col: str,
+                  group_col: str) -> DataFrame:
+    """(group, bucket, cnt): the log₂ histogram. bucket = bitlen(v)
+    (0 for v = 0); cells merge by sum."""
+    v = F.col(value_col).cast("long")
+    bucket = (F.when(v <= 0, F.lit(0))
+              .otherwise(F.length(F.bin(v))).cast("long"))
+    return (docs.select(F.col(group_col).alias("grp"),
+                        bucket.alias("bucket"))
+            .groupBy("grp", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def quantile_estimates(hist: DataFrame,
+                       percents: tuple = PERCENTS) -> DataFrame:
+    """Wide per-group estimates off a log histogram:
+    (grp, n_docs, p{p}_e ...) — all-integer midpoint rule."""
+    w = Window.partitionBy("grp").orderBy("bucket")
+    cum = hist.select(
+        "grp", "bucket", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("n"))
+    pcts = F.explode(F.array(*[F.lit(p) for p in percents])).alias("p")
+    hit = (cum.select("*", pcts)
+           .withColumn("target", F.expr("(p * n + 99) DIV 100"))
+           .where((F.col("cum") >= F.col("target"))
+                  & (F.col("cum") - F.col("cnt") < F.col("target"))))
+    est = hit.select(
+        "grp", "n", "p",
+        F.expr("""
+          CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)
+               ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))
+                    + ((shiftleft(CAST(1 AS BIGINT),
+                                  CAST(bucket - 1 AS INT)) - 1)
+                       * (2 * (target - (cum - cnt)) - 1))
+                      DIV (2 * cnt)
+          END""").alias("e"))
+    aggs = [F.max(F.when(F.col("p") == p, F.col("e")))
+            .cast("long").alias(f"p{p}_e") for p in percents]
+    return (est.groupBy("grp")
+            .agg(F.max("n").cast("long").alias("n_docs"), *aggs))
+
+
+def length_quantile_sketch(docs: DataFrame, value_col: str = "n_chars",
+                           group_col: str = "lang") -> DataFrame:
+    """The composed sketch over the documents table."""
+    out = quantile_estimates(log_histogram(docs, value_col, group_col))
+    return out.withColumnRenamed("grp", group_col)
+
+
+def length_quantile_sketch_sql(table: str = "documents",
+                               value_col: str = "n_chars",
+                               group_col: str = "lang",
+                               percents: tuple = PERCENTS) -> str:
+    """DuckDB twin: identical buckets, integer targets, midpoint rule."""
+    sel = ",\n       ".join(
+        f"CAST(max(CASE WHEN p = {p} THEN e END) AS BIGINT) AS p{p}_e"
+        for p in percents)
+    plist = ", ".join(str(p) for p in percents)
+    return f"""
+WITH hist AS (
+  SELECT {group_col} AS grp,
+         CASE WHEN {value_col} <= 0 THEN 0
+              ELSE length(bin(CAST({value_col} AS BIGINT))) END AS bucket,
+         count(*) AS cnt
+  FROM {table} GROUP BY 1, 2),
+cum AS (
+  SELECT grp, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM hist),
+hit AS (
+  SELECT grp, bucket, cnt, cum, n, p,
+         (p * n + 99) // 100 AS target
+  FROM cum, unnest([{plist}]) AS t(p)
+  WHERE cum >= (p * n + 99) // 100
+    AND cum - cnt < (p * n + 99) // 100),
+est AS (
+  SELECT grp, n, p,
+         CASE WHEN bucket = 0 THEN 0
+              ELSE (1::BIGINT << CAST(bucket - 1 AS INT))
+                   + (((1::BIGINT << CAST(bucket - 1 AS INT)) - 1)
+                      * (2 * (target - (cum - cnt)) - 1))
+                     // (2 * cnt)
+         END AS e
+  FROM hit)
+SELECT grp AS {group_col},
+       CAST(max(n) AS BIGINT) AS n_docs,
+       {sel}
+FROM est GROUP BY grp
+"""

@@ -197,6 +197,9 @@ EXCHANGE_BUDGET = {
     # deterministic HLL: (lang, idx) register agg + per-lang estimate
     # agg — both map-side combined, <= groups x 256 reduce keys
     "hll_distinct_fp_by_lang": 2,
+    # log2-histogram quantile sketch: (grp, bucket) agg + the <=64-row
+    # per-group cum window / pivot agg riding one grp partitioning
+    "length_quantile_sketch_by_lang": 2,
     # DSIR: bucket agg (union of uni+bigram explodes) + O(K)-row totals
     # window + per-doc score agg + id-spine distinct and left join; the
     # K-row ratio table broadcasts (functions/dsir.py)

@@ -1,0 +1,124 @@
+"""Log-histogram quantile sketch (functions/quantile_sketch.py) vs a
+pure-Python third implementation, plus the properties the sketch
+exists for: factor-2 accuracy against the true nearest-rank quantile,
+cell-wise-sum mergeability, and value-range independence."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from email_sanitizer_api_spark.functions.quantile_sketch import (
+    PERCENTS,
+    length_quantile_sketch,
+    log_histogram,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _bucket(v: int) -> int:
+    return 0 if v <= 0 else v.bit_length()
+
+
+def _py_sketch(values, percents=PERCENTS):
+    hist: dict[int, int] = {}
+    for v in values:
+        b = _bucket(int(v))
+        hist[b] = hist.get(b, 0) + 1
+    n = len(values)
+    out = {}
+    for p in percents:
+        target = (p * n + 99) // 100
+        cum = 0
+        for b in sorted(hist):
+            prev = cum
+            cum += hist[b]
+            if cum >= target and prev < target:
+                if b == 0:
+                    out[p] = 0
+                else:
+                    lo = 1 << (b - 1)
+                    width = lo - 1
+                    r = target - prev
+                    out[p] = lo + (width * (2 * r - 1)) // (2 * hist[b])
+                break
+    return n, out
+
+
+def _spark_sketch(spark, rows):
+    df = spark.createDataFrame(rows, ["lang", "n_chars"])
+    got = length_quantile_sketch(df).collect()
+    return {r["lang"]: (r["n_docs"],
+                        {p: r[f"p{p}_e"] for p in PERCENTS})
+            for r in got}
+
+
+def test_matches_python_grouped(spark):
+    rows = ([("a", v) for v in [0, 1, 1, 3, 7, 8, 100, 1000, 1001, 4096]]
+            + [("b", v) for v in range(1, 50)])
+    got = _spark_sketch(spark, rows)
+    for lang in ("a", "b"):
+        vals = [v for l, v in rows if l == lang]
+        n, est = _py_sketch(vals)
+        assert got[lang] == (n, est), lang
+
+
+def test_corpus_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {r["lang"]: (r["n_docs"], {p: r[f"p{p}_e"] for p in PERCENTS})
+           for r in length_quantile_sketch(docs).collect()}
+    rows = docs.select("lang", "n_chars").collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    for lang, vals in by_lang.items():
+        n, est = _py_sketch(vals)
+        assert got[lang] == (n, est), lang
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_factor_two_of_true_quantile(spark, seed):
+    # deterministic pseudo-random values via a hash recurrence
+    vals, x = [], seed
+    for _ in range(2000):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        vals.append(x % 100000 + 1)
+    _, est = _py_sketch(vals)
+    s = sorted(vals)
+    for p in PERCENTS:
+        true = s[(p * len(vals) + 99) // 100 - 1]
+        assert 0.5 <= est[p] / true <= 2.0, (p, est[p], true)
+    # and the Spark side agrees with the python sketch exactly
+    got = _spark_sketch(spark, [("x", v) for v in vals])
+    assert got["x"][1] == est
+
+
+def test_merge_equals_whole(spark):
+    from pyspark.sql import functions as F
+    a = [("x", v) for v in range(1, 300)]
+    b = [("x", v * 7) for v in range(1, 200)]
+    df_a = spark.createDataFrame(a, ["lang", "n_chars"])
+    df_b = spark.createDataFrame(b, ["lang", "n_chars"])
+    merged = (log_histogram(df_a, "n_chars", "lang")
+              .unionAll(log_histogram(df_b, "n_chars", "lang"))
+              .groupBy("grp", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    whole = log_histogram(
+        spark.createDataFrame(a + b, ["lang", "n_chars"]),
+        "n_chars", "lang")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_extreme_range_bounded_cells(spark):
+    # 1 .. 2^62: the histogram never exceeds 64 cells per group
+    vals = [1 << i for i in range(0, 63, 3)]
+    df = spark.createDataFrame([("x", v) for v in vals],
+                               ["lang", "n_chars"])
+    hist = log_histogram(df, "n_chars", "lang").collect()
+    assert len(hist) <= 64
+    n, est = _py_sketch(vals)
+    got = _spark_sketch(spark, [("x", v) for v in vals])
+    assert got["x"] == (n, est)
