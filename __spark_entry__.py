@@ -2278,6 +2278,53 @@ def _sql_textrank_tokens() -> str:
     return textrank_tokens_sql(table=with_planted_keywords_sql())
 
 
+def _q_dup_graph_kcore(spark, sf_dir):
+    """Bounded k-core peel (k=3, 6 rounds) over the same verified
+    near-dup pair graph as dup_graph_triangles — the fourth graph
+    primitive: the dense NUCLEUS of each dup family. Planted 6-cliques
+    survive every peel (degree 5 >= 3 forever); chain families peel
+    away round by round — exactly the members keeper-pruning should
+    trust less. Per round: one zero-filled degree agg + anti-join
+    edge filter, lineage truncated per round (the CC/BPE checkpoint
+    pattern); EAGER (operators/kcore.py)."""
+    from email_sanitizer_api_spark.functions.similarity import (
+        token_set_similarity_join)
+    from email_sanitizer_api_spark.operators.kcore import kcore_bounded
+    from email_sanitizer_api_spark.operators.triangles import (
+        with_planted_dup_families)
+    docs = with_planted_dup_families(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.trim("text")),
+                                 "[ \\t\\n\\x0B\\f\\r]+")).alias("toks"))
+    pairs = token_set_similarity_join(
+        toks, threshold=0.8, id_col="doc_id", tokens_col="toks")
+    return kcore_bounded(pairs.select("a", "b")).select(
+        F.col("id").alias("doc_id"), "removed_round", "final_deg",
+        "in_core")
+
+
+def _sql_dup_graph_kcore() -> str:
+    from email_sanitizer_api_spark.operators.kcore import kcore_sql_tail
+    from email_sanitizer_api_spark.operators.triangles import (
+        with_planted_dup_families_sql)
+    planted = with_planted_dup_families_sql()
+    jac = ("CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)"
+           " / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)),
+                                             '[ \\t\\n\\x0B\\f\\r]+')) AS t
+  FROM {planted} p),
+near AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE {jac} >= 0.8),
+{kcore_sql_tail('near', id_alias='doc_id')}
+"""
+
+
 def _q_length_quantile_sketch(spark, sf_dir):
     """Mergeable log2-histogram quantile sketch — the quantile trio's
     hash-exact approximate member (exact: length_percentiles_by_lang's
@@ -2757,6 +2804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_agreement_ari": _q_cluster_agreement_ari,
         # mergeable log2-histogram quantile sketch (r04 s6)
         "length_quantile_sketch_by_lang": _q_length_quantile_sketch,
+        # bounded k-core peel over the dup graph (r04 s6)
+        "dup_graph_kcore": _q_dup_graph_kcore,
     }
 
 
@@ -2885,6 +2934,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_agreement_ari": _sql_cluster_agreement_ari(),
         # mergeable log2-histogram quantile sketch (r04 s6)
         "length_quantile_sketch_by_lang": _sql_length_quantile_sketch(),
+        # bounded k-core peel over the dup graph (r04 s6)
+        "dup_graph_kcore": _sql_dup_graph_kcore(),
         # cosine_topk_pq: intentionally omitted — PQ codebooks are
         # float-iterative k-means (not SQL-expressible); its exact oracle
         # twin is cosine_topk_embeddings and tests/test_pq.py pins

@@ -1,0 +1,159 @@
+"""Bounded k-core peeling over the dup-pair graph.
+
+The fourth graph primitive, completing the set: connected components
+(fixed point — WHICH files merge), PageRank (fixed supersteps — node
+importance), triangle census (structural join — local cluster trust),
+and now k-CORE (iterative peeling — the DENSE NUCLEUS of each dup
+family). The audit it answers: after CC glues a cluster, which members
+sit in a mutually-dense core (k or more surviving partners — the
+vendored-library / license-banner heart) and which hang off it as
+chains (the transitivity leak members keeper-pruning should treat
+skeptically)? Triangles score each vertex locally; the k-core is the
+global fixed point of "drop anything with fewer than k surviving
+neighbors", which no local statistic can compute.
+
+This is the BOUNDED-ROUND variant: ``rounds`` synchronous peels
+(Matula & Beck's algorithm truncated), exactly like the engine's other
+iterative shapes — textrank's fixed supersteps, distributed CC's
+bounded label rounds. Each round drops every vertex whose degree in
+the SURVIVING subgraph is < k, then filters edges to survivors. A
+vertex's ``removed_round`` (1-based; 0 = survived all rounds) and the
+survivors' ``final_deg`` are the outputs; ``converged`` is reported
+per-node as final_deg >= k on survivors — when every surviving node
+meets it, the bounded result IS the true k-core (the test pins both
+converged and honestly-unconverged cases). Production: iterate with a
+convergence probe exactly like operators/cluster.label_propagation —
+the per-round plan is the same two shuffles either way.
+
+Scale shape per round: one degree aggregation (map-side combined,
+uniform md5/id keys) + one semi-join filtering edges to survivors —
+both hash-partitionable; the vocabulary of live vertices only ever
+SHRINKS, so round cost is monotone non-increasing. localCheckpoint
+per round truncates lineage (the CC/BPE pattern); at 10^12 edges the
+peel state is one (id, removed_round) table, checkpointed like CC
+labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kcore_bounded", "kcore_sql_tail", "K_DEFAULT",
+           "ROUNDS_DEFAULT"]
+
+#: contract-query core order: 3 separates planted 6-cliques (every
+#: member degree >= 3 forever) from chain families (peeled away)
+K_DEFAULT = 3
+#: fixed peel rounds in the contract query / oracle
+ROUNDS_DEFAULT = 6
+
+
+def kcore_bounded(pairs: DataFrame, k: int = K_DEFAULT,
+                  rounds: int = ROUNDS_DEFAULT,
+                  a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """(id, removed_round, final_deg, in_core) after ``rounds``
+    synchronous peels at order ``k`` over canonical (a < b) pairs.
+    removed_round = 0 for survivors; final_deg = surviving-subgraph
+    degree (0 for removed); in_core = 1 for survivors. See module
+    docstring for the bounded-vs-true contract."""
+    e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y")) \
+        .localCheckpoint(eager=True)
+    und = e.unionAll(e.select(F.col("y").alias("x"),
+                              F.col("x").alias("y")))
+    nodes = und.select("x").distinct() \
+        .withColumn("removed_round", F.lit(0).cast("long")) \
+        .localCheckpoint(eager=True)
+    live = e
+    for r in range(1, rounds + 1):
+        u = live.unionAll(live.select(F.col("y").alias("x"),
+                                      F.col("x").alias("y")))
+        deg = u.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+        # zero-fill from the ALIVE node set: a vertex whose last edge
+        # vanished in the previous round has no row in `deg` but must
+        # still be peeled (and stamped) this round
+        alive = nodes.where(F.col("removed_round") == 0).select("x")
+        dropped = (alive.join(deg.withColumnRenamed("x", "gx"),
+                              alive.x == F.col("gx"), "left")
+                   .where(F.coalesce("deg", F.lit(0)) < k)
+                   .select("x").localCheckpoint(eager=True))
+        if not dropped.take(1):
+            break
+        nodes = nodes.join(dropped.withColumnRenamed("x", "dx"),
+                           nodes.x == F.col("dx"), "left") \
+            .select("x",
+                    F.when(F.col("dx").isNotNull()
+                           & (F.col("removed_round") == 0), F.lit(r))
+                    .otherwise(F.col("removed_round"))
+                    .cast("long").alias("removed_round")) \
+            .localCheckpoint(eager=True)
+        live = (live
+                .join(dropped.withColumnRenamed("x", "da"),
+                      live.x == F.col("da"), "left_anti")
+                .join(dropped.withColumnRenamed("x", "db"),
+                      live.y == F.col("db"), "left_anti")
+                .localCheckpoint(eager=True))
+    fu = live.unionAll(live.select(F.col("y").alias("x"),
+                                   F.col("x").alias("y")))
+    fdeg = fu.groupBy("x").agg(F.count(F.lit(1)).alias("final_deg"))
+    return (nodes.join(fdeg.withColumnRenamed("x", "fx"),
+                       nodes.x == F.col("fx"), "left")
+            .select(F.col("x").alias("id"),
+                    "removed_round",
+                    F.coalesce("final_deg", F.lit(0)).cast("long")
+                    .alias("final_deg"),
+                    (F.col("removed_round") == 0).cast("int")
+                    .alias("in_core")))
+
+
+def kcore_sql_tail(pairs_cte: str = "near", k: int = K_DEFAULT,
+                   rounds: int = ROUNDS_DEFAULT,
+                   id_alias: str = "id") -> str:
+    """DuckDB tail over a CTE of canonical (a, b) pairs: ``rounds``
+    chained peel CTEs reproducing :func:`kcore_bounded`. NOTE: the
+    Spark side early-exits when a round drops nothing; extra SQL
+    rounds are no-ops then (nothing left below k), so results agree."""
+    # AS MATERIALIZED throughout: DuckDB inlines CTEs by default, and a
+    # peel chain references e{r-1} three times per round — inlined, the
+    # base pair-join subtree duplicates EXPONENTIALLY (observed: fd
+    # exhaustion at 6 rounds before any row was produced)
+    parts = [f"e0 AS MATERIALIZED (SELECT a AS x, b AS y FROM {pairs_cte})",
+             """a0 AS MATERIALIZED (
+  SELECT DISTINCT x FROM (SELECT x FROM e0 UNION ALL SELECT y FROM e0))"""]
+    for r in range(1, rounds + 1):
+        p = f"e{r - 1}"
+        # peel from the ALIVE set with zero-filled degree: a vertex
+        # whose last edge vanished last round has no degree row but
+        # must still be peeled (and stamped) this round
+        parts.append(f"""d{r} AS MATERIALIZED (
+  SELECT a.x FROM a{r - 1} a
+  LEFT JOIN (
+    SELECT x, count(*) AS deg FROM (
+      SELECT x, y FROM {p} UNION ALL SELECT y, x FROM {p})
+    GROUP BY x) g ON g.x = a.x
+  WHERE coalesce(g.deg, 0) < {k})""")
+        parts.append(f"""a{r} AS MATERIALIZED (
+  SELECT x FROM a{r - 1} WHERE x NOT IN (SELECT x FROM d{r}))""")
+        parts.append(f"""e{r} AS MATERIALIZED (
+  SELECT x, y FROM {p}
+  WHERE x NOT IN (SELECT x FROM d{r})
+    AND y NOT IN (SELECT x FROM d{r}))""")
+    removed = "\n      ".join(
+        f"WHEN x IN (SELECT x FROM d{r}) THEN {r}"
+        for r in range(1, rounds + 1))
+    return ",\n".join(parts) + f""",
+allnodes AS (SELECT x FROM a0),
+labeled AS (
+  SELECT x,
+         CAST(CASE {removed} ELSE 0 END AS BIGINT) AS removed_round
+  FROM allnodes),
+fdeg AS (
+  SELECT x, count(*) AS final_deg FROM (
+    SELECT x, y FROM e{rounds} UNION ALL SELECT y, x FROM e{rounds})
+  GROUP BY x)
+SELECT labeled.x AS {id_alias},
+       labeled.removed_round,
+       CAST(coalesce(fdeg.final_deg, 0) AS BIGINT) AS final_deg,
+       CAST(labeled.removed_round = 0 AS INT) AS in_core
+FROM labeled LEFT JOIN fdeg ON fdeg.x = labeled.x
+"""

@@ -1,0 +1,121 @@
+"""Bounded k-core peel (operators/kcore.py) vs a pure-Python peeling
+reference, on constructed graphs covering full cores, full peels,
+core-plus-chain separation, and the honestly-unconverged regime."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from email_sanitizer_api_spark.operators.kcore import kcore_bounded
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_kcore(edges, k, rounds):
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    removed: dict[str, int] = {v: 0 for v in adj}
+    live = dict(adj)
+    for r in range(1, rounds + 1):
+        drop = [v for v, ns in live.items() if len(ns) < k]
+        if not drop:
+            break
+        for v in drop:
+            removed[v] = r
+        for v in drop:
+            for n in live.get(v, ()):
+                live[n].discard(v)
+            live.pop(v, None)
+    out = {}
+    for v in adj:
+        alive = v in live
+        out[v] = (removed[v], len(live[v]) if alive else 0,
+                  1 if alive else 0)
+    return out
+
+
+def _spark_kcore(spark, edges, k, rounds):
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    df = spark.createDataFrame(canon, ["a", "b"])
+    rows = kcore_bounded(df, k=k, rounds=rounds).collect()
+    return {r["id"]: (r["removed_round"], r["final_deg"], r["in_core"])
+            for r in rows}
+
+
+def test_k5_fully_in_core(spark):
+    edges = list(combinations("abcde", 2))
+    got = _spark_kcore(spark, edges, k=3, rounds=4)
+    assert got == _py_kcore(edges, 3, 4)
+    assert all(v == (0, 4, 1) for v in got.values())
+
+
+def test_path_fully_peeled(spark):
+    edges = [(f"n{i}", f"n{i+1}") for i in range(5)]
+    got = _spark_kcore(spark, edges, k=2, rounds=6)
+    assert got == _py_kcore(edges, 2, 6)
+    assert all(v[2] == 0 for v in got.values())
+    # peel order: endpoints go first, inward round by round
+    assert got["n0"][0] == 1 and got["n1"][0] == 2 and got["n2"][0] == 3
+
+
+def test_clique_with_tail(spark):
+    # the audit shape: dense family + chain hanger-on
+    edges = (list(combinations("abcd", 2))
+             + [("d", "t1"), ("t1", "t2"), ("t2", "t3")])
+    got = _spark_kcore(spark, edges, k=3, rounds=5)
+    assert got == _py_kcore(edges, 3, 5)
+    assert all(got[v] == (0, 3, 1) for v in "abcd")
+    assert all(got[v][2] == 0 for v in ("t1", "t2", "t3"))
+
+
+def test_cascade_collapse(spark):
+    # two triangles joined by a bridge: k=3 kills the bridge-free
+    # triangles, which cascades — nothing survives
+    edges = (list(combinations("abc", 2)) + list(combinations("xyz", 2))
+             + [("c", "x")])
+    got = _spark_kcore(spark, edges, k=3, rounds=4)
+    assert got == _py_kcore(edges, 3, 4)
+    assert all(v[2] == 0 for v in got.values())
+
+
+def test_unconverged_is_honest(spark):
+    # a 20-path at k=2 needs 10 rounds; at rounds=3 the result must
+    # match the python peel AND expose non-convergence via survivors
+    # whose final_deg < k
+    edges = [(f"p{i:02d}", f"p{i+1:02d}") for i in range(20)]
+    got = _spark_kcore(spark, edges, k=2, rounds=3)
+    assert got == _py_kcore(edges, 2, 3)
+    survivors = {v: t for v, t in got.items() if t[2] == 1}
+    assert survivors, "3 rounds cannot finish a 20-path"
+    assert any(t[1] < 2 for t in survivors.values()), \
+        "non-convergence must be visible in final_deg"
+
+
+def test_planted_families_separate(spark):
+    # over the planted corpus: clique families land in the 3-core,
+    # chain families peel — the keeper-pruning trust signal
+    from pyspark.sql import functions as F
+
+    from email_sanitizer_api_spark.functions.similarity import (
+        token_set_similarity_join)
+    from email_sanitizer_api_spark.operators.triangles import (
+        with_planted_dup_families)
+
+    docs = with_planted_dup_families(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.trim("text")),
+                                 "[ \\t\\n\\x0B\\f\\r]+")).alias("toks"))
+    pairs = token_set_similarity_join(
+        toks, threshold=0.8, id_col="doc_id", tokens_col="toks")
+    edges = [(r["a"], r["b"]) for r in pairs.collect()]
+    got = _spark_kcore(spark, edges, k=3, rounds=6)
+    assert got == _py_kcore(edges, 3, 6)
+    in_core = sum(1 for t in got.values() if t[2])
+    peeled = sum(1 for t in got.values() if not t[2])
+    assert in_core > 0 and peeled > 0, (in_core, peeled)

@@ -54,6 +54,8 @@ EAGER = {
     # relations whose PRINTED subtrees inflate the Exchange string count
     # ~40x beyond the exchanges that actually run — audited in PLANS.md
     "dup_graph_triangles",
+    # bounded peel loop localCheckpoints per round (the CC pattern)
+    "dup_graph_kcore",
 }
 
 # name -> reason a BroadcastNestedLoopJoin / CartesianProduct is safe.
