@@ -285,6 +285,17 @@ def main(argv: list[str] | None = None) -> None:
          .write.mode("overwrite").parquet(f"{args.analytics}/cdc_chunks"))
         (bpe_learn_merges(files, text_col="content", n_merges=16)
          .write.mode("overwrite").parquet(f"{args.analytics}/bpe_merges"))
+        # r04 s6: DSIR importance weights — per-file training-data
+        # selection score (integer sum of quantized hashed-ngram
+        # log-ratios, target = the corpus's 'en'-labeled slice)
+        from email_sanitizer_api_spark.functions.dsir import (
+            dsir_selection_weights)
+        (dsir_selection_weights(keyed, id_col="file_id",
+                                text_col="content")
+         .join(keyed.select("file_id", "repo", "path", "commit"),
+               "file_id")
+         .drop("file_id")
+         .write.mode("overwrite").parquet(f"{args.analytics}/dsir_weights"))
 
     if args.incremental:
         if not args.state_dir:

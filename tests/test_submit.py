@@ -205,6 +205,12 @@ def test_spark_submit_analytics_side_outputs(tmp_path):
         list(range(1, 17))
     assert (bpe["pair_count"] > 0).all()
 
+    dsir = pd.read_parquet(an_dir / "dsir_weights")
+    assert {"n_feats", "dsir_score_q", "selected",
+            "repo", "path", "commit"} <= set(dsir.columns)
+    assert len(dsir) == len(pd.read_parquet(an_dir / "lm_quality"))
+    assert set(dsir["selected"].unique()) <= {0, 1}
+
 
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
 def test_spark_submit_delete_and_purge(tmp_path):
