@@ -2278,6 +2278,27 @@ def _sql_textrank_tokens() -> str:
     return textrank_tokens_sql(table=with_planted_keywords_sql())
 
 
+def _q_stratified_sample_quota(spark, sf_dir):
+    """Exact-quota stratified sampling (ceil(10% of each lang), md5
+    order) — eval-set carving with EXACT per-stratum counts. The
+    per-stratum rank rides the distributed scan primitive (global_rank
+    over the stratum-major total order, buckets = stratum + 2-hex md5
+    prefix — every stratum fans out over 256 buckets instead of one
+    PARTITION BY reducer); stratum offsets come from an O(strata)
+    prefix-sum window, so the ranked relation is referenced once. The
+    oracle IS the single-node row_number PARTITION BY formulation
+    (functions/sampling.py)."""
+    from email_sanitizer_api_spark.functions.sampling import (
+        stratified_quota_sample)
+    return stratified_quota_sample(_t(spark, sf_dir, "documents"))
+
+
+def _sql_stratified_sample_quota() -> str:
+    from email_sanitizer_api_spark.functions.sampling import (
+        stratified_quota_sample_sql)
+    return stratified_quota_sample_sql()
+
+
 def _q_dup_graph_kcore(spark, sf_dir):
     """Bounded k-core peel (k=3, 6 rounds) over the same verified
     near-dup pair graph as dup_graph_triangles — the fourth graph
@@ -2806,6 +2827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantile_sketch_by_lang": _q_length_quantile_sketch,
         # bounded k-core peel over the dup graph (r04 s6)
         "dup_graph_kcore": _q_dup_graph_kcore,
+        # exact-quota stratified sampling (r04 s6)
+        "stratified_sample_quota": _q_stratified_sample_quota,
     }
 
 
@@ -2936,6 +2959,8 @@ def oracle_sql() -> dict[str, str]:
         "length_quantile_sketch_by_lang": _sql_length_quantile_sketch(),
         # bounded k-core peel over the dup graph (r04 s6)
         "dup_graph_kcore": _sql_dup_graph_kcore(),
+        # exact-quota stratified sampling (r04 s6)
+        "stratified_sample_quota": _sql_stratified_sample_quota(),
         # cosine_topk_pq: intentionally omitted — PQ codebooks are
         # float-iterative k-means (not SQL-expressible); its exact oracle
         # twin is cosine_topk_embeddings and tests/test_pq.py pins

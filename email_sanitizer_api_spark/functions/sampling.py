@@ -1,0 +1,103 @@
+"""Exact-quota stratified sampling — deterministic eval-set carving.
+
+Every corpus release carves deterministic subsets: an eval slice per
+language, a human-audit sample per source, a held-out calibration set.
+The engine already has PROPORTIONED hash splits (operators/split.py:
+each row's bucket decides its split — consistent under corpus growth,
+but per-stratum counts only approximate the weights); this module adds
+the other contract: EXACTLY ⌈p·n_s⌉ rows per stratum, chosen by a
+deterministic md5 order (the trade: exact counts, but membership can
+shift when the stratum grows — rank-based, not residue-based; pick per
+use case, both are one expression).
+
+The scale problem is the rank: ``row_number() OVER (PARTITION BY
+stratum ...)`` sends each stratum through ONE reducer — at 10^12 files
+a 40%-of-corpus language is a 40%-of-corpus partition. Instead the
+per-stratum rank rides the engine's distributed scan primitive
+(operators/ordering.global_rank — monotone-bucket offsets + streaming
+mapInPandas, the sorted-neighborhood machinery): one GLOBAL rank over
+the total order (stratum, md5(id), id) with buckets = stratum ⊕
+2-hex-md5-prefix (a prefix of the order key, so the bucket contract
+holds and every stratum fans out over 256 buckets), then within-stratum
+rank = global rank − the stratum's min rank (an O(strata) broadcast).
+Quota arithmetic is all-integer: ⌈p·n_s/100⌉ = (p·n_s + 99) DIV 100.
+
+The DuckDB twin IS the single-node ``row_number() PARTITION BY``
+formulation — the oracle states the semantics, the Spark side shows
+the scale-correct plan for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stratified_quota_sample", "stratified_quota_sample_sql",
+           "PERCENT_DEFAULT"]
+
+#: contract-query sampling rate (percent of each stratum, ceil)
+PERCENT_DEFAULT = 10
+
+
+def stratified_quota_sample(docs: DataFrame, id_col: str = "doc_id",
+                            stratum_col: str = "lang",
+                            percent: int = PERCENT_DEFAULT) -> DataFrame:
+    """(id_col, stratum_col, within_rank, quota, sampled): every row
+    ranked 1-based inside its stratum by (md5(id), id); ``sampled`` =
+    within_rank <= ⌈percent·n_stratum/100⌉."""
+    from email_sanitizer_api_spark.operators.ordering import global_rank
+    base = (docs.select(F.col(stratum_col).alias("strat"),
+                        F.col(id_col).alias("sid"))
+            .withColumn("skey", F.md5(F.col("sid").cast("string")))
+            .withColumn("bkt", F.concat(F.col("strat"), F.lit("\x01"),
+                                        F.substring("skey", 1, 2))))
+    ranked = global_rank(base, order_cols=["strat", "skey", "sid"],
+                         bucket_col="bkt", rank_col="gr")
+    # stratum offsets WITHOUT touching the ranked relation (it is
+    # referenced exactly once, like sorted_neighborhood's): the global
+    # order is stratum-major, so a stratum's first global rank equals
+    # the exclusive prefix sum of stratum counts — an O(strata) window
+    from pyspark.sql import Window
+    w = Window.orderBy("strat").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (base.groupBy("strat").agg(F.count(F.lit(1)).alias("n_s"))
+            .select("strat", "n_s",
+                    F.coalesce(F.sum("n_s").over(w), F.lit(0))
+                    .alias("g0")))
+    out = (ranked.join(F.broadcast(offs), "strat")
+           .withColumn("within_rank",
+                       (F.col("gr") - F.col("g0") + 1).cast("long"))
+           .withColumn("quota",
+                       F.expr(f"CAST(({percent} * n_s + 99) DIV 100 "
+                              "AS BIGINT)")))
+    return out.select(
+        F.col("sid").alias(id_col),
+        F.col("strat").alias(stratum_col),
+        "within_rank", "quota",
+        (F.col("within_rank") <= F.col("quota")).cast("int")
+        .alias("sampled"))
+
+
+def stratified_quota_sample_sql(table: str = "documents",
+                                id_col: str = "doc_id",
+                                stratum_col: str = "lang",
+                                percent: int = PERCENT_DEFAULT) -> str:
+    """DuckDB twin — the single-node PARTITION BY formulation of the
+    same semantics."""
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {stratum_col},
+         md5(CAST({id_col} AS VARCHAR)) AS skey
+  FROM {table}),
+r AS (
+  SELECT {id_col}, {stratum_col},
+         row_number() OVER (PARTITION BY {stratum_col}
+                            ORDER BY skey, {id_col}) AS within_rank,
+         count(*) OVER (PARTITION BY {stratum_col}) AS n_s
+  FROM base)
+SELECT {id_col}, {stratum_col},
+       CAST(within_rank AS BIGINT) AS within_rank,
+       CAST(({percent} * n_s + 99) // 100 AS BIGINT) AS quota,
+       CAST(within_rank <= ({percent} * n_s + 99) // 100 AS INT)
+         AS sampled
+FROM r
+"""

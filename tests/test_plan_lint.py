@@ -202,6 +202,10 @@ EXCHANGE_BUDGET = {
     # log2-histogram quantile sketch: (grp, bucket) agg + the <=64-row
     # per-group cum window / pivot agg riding one grp partitioning
     "length_quantile_sketch_by_lang": 2,
+    # exact-quota stratified sample: distributed global rank (bucket
+    # sums agg + O(buckets) offsets window + bucket repartition) + the
+    # O(strata) count/prefix windows feeding a broadcast join
+    "stratified_sample_quota": 7,
     # DSIR: bucket agg (union of uni+bigram explodes) + O(K)-row totals
     # window + per-doc score agg + id-spine distinct and left join; the
     # K-row ratio table broadcasts (functions/dsir.py)

@@ -1,0 +1,88 @@
+"""Exact-quota stratified sampling (functions/sampling.py) vs a pure-
+Python reference, plus the contracts the sampler exists for: exact
+per-stratum counts, determinism, and partition-order invariance."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from email_sanitizer_api_spark.functions.sampling import (
+    stratified_quota_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_sample(rows, percent=10):
+    """rows = [(id, stratum)] -> {id: (stratum, rank, quota, sampled)}."""
+    by_s: dict = {}
+    for i, s in rows:
+        by_s.setdefault(s, []).append(i)
+    out = {}
+    for s, ids in by_s.items():
+        n = len(ids)
+        quota = (percent * n + 99) // 100
+        ordered = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                i))
+        for r, i in enumerate(ordered, 1):
+            out[i] = (s, r, quota, 1 if r <= quota else 0)
+    return out
+
+
+def _spark_sample(spark, rows, **kw):
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = stratified_quota_sample(df, **kw).collect()
+    return {r["doc_id"]: (r["lang"], r["within_rank"], r["quota"],
+                          r["sampled"]) for r in got}
+
+
+def test_matches_python_constructed(spark):
+    rows = [(i, ["aa", "bb", "cc"][i % 3]) for i in range(97)]
+    assert _spark_sample(spark, rows) == _py_sample(rows)
+
+
+def test_corpus_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = [(r["doc_id"], r["lang"])
+            for r in docs.select("doc_id", "lang").collect()]
+    got = {r["doc_id"]: (r["lang"], r["within_rank"], r["quota"],
+                         r["sampled"])
+           for r in stratified_quota_sample(docs).collect()}
+    assert got == _py_sample(rows)
+
+
+def test_exact_quota_counts(spark):
+    # THE contract: exactly ceil(p*n_s/100) sampled rows per stratum,
+    # including awkward stratum sizes (1, 9, 10, 11, 101)
+    rows = []
+    for s, n in [("a", 1), ("b", 9), ("c", 10), ("d", 11), ("e", 101)]:
+        rows += [(f"{s}{i}", s) for i in range(n)]
+    got = _spark_sample(spark, rows)
+    for s, n in [("a", 1), ("b", 9), ("c", 10), ("d", 11), ("e", 101)]:
+        picked = sum(1 for i, (st, _, _, smp) in got.items()
+                     if st == s and smp)
+        assert picked == math.ceil(n / 10), (s, picked)
+
+
+def test_partition_order_invariance(spark):
+    rows = [(i, ["aa", "bb"][i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    a = {r["doc_id"]: r["within_rank"]
+         for r in stratified_quota_sample(df).collect()}
+    b = {r["doc_id"]: r["within_rank"]
+         for r in stratified_quota_sample(df.repartition(17)).collect()}
+    assert a == b
+
+
+def test_percent_monotone(spark):
+    # a 20% sample contains the 10% sample (rank-based nesting)
+    rows = [(i, "aa") for i in range(50)]
+    p10 = {i for i, t in _spark_sample(spark, rows, percent=10).items()
+           if t[3]}
+    p20 = {i for i, t in _spark_sample(spark, rows, percent=20).items()
+           if t[3]}
+    assert p10 <= p20 and len(p10) == 5 and len(p20) == 10
