@@ -2498,11 +2498,32 @@ def _q_dup_graph_triangles(spark, sf_dir):
         "doc_id",
         F.array_distinct(F.split(F.lower(F.trim("text")),
                                  "[ \\t\\n\\x0B\\f\\r]+")).alias("toks"))
+    cleanup: list = []
     pairs = token_set_similarity_join(
-        toks, threshold=0.8, id_col="doc_id", tokens_col="toks")
-    return triangle_counts(pairs.select("a", "b")).select(
+        toks, threshold=0.8, id_col="doc_id", tokens_col="toks",
+        cleanup=cleanup)
+    out = triangle_counts(pairs.select("a", "b"),
+                          cleanup=cleanup).select(
         F.col("id").alias("doc_id"), "degree", "triangles", "wedges",
         "lcc_q")
+    # EAGER materialization to a scratch parquet + re-read (the CC /
+    # incremental precedent): a plain v1 parquet write executes WITH
+    # AQE, whose runtime re-plan streams the O(m^1.5) wedge stream
+    # through broadcast-hash joins with NO wedge shuffle while the
+    # edge list fits broadcast. Every alternative final action that
+    # bypasses or restricts AQE (noop V2 write, RDD/localCheckpoint
+    # materialization, persist-then-act under the cached-plan
+    # compiler) fell back to shuffling the wedge stream — measured
+    # 149-276 s vs ~40 s for the identical query at sf0.1. At 100x
+    # the edge list outgrows broadcast and AQE itself degrades to the
+    # shuffled join: the algorithm's documented O(m^1.5)
+    # communication cost.
+    import tempfile
+    path = tempfile.mkdtemp(prefix="spark_graft_triangles_") + "/out"
+    out.write.mode("overwrite").parquet(path)
+    for df_ in cleanup:
+        df_.unpersist()
+    return spark.read.parquet(path)
 
 
 def _sql_dup_graph_triangles() -> str:

@@ -109,6 +109,14 @@ def triangle_counts(pairs: DataFrame, a_col: str = "a",
                          F.col("deg_dst").alias("deg_w"))
     v_first = (F.col("deg_v") < F.col("deg_w")) | (
         (F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    # NO join hints here, deliberately: AQE's runtime re-plan is
+    # load-bearing. When the oriented edge list fits broadcast, AQE
+    # streams the O(m^1.5) wedge stream through broadcast-hash joins
+    # with NO wedge shuffle (measured 40 s vs 148 s at sf0.1 — a
+    # shuffle_hash hint, or any action that bypasses AQE, forces the
+    # wedge stream through an exchange). At 100x the edge list
+    # outgrows broadcast and AQE itself degrades to the shuffled join,
+    # which is the algorithm's documented O(m^1.5) communication cost.
     wedges = o1.join(o2, "u").where(v_first).select("u", "v", "w")
 
     # closing edge is oriented v -> w by the total order
