@@ -2696,6 +2696,113 @@ def _q_corpus_datacard(spark, sf_dir):
     return corpus_datacard(_t(spark, sf_dir, "documents"))
 
 
+def _q_events_props_json(spark, sf_dir):
+    """Semi-structured extraction: parse the events.props JSON payload
+    (``{"k": <int>}``) with a typed ``from_json`` schema — the schema is
+    declared so Catalyst prunes to the single referenced field instead
+    of re-tokenizing the string per access (the get_json_object trap) —
+    then aggregate the extracted field per event_type decile bucket.
+    All-integer outputs. Reference analog: the per-request JSON option
+    payloads the REST handlers parse before validation
+    (src/routes/email.rs request structs)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+_SQL_EVENTS_PROPS_JSON = """
+SELECT event_type,
+       CAST(CAST(json_extract(props, '$.k') AS INT) // 10 AS INT) AS k_decile,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_corpus_rollup_report(spark, sf_dir):
+    """Multi-granularity corpus report in ONE pass: ROLLUP(lang, source)
+    — per (lang, source) cell, per-lang subtotal, grand total — via the
+    Expand physical operator (each input row fans out once per grouping
+    set BEFORE the shuffle, so partial aggregation still applies and the
+    three granularities cost one scan + one exchange instead of three
+    jobs). Grouping flags are explicit int columns (engine-portable;
+    Spark's packed grouping_id bit order is private). All-integer
+    measures."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "g_lang", "g_source", "n_docs", "sum_chars", "n_sources",
+        )
+    )
+
+
+_SQL_CORPUS_ROLLUP_REPORT = """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def _q_events_range_window(spark, sf_dir):
+    """Time-RANGE sliding frame (§2.5's third window shape beside
+    rank/top-k and the sessionization lag+cumsum): per event, the
+    trailing-1-hour activity of the same user — ``RANGE BETWEEN 3600
+    PRECEDING AND CURRENT ROW`` over integer epoch seconds, which
+    includes ALL rows in the value interval regardless of rank ties
+    (a ROWS frame could not express this). Monetary values quantized
+    to integer cents BEFORE the frame sum, so the windowed sum is
+    exact integer arithmetic in both engines."""
+    e = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    w = (Window.partitionBy("user_id").orderBy("ts_epoch")
+         .rangeBetween(-3600, 0))
+    return e.select(
+        "event_id", "user_id", epoch.alias("ts_epoch"), cents.alias("cents")
+    ).select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_1h_events"),
+        F.sum("cents").over(w).cast("long").alias("trail_1h_cents"),
+    )
+
+
+_SQL_EVENTS_RANGE_WINDOW = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS trail_1h_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS trail_1h_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2709,6 +2816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_orders_per_cust": _q_window_topk,
         "events_hourly_agg": _q_events_hourly,
         "events_sessionized": _q_events_sessionized,
+        "events_props_json": _q_events_props_json,
+        "corpus_rollup_report": _q_corpus_rollup_report,
+        "events_range_window": _q_events_range_window,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -2871,6 +2981,9 @@ def oracle_sql() -> dict[str, str]:
         "window_topk_orders_per_cust": _SQL_WINDOW_TOPK,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
         "events_sessionized": _SQL_EVENTS_SESSIONIZED,
+        "events_props_json": _SQL_EVENTS_PROPS_JSON,
+        "corpus_rollup_report": _SQL_CORPUS_ROLLUP_REPORT,
+        "events_range_window": _SQL_EVENTS_RANGE_WINDOW,
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

@@ -110,6 +110,12 @@ EXCHANGE_BUDGET = {
     "distinct_fp_by_lang_approx": 1, "doc_fingerprint_groups": 1,
     "embedding_near_dup_lsh": 1, "events_hourly_agg": 1,
     "events_sessionized": 1, "exact_dedup_documents": 1,
+    # typed from_json field pruning + one grouped agg
+    "events_props_json": 1,
+    # time-RANGE sliding frame: one hash-partitioned window
+    "events_range_window": 1,
+    # ROLLUP via Expand: one scan, one exchange per distinct-agg level
+    "corpus_rollup_report": 2,
     "length_percentiles_by_lang": 1, "partition_pruned_lang_agg": 1,
     "tpch_q1_pricing_summary": 1, "union_pair_sets": 1,
     "validate_counts": 1, "window_topk_orders_per_cust": 1,
