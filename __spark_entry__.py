@@ -2803,6 +2803,25 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
 """
 
 
+def _q_bigram_heavy_hitters_mg(spark, sf_dir):
+    """Misra-Gries frequent word-bigrams (boilerplate-phrase table) —
+    the deterministic member of the counting-sketch suite: bucketed
+    exact counts + two value-determined COMPRESS levels (mergeable-
+    summaries form, Agarwal et al. TODS'13); output carries a per-item
+    certificate est <= true <= est + err_bound; shuffle bounded by
+    vocab/B windows and one O(B*k) constant-size final merge
+    (functions/misra_gries.py)."""
+    from email_sanitizer_api_spark.functions.misra_gries import (
+        mg_heavy_hitters)
+    return mg_heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
+def _sql_bigram_heavy_hitters_mg() -> str:
+    from email_sanitizer_api_spark.functions.misra_gries import (
+        mg_heavy_hitters_sql)
+    return mg_heavy_hitters_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2819,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": _q_events_props_json,
         "corpus_rollup_report": _q_corpus_rollup_report,
         "events_range_window": _q_events_range_window,
+        "bigram_heavy_hitters_mg": _q_bigram_heavy_hitters_mg,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -2984,6 +3004,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_json": _SQL_EVENTS_PROPS_JSON,
         "corpus_rollup_report": _SQL_CORPUS_ROLLUP_REPORT,
         "events_range_window": _SQL_EVENTS_RANGE_WINDOW,
+        "bigram_heavy_hitters_mg": _sql_bigram_heavy_hitters_mg(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

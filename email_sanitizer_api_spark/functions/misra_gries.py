@@ -1,0 +1,156 @@
+"""Misra-Gries heavy hitters — the DETERMINISTIC frequent-items summary
+completing the counting-sketch suite (exact: ``vocab_topk``; randomized
+overestimate: ``cms_token_counts``; this: deterministic UNDERestimate
+with a per-item error certificate).
+
+Boilerplate phrases — license headers, codegen banners, framework
+imports — dominate a code corpus, and curation wants the top phrases
+WITHOUT shuffling the full n-gram vocabulary (at 10^12 files the word
+-bigram table alone outgrows any reducer).  Misra-Gries (1982) keeps k
+counters; the mergeable-summaries form (Agarwal, Cormode, Huang,
+Phillips, Wei, Yi — PODS'12/TODS'13) proves the COMPRESS operation
+(subtract the (k+1)-th largest count, drop non-positive) composes: the
+union of compressed summaries, compressed again, is a valid summary of
+the union with additive deficits.  That formulation is exactly shuffle
+-shaped:
+
+1. bucket every n-gram by a 60-bit md5 (the cms_cells idiom) — buckets
+   PARTITION the vocabulary, so per-bucket counts are exact and the
+   groupBy is map-side combinable with uniform keys;
+2. per bucket, COMPRESS to k entries: deficit ``d_b`` = the (k+1)-th
+   largest exact count (0 when the bucket holds ≤ k n-grams) — a
+   bounded window over vocab/B rows, never over occurrences;
+3. union the ≤ B·k survivors and COMPRESS once more globally (an O(B·k)
+   relation by construction — the single-partition window is over a
+   constant-size input, the same bounded-final-merge shape as the CMS
+   broadcast probe);
+4. report ``est_count`` (a certified LOWER bound on the true count) and
+   ``err_bound`` = d_b + d_g, so true ∈ [est, est + err_bound] row by
+   row — the certificate tests/test_misra_gries.py verifies against a
+   pure-Python Counter third engine.
+
+Every quantity is an integer and every step is value-determined (the
+(k+1)-th largest VALUE is invariant to rank tie-breaks), so DuckDB
+reproduces the summary bit-for-bit — unlike a streaming MG whose
+output depends on arrival order, the compress-form summary depends
+only on the multiset of exact counts.
+
+Guarantees pinned by the tests: output size ≤ k; d_b ≤ N_b/(k+1)
+(N_b = bucket occurrence mass); every n-gram whose true count exceeds
+its bucket's d_b + d_g is PRESENT; est ≤ true ≤ est + err_bound.
+
+Reference analog: the validator's hot-domain memo ranking
+(src/validator/cache.rs) keeps only the frequent keys; here the
+frequent-phrase table is the curation signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["mg_heavy_hitters", "mg_heavy_hitters_sql",
+           "N_BUCKETS", "K_PER_BUCKET"]
+
+#: contract-query sizing: ~916 sf0.01 word-bigrams over 8 buckets with
+#: k=16 makes BOTH compress levels subtract non-zero deficits (the
+#: adversarial-sizing trick used by cms.py / bloom.py)
+N_BUCKETS = 8
+K_PER_BUCKET = 16
+
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _bigrams(docs: DataFrame, text_col: str) -> DataFrame:
+    """One row per word-bigram occurrence ("w_i w_i+1", lowercased)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                _WS_CLASS),
+        lambda x: x != "")
+    # sequence(1, 0) DESCENDS in Spark — guard the <2-token case explicitly
+    grams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(toks[i - 1], ' ', toks[i])) "
+        "ELSE array() END")
+    return (docs.select(toks.alias("toks"))
+            .select(F.explode(grams).alias("tok")))
+
+
+def mg_heavy_hitters(docs: DataFrame, text_col: str = "text",
+                     k: int = K_PER_BUCKET,
+                     n_buckets: int = N_BUCKETS) -> DataFrame:
+    """(token, est_count, err_bound): ≤ k word-bigrams with certified
+    count bounds — true count ∈ [est_count, est_count + err_bound]."""
+    occ = _bigrams(docs, text_col)
+    bucket = (F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+              .cast("long") % n_buckets)
+    counts = (occ.groupBy("tok")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .withColumn("bucket", bucket))
+    # per-bucket COMPRESS: d_b = (k+1)-th largest count (value-determined)
+    wb = Window.partitionBy("bucket").orderBy(F.desc("c"), "tok")
+    wb_all = Window.partitionBy("bucket")
+    ranked = counts.withColumn("rn", F.row_number().over(wb))
+    ranked = ranked.withColumn(
+        "d_b", F.max(F.when(F.col("rn") == k + 1, F.col("c"))
+                     .otherwise(F.lit(0))).over(wb_all))
+    local = (ranked.withColumn("a", F.col("c") - F.col("d_b"))
+             .filter(F.col("a") > 0))
+    # global COMPRESS over the ≤ B·k survivors (constant-size relation:
+    # the unpartitioned window is over B·k rows by construction)
+    wg = Window.orderBy(F.desc("a"), "tok")
+    wg_all = Window.partitionBy(F.lit(1))
+    g = local.withColumn("rn2", F.row_number().over(wg))
+    g = g.withColumn(
+        "d_g", F.max(F.when(F.col("rn2") == k + 1, F.col("a"))
+                     .otherwise(F.lit(0))).over(wg_all))
+    return (g.withColumn("est", F.col("a") - F.col("d_g"))
+            .filter(F.col("est") > 0)
+            .select(F.col("tok").alias("token"),
+                    F.col("est").cast("long").alias("est_count"),
+                    (F.col("d_b") + F.col("d_g")).cast("long")
+                    .alias("err_bound")))
+
+
+def mg_heavy_hitters_sql(table: str = "documents",
+                         text_col: str = "text",
+                         k: int = K_PER_BUCKET,
+                         n_buckets: int = N_BUCKETS) -> str:
+    """DuckDB twin: identical tokenizer, bucket hash, and two-level
+    value-determined compress."""
+    return f"""
+WITH toks AS (
+  SELECT list_filter(
+           regexp_split_to_array(lower(trim(coalesce({text_col}, ''))),
+                                 '{_WS_CLASS}'),
+           x -> x <> '') AS toks
+  FROM {table}),
+occ AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+counts AS (
+  SELECT tok, count(*) AS c,
+         (('0x' || substring(md5(tok), 1, 15))::BIGINT % {n_buckets})
+           AS bucket
+  FROM occ GROUP BY tok),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket
+                               ORDER BY c DESC, tok) AS rn
+  FROM counts),
+withd AS (
+  SELECT *, max(CASE WHEN rn = {k} + 1 THEN c ELSE 0 END)
+              OVER (PARTITION BY bucket) AS d_b
+  FROM ranked),
+local AS (
+  SELECT tok, c - d_b AS a, d_b FROM withd WHERE c - d_b > 0),
+g AS (
+  SELECT *, row_number() OVER (ORDER BY a DESC, tok) AS rn2 FROM local),
+withg AS (
+  SELECT *, max(CASE WHEN rn2 = {k} + 1 THEN a ELSE 0 END) OVER () AS d_g
+  FROM g)
+SELECT tok AS token,
+       CAST(a - d_g AS BIGINT) AS est_count,
+       CAST(d_b + d_g AS BIGINT) AS err_bound
+FROM withg WHERE a - d_g > 0
+"""

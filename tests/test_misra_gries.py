@@ -1,0 +1,110 @@
+"""Misra-Gries heavy hitters (functions/misra_gries.py): pure-Python
+third engine + the classical guarantees the summary certifies."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pytest
+
+from email_sanitizer_api_spark.functions.misra_gries import (
+    mg_heavy_hitters,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _py_bigram_counts(docs) -> Counter:
+    c: Counter = Counter()
+    for r in docs.select("text").collect():
+        toks = [t for t in WS.split((r["text"] or "").strip().lower()) if t]
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    return c
+
+
+def _bucket(tok: str, n_buckets: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def _py_mg(counts: Counter, k: int, n_buckets: int):
+    """Pure-Python twin of the two-level compress; returns
+    (summary dict tok -> (est, err), per-bucket deficits, d_g)."""
+    buckets: dict[int, list[tuple[str, int]]] = {}
+    for tok, c in counts.items():
+        buckets.setdefault(_bucket(tok, n_buckets), []).append((tok, c))
+    local: dict[str, tuple[int, int]] = {}  # tok -> (adjusted, d_b)
+    deficits: dict[int, int] = {}
+    for b, items in buckets.items():
+        vals = sorted((c for _, c in items), reverse=True)
+        d_b = vals[k] if len(vals) > k else 0
+        deficits[b] = d_b
+        for tok, c in items:
+            if c - d_b > 0:
+                local[tok] = (c - d_b, d_b)
+    avals = sorted((a for a, _ in local.values()), reverse=True)
+    d_g = avals[k] if len(avals) > k else 0
+    out = {tok: (a - d_g, d_b + d_g)
+           for tok, (a, d_b) in local.items() if a - d_g > 0}
+    return out, deficits, d_g
+
+
+def test_matches_python_third_engine(spark, docs):
+    k, n_buckets = 16, 8
+    got = {r["token"]: (r["est_count"], r["err_bound"])
+           for r in mg_heavy_hitters(docs, k=k, n_buckets=n_buckets)
+           .collect()}
+    want, _, _ = _py_mg(_py_bigram_counts(docs), k, n_buckets)
+    assert got == want
+    assert 0 < len(got) <= k
+
+
+def test_certificate_and_coverage_guarantees(spark, docs):
+    """est <= true <= est + err_bound; no heavy item is missed; the
+    per-bucket deficit obeys the classical N_b/(k+1) bound."""
+    k, n_buckets = 16, 8
+    truth = _py_bigram_counts(docs)
+    summary, deficits, d_g = _py_mg(truth, k, n_buckets)
+    got = {r["token"]: (r["est_count"], r["err_bound"])
+           for r in mg_heavy_hitters(docs, k=k, n_buckets=n_buckets)
+           .collect()}
+    for tok, (est, err) in got.items():
+        assert est <= truth[tok] <= est + err, tok
+    # coverage: any bigram heavier than its bucket deficit + global
+    # deficit MUST appear in the summary
+    for tok, c in truth.items():
+        if c > deficits.get(_bucket(tok, n_buckets), 0) + d_g:
+            assert tok in got, (tok, c)
+    # classical MG deficit bound per bucket: d_b <= N_b / (k+1)
+    bucket_mass: Counter = Counter()
+    for tok, c in truth.items():
+        bucket_mass[_bucket(tok, n_buckets)] += c
+    for b, d_b in deficits.items():
+        assert d_b <= bucket_mass[b] // (k + 1) + (
+            1 if bucket_mass[b] % (k + 1) else 0)
+
+
+def test_compression_actually_triggers(spark, docs):
+    """Adversarial sizing holds: at the contract parameters the bucket
+    vocabulary exceeds k, so at least one deficit is non-zero (the
+    summary is genuinely lossy, not a disguised exact top-k)."""
+    k, n_buckets = 16, 8
+    _, deficits, d_g = _py_mg(_py_bigram_counts(docs), k, n_buckets)
+    assert any(d > 0 for d in deficits.values()) or d_g > 0
+    rows = mg_heavy_hitters(docs, k=k, n_buckets=n_buckets).collect()
+    assert any(r["err_bound"] > 0 for r in rows)
+
+
+def test_empty_and_short_docs(spark):
+    """<2-token docs yield no bigrams (the sequence(1,0) descent guard)."""
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("a b",), (None,)], ["text"])
+    rows = mg_heavy_hitters(df, k=4, n_buckets=2).collect()
+    assert {r["token"]: r["est_count"] for r in rows} == {"a b": 1}

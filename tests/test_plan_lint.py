@@ -116,6 +116,9 @@ EXCHANGE_BUDGET = {
     "events_range_window": 1,
     # ROLLUP via Expand: one scan, one exchange per distinct-agg level
     "corpus_rollup_report": 2,
+    # MG heavy hitters: count groupBy + per-bucket window + O(B*k)
+    # constant-size final-merge window (single partition by construction)
+    "bigram_heavy_hitters_mg": 3,
     "length_percentiles_by_lang": 1, "partition_pruned_lang_agg": 1,
     "tpch_q1_pricing_summary": 1, "union_pair_sets": 1,
     "validate_counts": 1, "window_topk_orders_per_cust": 1,
