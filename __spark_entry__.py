@@ -2822,6 +2822,25 @@ def _sql_bigram_heavy_hitters_mg() -> str:
     return mg_heavy_hitters_sql()
 
 
+def _q_weighted_sample_poisson(spark, sf_dir):
+    """Sequential Poisson (order) sampling — weighted πps eval-set
+    carving beside stratified_sample_quota's uniform twin: rank key =
+    exact integer u DIV w (60-bit md5 uniform over the row's weight),
+    bottom-⌈10%·n_s⌉ per lang. Same distributed-rank plan (global_rank
+    over (stratum, priority, id) with monotone bitlen-prefix buckets);
+    the oracle is the single-node PARTITION BY formulation
+    (functions/sampling.py)."""
+    from email_sanitizer_api_spark.functions.sampling import (
+        weighted_sample_poisson)
+    return weighted_sample_poisson(_t(spark, sf_dir, "documents"))
+
+
+def _sql_weighted_sample_poisson() -> str:
+    from email_sanitizer_api_spark.functions.sampling import (
+        weighted_sample_poisson_sql)
+    return weighted_sample_poisson_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2839,6 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup_report": _q_corpus_rollup_report,
         "events_range_window": _q_events_range_window,
         "bigram_heavy_hitters_mg": _q_bigram_heavy_hitters_mg,
+        "weighted_sample_poisson": _q_weighted_sample_poisson,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3005,6 +3025,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_rollup_report": _SQL_CORPUS_ROLLUP_REPORT,
         "events_range_window": _SQL_EVENTS_RANGE_WINDOW,
         "bigram_heavy_hitters_mg": _sql_bigram_heavy_hitters_mg(),
+        "weighted_sample_poisson": _sql_weighted_sample_poisson(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

@@ -29,7 +29,7 @@ the scale-correct plan for them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["stratified_quota_sample", "stratified_quota_sample_sql",
@@ -95,6 +95,110 @@ r AS (
          count(*) OVER (PARTITION BY {stratum_col}) AS n_s
   FROM base)
 SELECT {id_col}, {stratum_col},
+       CAST(within_rank AS BIGINT) AS within_rank,
+       CAST(({percent} * n_s + 99) // 100 AS BIGINT) AS quota,
+       CAST(within_rank <= ({percent} * n_s + 99) // 100 AS INT)
+         AS sampled
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequential Poisson (order) sampling — weighted, deterministic
+# ---------------------------------------------------------------------------
+
+#: contract-query sizing: bottom-k per stratum
+POISSON_QUOTA_PERCENT = 10
+
+
+def weighted_sample_poisson(docs: DataFrame, id_col: str = "doc_id",
+                            stratum_col: str = "lang",
+                            weight_col: str = "n_chars",
+                            percent: int = POISSON_QUOTA_PERCENT) -> DataFrame:
+    """Sequential Poisson sampling (Ohlsson 1998): a πps sample — each
+    row's inclusion probability is (approximately) proportional to its
+    weight — drawn DETERMINISTICALLY: rank key = u/w where u is the
+    row's 60-bit md5 uniform and w its positive integer weight; the
+    ⌈p·n_s⌉ smallest keys per stratum win.  The key is computed as the
+    EXACT integer quotient ``u DIV w`` (u ≈ 2^60, w ≤ 2^32: quotient
+    precision dwarfs the sampling noise, and both engines share the
+    arithmetic bit-for-bit — no float ordering anywhere, the same
+    integer-determinism contract as the rest of the suite).
+
+    Scale shape: identical to :func:`stratified_quota_sample` — the
+    per-stratum bottom-k rides ``global_rank`` over the total order
+    (stratum, priority, id), NOT a per-stratum single-reducer window.
+    The monotone bucket is (stratum, bitlen(priority), 4 top bits below
+    the MSB): fixed-width zero-padded segments, so the lexicographic
+    bucket order equals the sort order and every stratum fans out over
+    ~octaves × 16 sub-buckets.  The weight column only reshuffles mass
+    WITHIN a stratum's buckets by ≤ the weight spread — planted-skew
+    behavior is pinned in tests/test_sampling.py.
+
+    Output: (id, stratum, priority, within_rank, quota, sampled).
+    """
+    from email_sanitizer_api_spark.operators.ordering import global_rank
+    u = (F.conv(F.substring(F.md5(F.col("sid").cast("string")), 1, 15),
+                16, 10).cast("long"))
+    base = (docs.select(F.col(stratum_col).alias("strat"),
+                        F.col(id_col).alias("sid"),
+                        F.greatest(F.col(weight_col).cast("long"),
+                                   F.lit(1)).alias("w"))
+            .withColumn("u", u)
+            # DIV, not '/': float division of 2^60-scale ints would
+            # round at 53 bits and break cross-engine bit-equality
+            .withColumn("priority", F.expr("CAST(u DIV w AS BIGINT)"))
+            .drop("u", "w"))
+    # monotone fixed-width bucket: stratum | bitlen | 4-bit prefix
+    blen = F.length(F.bin(F.col("priority")))
+    pfx = F.expr("shiftright(priority, CAST(greatest("
+                 "length(bin(priority)) - 5, 0) AS INT))")
+    base = base.withColumn(
+        "bkt", F.concat(F.col("strat"), F.lit("\x01"),
+                        F.lpad(blen.cast("string"), 2, "0"),
+                        F.lpad(pfx.cast("string"), 2, "0")))
+    ranked = global_rank(base, order_cols=["strat", "priority", "sid"],
+                         bucket_col="bkt", rank_col="gr")
+    w_off = Window.orderBy("strat").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (base.groupBy("strat").agg(F.count(F.lit(1)).alias("n_s"))
+            .select("strat", "n_s",
+                    F.coalesce(F.sum("n_s").over(w_off), F.lit(0))
+                    .alias("g0")))
+    out = (ranked.join(F.broadcast(offs), "strat")
+           .withColumn("within_rank",
+                       (F.col("gr") - F.col("g0") + 1).cast("long"))
+           .withColumn("quota",
+                       F.expr(f"CAST(({percent} * n_s + 99) DIV 100 "
+                              "AS BIGINT)")))
+    return out.select(
+        F.col("sid").alias(id_col),
+        F.col("strat").alias(stratum_col),
+        F.col("priority").cast("long").alias("priority"),
+        "within_rank", "quota",
+        (F.col("within_rank") <= F.col("quota")).cast("int")
+        .alias("sampled"))
+
+
+def weighted_sample_poisson_sql(table: str = "documents",
+                                id_col: str = "doc_id",
+                                stratum_col: str = "lang",
+                                weight_col: str = "n_chars",
+                                percent: int = POISSON_QUOTA_PERCENT) -> str:
+    """DuckDB twin — single-node PARTITION BY over the identical
+    integer priority ``u DIV w``."""
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {stratum_col},
+         (('0x' || substring(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT
+           // greatest(CAST({weight_col} AS BIGINT), 1)) AS priority
+  FROM {table}),
+r AS (
+  SELECT {id_col}, {stratum_col}, priority,
+         row_number() OVER (PARTITION BY {stratum_col}
+                            ORDER BY priority, {id_col}) AS within_rank,
+         count(*) OVER (PARTITION BY {stratum_col}) AS n_s
+  FROM base)
+SELECT {id_col}, {stratum_col}, CAST(priority AS BIGINT) AS priority,
        CAST(within_rank AS BIGINT) AS within_rank,
        CAST(({percent} * n_s + 99) // 100 AS BIGINT) AS quota,
        CAST(within_rank <= ({percent} * n_s + 99) // 100 AS INT)

@@ -215,6 +215,8 @@ EXCHANGE_BUDGET = {
     # sums agg + O(buckets) offsets window + bucket repartition) + the
     # O(strata) count/prefix windows feeding a broadcast join
     "stratified_sample_quota": 7,
+    # same distributed-rank plan over the u DIV w priority order
+    "weighted_sample_poisson": 7,
     # DSIR: bucket agg (union of uni+bigram explodes) + O(K)-row totals
     # window + per-doc score agg + id-spine distinct and left join; the
     # K-row ratio table broadcasts (functions/dsir.py)

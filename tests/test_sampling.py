@@ -86,3 +86,69 @@ def test_percent_monotone(spark):
     p20 = {i for i, t in _spark_sample(spark, rows, percent=20).items()
            if t[3]}
     assert p10 <= p20 and len(p10) == 5 and len(p20) == 10
+
+
+# ---------------------------------------------------------------------------
+# sequential Poisson weighted sampling
+# ---------------------------------------------------------------------------
+
+def _py_poisson(rows, percent=10):
+    """Pure-Python third engine: rows = [(id, stratum, weight)]."""
+    import hashlib
+    from collections import defaultdict
+    pri = {}
+    for i, s, w in rows:
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        pri[i] = u // max(int(w), 1)
+    by_s = defaultdict(list)
+    for i, s, w in rows:
+        by_s[s].append(i)
+    out = {}
+    for s, ids in by_s.items():
+        ids.sort(key=lambda i: (pri[i], i))
+        quota = math.ceil(len(ids) * percent / 100)
+        for rk, i in enumerate(ids, 1):
+            out[i] = (s, pri[i], rk, quota, int(rk <= quota))
+    return out
+
+
+def test_poisson_matches_python(spark):
+    from email_sanitizer_api_spark.functions.sampling import (
+        weighted_sample_poisson)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = [(r["doc_id"], r["lang"], r["n_chars"])
+            for r in docs.select("doc_id", "lang", "n_chars").collect()]
+    got = {r["doc_id"]: (r["lang"], r["priority"], r["within_rank"],
+                         r["quota"], r["sampled"])
+          for r in weighted_sample_poisson(docs).collect()}
+    assert got == _py_poisson(rows)
+
+
+def test_poisson_weight_skew(spark):
+    """πps property: 10x-weighted rows are sampled ~10x as often.
+    2000 rows, weights 10 vs 100 alternating, 10% quota = 200 picks:
+    expected heavy share = 200 * (100/110) ≈ 182; md5 determinism makes
+    the check exact-reproducible, the band is generous (3-sigma)."""
+    from email_sanitizer_api_spark.functions.sampling import (
+        weighted_sample_poisson)
+    rows = [(i, "aa", 100 if i % 2 == 0 else 10) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    picked = [r["doc_id"]
+              for r in weighted_sample_poisson(df).collect()
+              if r["sampled"]]
+    assert len(picked) == 200
+    heavy = sum(1 for i in picked if i % 2 == 0)
+    # E[heavy] ≈ 182 under πps; uniform sampling would give 100.
+    assert 160 <= heavy <= 200, heavy
+
+
+def test_poisson_partition_order_invariance(spark):
+    from email_sanitizer_api_spark.functions.sampling import (
+        weighted_sample_poisson)
+    rows = [(i, ["aa", "bb"][i % 2], 10 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    a = {r["doc_id"]: r["within_rank"]
+         for r in weighted_sample_poisson(df).collect()}
+    b = {r["doc_id"]: r["within_rank"]
+         for r in weighted_sample_poisson(df.repartition(23)).collect()}
+    assert a == b
