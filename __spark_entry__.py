@@ -2841,6 +2841,25 @@ def _sql_weighted_sample_poisson() -> str:
     return weighted_sample_poisson_sql()
 
 
+def _q_pareto_front_docs(spark, sf_dir):
+    """Skyline operator (Börzsönyi et al., ICDE'01): documents no other
+    doc beats on BOTH axes (quality_score_q up, length down) — the
+    short-high-quality exemplar set for eval pools. Engine plan is
+    level-decomposed (per-quality-level min-length agg + prefix-min
+    over the <= 10001-level table + broadcast join back); the oracle
+    is the O(n^2) NOT EXISTS dominance definition
+    (functions/skyline.py)."""
+    from email_sanitizer_api_spark.functions.skyline import (
+        pareto_front_docs)
+    return pareto_front_docs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_pareto_front_docs() -> str:
+    from email_sanitizer_api_spark.functions.skyline import (
+        pareto_front_docs_sql)
+    return pareto_front_docs_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2859,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_window": _q_events_range_window,
         "bigram_heavy_hitters_mg": _q_bigram_heavy_hitters_mg,
         "weighted_sample_poisson": _q_weighted_sample_poisson,
+        "pareto_front_docs": _q_pareto_front_docs,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3026,6 +3046,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_window": _SQL_EVENTS_RANGE_WINDOW,
         "bigram_heavy_hitters_mg": _sql_bigram_heavy_hitters_mg(),
         "weighted_sample_poisson": _sql_weighted_sample_poisson(),
+        "pareto_front_docs": _sql_pareto_front_docs(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

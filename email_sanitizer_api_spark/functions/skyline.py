@@ -1,0 +1,101 @@
+"""Pareto-front (skyline) document audit — "best exemplars" selection
+over two competing curation axes.
+
+Keeper pruning inside a dup cluster picks ONE representative; corpus
+-level curation wants the opposite view: the set of documents no other
+document beats on BOTH axes (higher quality AND shorter — short, high
+-quality exemplars anchor eval sets and few-shot pools).  That is the
+classic skyline operator (Börzsönyi, Kossmann, Stocker — ICDE 2001).
+
+The naive formulation is the O(n²) dominance anti-join.  The engine
+exploits that the quality axis is DISCRETE by construction
+(``quality_score_q`` is a 1e-4-quantized BIGINT, ≤ 10001 levels): a
+document is on the front iff its length beats the best length among
+all strictly-higher quality levels (and no same-level doc is strictly
+shorter... unless it ties).  Concretely, with ``minlen(q)`` = the
+per-level minimum length:
+
+    front(d)  ⟺  len(d) < min over q' > q(d) of minlen(q')
+                 AND len(d) ≤ minlen(q(d))          -- i.e. = level min
+
+so the whole operator is:
+
+1. one partial-aggregable groupBy quality-level → (level, minlen)
+   — shuffle bounded by the LEVEL COUNT, not the corpus;
+2. a prefix-min window over the ≤ 10001 level rows ordered by quality
+   DESC (constant-size relation, same bounded-final-merge shape as the
+   Misra-Gries global compress);
+3. one broadcast join of the level table back to the corpus — map-side,
+   no second corpus shuffle.
+
+Equal (quality, length) pairs do not dominate each other (dominance
+requires one STRICT inequality), so ties all stay on the front — the
+property test pins this against the O(n²) definition directly.
+
+Oracle: the textbook NOT EXISTS dominance predicate — the oracle
+states the semantics, the engine shows the level-decomposed plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.text import (
+    quality_score_cols,
+    quality_score_q_sql,
+)
+
+__all__ = ["pareto_front", "pareto_front_docs", "pareto_front_docs_sql"]
+
+
+def pareto_front_docs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, quality_q, len_chars, on_front): maximize quality_q,
+    minimize len_chars; on_front=1 iff undominated."""
+    cols = quality_score_cols(F.coalesce(F.col(text_col), F.lit("")))
+    base = docs.select(
+        F.col(id_col),
+        cols["quality_score_q"].alias("quality_q"),
+        cols["n_chars"].alias("len_chars"))
+    return pareto_front(base, id_col)
+
+
+def pareto_front(base: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Level-decomposed skyline over precomputed integer dims
+    (id, quality_q ↑, len_chars ↓)."""
+    levels = (base.groupBy("quality_q")
+              .agg(F.min("len_chars").alias("minlen")))
+    # prefix-min over the bounded level table (<= 10001 rows by
+    # quantization): best length strictly above each level
+    w = (Window.orderBy(F.desc("quality_q"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    levels = levels.select(
+        "quality_q", "minlen",
+        F.min("minlen").over(w).alias("minlen_above"))
+    joined = base.join(F.broadcast(levels), "quality_q")
+    on_front = ((F.col("len_chars") == F.col("minlen"))
+                & (F.col("minlen_above").isNull()
+                   | (F.col("len_chars") < F.col("minlen_above"))))
+    return joined.select(
+        F.col(id_col), "quality_q", "len_chars",
+        on_front.cast("int").alias("on_front"))
+
+
+def pareto_front_docs_sql(table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """DuckDB twin: the O(n²) NOT EXISTS dominance definition itself."""
+    q = quality_score_q_sql(f"coalesce({text_col}, '')")
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {q} AS quality_q,
+         CAST(length(coalesce({text_col}, '')) AS BIGINT) AS len_chars
+  FROM {table})
+SELECT b.{id_col}, b.quality_q, b.len_chars,
+       CAST(NOT EXISTS (
+         SELECT 1 FROM base d
+         WHERE (d.quality_q > b.quality_q AND d.len_chars <= b.len_chars)
+            OR (d.quality_q >= b.quality_q AND d.len_chars < b.len_chars)
+       ) AS INT) AS on_front
+FROM base b
+"""

@@ -119,6 +119,9 @@ EXCHANGE_BUDGET = {
     # MG heavy hitters: count groupBy + per-bucket window + O(B*k)
     # constant-size final-merge window (single partition by construction)
     "bigram_heavy_hitters_mg": 3,
+    # skyline: per-level min agg + prefix-min over <=10001 level rows
+    # + broadcast join back (no second corpus shuffle)
+    "pareto_front_docs": 3,
     "length_percentiles_by_lang": 1, "partition_pruned_lang_agg": 1,
     "tpch_q1_pricing_summary": 1, "union_pair_sets": 1,
     "validate_counts": 1, "window_topk_orders_per_cust": 1,

@@ -1,0 +1,60 @@
+"""Pareto front (functions/skyline.py): O(n²) brute-force third engine,
+tie semantics, and a planted staircase."""
+
+from __future__ import annotations
+
+import pytest
+
+from email_sanitizer_api_spark.functions.skyline import pareto_front_docs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _brute_front(points):
+    """points: {id: (quality, length)} -> {id: on_front}"""
+    out = {}
+    for i, (q, l) in points.items():
+        dominated = any(
+            (q2 >= q and l2 <= l and (q2 > q or l2 < l))
+            for j, (q2, l2) in points.items() if j != i)
+        out[i] = int(not dominated)
+    return out
+
+
+def test_matches_brute_force_on_corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = pareto_front_docs(docs).collect()
+    points = {r["doc_id"]: (r["quality_q"], r["len_chars"]) for r in rows}
+    got = {r["doc_id"]: r["on_front"] for r in rows}
+    assert got == _brute_front(points)
+    assert sum(got.values()) >= 1
+
+
+def test_planted_staircase(spark):
+    """Known geometry: a descending staircase is the front; everything
+    up-right of a step is dominated; exact (q,l) ties all stay on."""
+    pts = {
+        1: (100, 10), 2: (90, 8), 3: (80, 5),   # staircase: on front
+        4: (90, 12),                            # beaten by 1? q=90<100,l=12>10 -> dominated by 1
+        5: (80, 8),                             # dominated by 2 (90>=80, 8<=8, strict q)
+        6: (80, 5),                             # exact tie with 3: both on front
+        7: (100, 10),                           # exact tie with 1: both on front
+        8: (50, 3),                             # shortest: on front
+    }
+    from email_sanitizer_api_spark.functions.skyline import pareto_front
+    rows = [(i, q, l) for i, (q, l) in pts.items()]
+    df = spark.createDataFrame(rows, ["doc_id", "quality_q", "len_chars"])
+    got = {r["doc_id"]: r["on_front"] for r in pareto_front(df).collect()}
+    want = _brute_front(pts)
+    assert want == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1, 7: 1, 8: 1}
+    assert got == want
+
+
+def test_front_is_antichain(spark):
+    """No front member dominates another front member."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = [r for r in pareto_front_docs(docs).collect() if r["on_front"]]
+    pts = [(r["quality_q"], r["len_chars"]) for r in rows]
+    for q, l in pts:
+        for q2, l2 in pts:
+            assert not (q2 >= q and l2 <= l and (q2 > q or l2 < l))
