@@ -2860,6 +2860,24 @@ def _sql_pareto_front_docs() -> str:
     return pareto_front_docs_sql()
 
 
+def _q_feature_hash_vectors(spark, sf_dir):
+    """Signed feature-hashing vectorizer (Weinberger et al., ICML'09) —
+    the vocabulary-free embedding producer feeding the cosine/ANN
+    family: one explode + one map-side-combinable groupBy, no fitted
+    state anywhere; unbiased hashed inner products via the independent
+    sign nibble; sparse integer (doc_id, bucket, val) triples
+    (functions/feature_hash.py)."""
+    from email_sanitizer_api_spark.functions.feature_hash import (
+        feature_hash_vectors)
+    return feature_hash_vectors(_t(spark, sf_dir, "documents"))
+
+
+def _sql_feature_hash_vectors() -> str:
+    from email_sanitizer_api_spark.functions.feature_hash import (
+        feature_hash_vectors_sql)
+    return feature_hash_vectors_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2879,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_heavy_hitters_mg": _q_bigram_heavy_hitters_mg,
         "weighted_sample_poisson": _q_weighted_sample_poisson,
         "pareto_front_docs": _q_pareto_front_docs,
+        "feature_hash_vectors": _q_feature_hash_vectors,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3047,6 +3066,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_heavy_hitters_mg": _sql_bigram_heavy_hitters_mg(),
         "weighted_sample_poisson": _sql_weighted_sample_poisson(),
         "pareto_front_docs": _sql_pareto_front_docs(),
+        "feature_hash_vectors": _sql_feature_hash_vectors(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

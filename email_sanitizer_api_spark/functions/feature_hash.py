@@ -1,0 +1,94 @@
+"""Feature-hashing vectorizer (the "hashing trick") — deterministic
+document vectors with no vocabulary table.
+
+The embedding paths (cosine top-k, SemDeDup, IVF/PQ) consume an
+``embedding`` column that production systems must first PRODUCE.  A
+learned encoder is a model-serving concern; the scalable model-free
+baseline is signed feature hashing (Weinberger, Dasgupta, Langford,
+Smola, Attenberg — ICML 2009): token t adds sign(t) ∈ {+1,−1} to
+bucket h(t) mod D.  No vocabulary dictionary exists, so the operator
+is a single explode + one map-side-combinable groupBy — the property
+that makes it the only vectorizer that works on a 10^12-file corpus
+without a fitted-state broadcast (contrast: TF-IDF needs the global DF
+table first, functions/weighted_similarity.py builds exactly that).
+
+The signed construction makes the hashed inner product an UNBIASED
+estimator of the original bag-of-words inner product (ICML'09, Thm 2)
+— collisions add zero-mean noise instead of systematic overcount, the
+reason sign(t) exists at all.  tests/test_feature_hash.py pins the
+no-sign variant's bias against the signed variant's on colliding
+token pairs, plus: exact-dup docs get identical vectors, overlap
+ordering is preserved under hashing, and a pure-Python third engine
+matches row-for-row.
+
+Everything is integer (counts × ±1 sums) off the same 60-bit md5 idiom
+as cms/bloom/Merkle, so the DuckDB twin is bit-exact; output is sparse
+(doc_id, bucket, val ≠ 0) triples — the natural shuffle-sized layout
+(dense arrays at D=16 would carry mostly-zero payload per row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["feature_hash_vectors", "feature_hash_vectors_sql", "DIM"]
+
+#: contract-query dimensionality: small enough that collisions are
+#: exercised (916 sf0.01 bigram-vocab >> 16 buckets), the cms/bloom
+#: adversarial-sizing trick
+DIM = 16
+
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def feature_hash_vectors(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         dim: int = DIM,
+                         signed: bool = True) -> DataFrame:
+    """Sparse signed-hash vectors: (id, bucket, val) with val ≠ 0.
+    bucket = md5₆₀(tok) mod dim; sign = ±1 from the md5's 16th nibble
+    parity (an INDEPENDENT nibble, not a function of the bucket)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                _WS_CLASS),
+        lambda x: x != "")
+    occ = (docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+           .withColumn("h", F.md5(F.col("tok"))))
+    bucket = (F.conv(F.substring("h", 1, 15), 16, 10)
+              .cast("long") % dim)
+    sign = (F.when(F.conv(F.substring("h", 16, 1), 16, 10)
+                   .cast("long") % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))) if signed else F.lit(1)
+    return (occ.select(F.col(id_col), bucket.alias("bucket"),
+                       sign.alias("s"))
+            .groupBy(id_col, "bucket")
+            .agg(F.sum("s").cast("long").alias("val"))
+            .filter(F.col("val") != 0))
+
+
+def feature_hash_vectors_sql(table: str = "documents",
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             dim: int = DIM) -> str:
+    """DuckDB twin: identical tokenizer, bucket hash, sign nibble."""
+    return f"""
+WITH occ AS (
+  SELECT {id_col},
+         unnest(list_filter(
+           regexp_split_to_array(lower(trim(coalesce({text_col}, ''))),
+                                 '{_WS_CLASS}'),
+           x -> x <> '')) AS tok
+  FROM {table}),
+h AS (
+  SELECT {id_col}, md5(tok) AS hh FROM occ),
+sgn AS (
+  SELECT {id_col},
+         (('0x' || substring(hh, 1, 15))::BIGINT % {dim}) AS bucket,
+         CASE WHEN ('0x' || substring(hh, 16, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM h)
+SELECT {id_col}, bucket, CAST(sum(s) AS BIGINT) AS val
+FROM sgn GROUP BY {id_col}, bucket
+HAVING sum(s) <> 0
+"""

@@ -1,0 +1,101 @@
+"""Feature hashing (functions/feature_hash.py): pure-Python third
+engine, exact-dup vector identity, unbiasedness of the signed variant,
+similarity-ordering preservation."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+import pytest
+
+from email_sanitizer_api_spark.functions.feature_hash import (
+    feature_hash_vectors,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_vec(text: str, dim: int, signed: bool = True) -> dict[int, int]:
+    v: dict[int, int] = defaultdict(int)
+    for t in (x for x in WS.split((text or "").strip().lower()) if x):
+        h = hashlib.md5(t.encode()).hexdigest()
+        b = int(h[:15], 16) % dim
+        s = 1 if (signed is False or int(h[15], 16) % 2 == 0) else -1
+        v[b] += s
+    return {b: x for b, x in v.items() if x != 0}
+
+
+def _cos(a: dict[int, int], b: dict[int, int]) -> float:
+    dot = sum(a.get(k, 0) * b.get(k, 0) for k in a)
+    na = math.sqrt(sum(x * x for x in a.values())) or 1.0
+    nb = math.sqrt(sum(x * x for x in b.values())) or 1.0
+    return dot / (na * nb)
+
+
+def test_matches_python_third_engine(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got: dict[int, dict[int, int]] = defaultdict(dict)
+    for r in feature_hash_vectors(docs, dim=16).collect():
+        got[r["doc_id"]][r["bucket"]] = r["val"]
+    for r in docs.select("doc_id", "text").collect():
+        assert got.get(r["doc_id"], {}) == _py_vec(r["text"], 16), r["doc_id"]
+
+
+def test_exact_dups_get_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, "license mit license mit"), (2, "license mit license mit"),
+         (3, "totally different words here")],
+        ["doc_id", "text"])
+    vecs: dict[int, dict[int, int]] = defaultdict(dict)
+    for r in feature_hash_vectors(df, dim=8).collect():
+        vecs[r["doc_id"]][r["bucket"]] = r["val"]
+    assert vecs[1] == vecs[2] != vecs[3]
+
+
+def test_signed_unbiased_vs_unsigned_biased():
+    """ICML'09 rationale: on colliding tokens, unsigned hashing only
+    ADDS spurious inner-product mass; signed collisions cancel in
+    expectation. Find two colliding tokens at dim=4 and verify the
+    disjoint-doc inner product is inflated unsigned, not signed."""
+    dim = 4
+    by_bucket: dict[int, list[str]] = defaultdict(list)
+    for i in range(200):
+        t = f"tok{i}"
+        h = hashlib.md5(t.encode()).hexdigest()
+        by_bucket[int(h[:15], 16) % dim].append(t)
+    # bucket with two tokens of OPPOSITE signs exists among 200 tokens
+    pair = None
+    for toks in by_bucket.values():
+        signs = {t: 1 if int(hashlib.md5(t.encode()).hexdigest()[15], 16)
+                 % 2 == 0 else -1 for t in toks}
+        pos = [t for t in toks if signs[t] == 1]
+        neg = [t for t in toks if signs[t] == -1]
+        if pos and neg:
+            pair = (pos[0], neg[0])
+            break
+    assert pair is not None
+    a, b = pair
+    va_u, vb_u = _py_vec(a, dim, signed=False), _py_vec(b, dim, signed=False)
+    va_s, vb_s = _py_vec(a, dim), _py_vec(b, dim)
+    dot_u = sum(va_u.get(k, 0) * vb_u.get(k, 0) for k in va_u)
+    dot_s = sum(va_s.get(k, 0) * vb_s.get(k, 0) for k in va_s)
+    assert dot_u > 0      # unsigned collision: spurious positive mass
+    assert dot_s < 0      # signed: the same collision cancels/negates
+
+
+def test_similarity_ordering_preserved(spark):
+    """Half-overlapping docs hash to higher cosine than disjoint docs."""
+    base = " ".join(f"w{i}" for i in range(40))
+    half = " ".join(f"w{i}" for i in range(20, 60))
+    disj = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, half), (3, disj)], ["doc_id", "text"])
+    vecs: dict[int, dict[int, int]] = defaultdict(dict)
+    for r in feature_hash_vectors(df, dim=64).collect():
+        vecs[r["doc_id"]][r["bucket"]] = r["val"]
+    assert _cos(vecs[1], vecs[2]) > _cos(vecs[1], vecs[3])
+    assert _cos(vecs[1], vecs[2]) > 0.3

@@ -112,6 +112,8 @@ EXCHANGE_BUDGET = {
     "events_sessionized": 1, "exact_dedup_documents": 1,
     # typed from_json field pruning + one grouped agg
     "events_props_json": 1,
+    # hashing-trick vectorizer: explode + one combinable groupBy
+    "feature_hash_vectors": 1,
     # time-RANGE sliding frame: one hash-partitioned window
     "events_range_window": 1,
     # ROLLUP via Expand: one scan, one exchange per distinct-agg level
