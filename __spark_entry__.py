@@ -2878,6 +2878,25 @@ def _sql_feature_hash_vectors() -> str:
     return feature_hash_vectors_sql()
 
 
+def _q_zorder_layout_scan(spark, sf_dir):
+    """Z-order (Morton) layout codes — the multi-column min/max
+    file-skipping primitive beside identity partitioning (the
+    OPTIMIZE ZORDER analog): 16-bit interleave of (lang hash-code,
+    length bucket) as pure integer shift/mask arithmetic, map-only.
+    The layout writer + measured both-axis skip rates from real
+    parquet footers live in functions/zorder.py + tests/test_zorder.py
+    + PLANS.md."""
+    from email_sanitizer_api_spark.functions.zorder import (
+        zorder_layout_scan)
+    return zorder_layout_scan(_t(spark, sf_dir, "documents"))
+
+
+def _sql_zorder_layout_scan() -> str:
+    from email_sanitizer_api_spark.functions.zorder import (
+        zorder_layout_scan_sql)
+    return zorder_layout_scan_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2898,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_poisson": _q_weighted_sample_poisson,
         "pareto_front_docs": _q_pareto_front_docs,
         "feature_hash_vectors": _q_feature_hash_vectors,
+        "zorder_layout_scan": _q_zorder_layout_scan,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3067,6 +3087,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_poisson": _sql_weighted_sample_poisson(),
         "pareto_front_docs": _sql_pareto_front_docs(),
         "feature_hash_vectors": _sql_feature_hash_vectors(),
+        "zorder_layout_scan": _sql_zorder_layout_scan(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

@@ -99,6 +99,8 @@ EXCHANGE_BUDGET = {
     "secret_scan_documents": 0, "simhash_signatures": 0,
     "token_count_documents": 0, "validate_documents": 0,
     "embedding_norms": 0,
+    # Morton code: pure shift/mask integer map
+    "zorder_layout_scan": 0,
     # broadcast dim joins: zero shuffles by construction
     "bcast_anti_join_blocklist": 0, "bcast_semi_join_customers_in_region": 0,
     # documented exact baselines (broadcast cross joins: 0-1 exchanges)

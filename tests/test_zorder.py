@@ -1,0 +1,140 @@
+"""Z-order layout (functions/zorder.py): Morton-code third engine,
+curve locality, and MEASURED min/max file skipping from real parquet
+footers — z-layout prunes on both axes, single-column sort only on its
+own."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.zorder import (
+    BITS,
+    write_zordered,
+    zorder_layout_scan,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_morton(a: int, b: int) -> int:
+    a = max(0, min(a, (1 << BITS) - 1))
+    b = max(0, min(b, (1 << BITS) - 1))
+    z = 0
+    for i in range(BITS):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    return z
+
+
+def _lang_code(lang: str) -> int:
+    return int(hashlib.md5(lang.encode()).hexdigest()[:15], 16) % (1 << BITS)
+
+
+def test_morton_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = zorder_layout_scan(docs).collect()
+    for r in rows:
+        assert r["zval"] == _py_morton(r["lang_code"], r["size_code"])
+
+
+def test_morton_locality():
+    """Adjacent cells share curve neighborhoods: the max z-distance
+    within any 2x2-aligned block is bounded (interleave property),
+    and the code is a bijection on the 16-bit grid."""
+    seen = set()
+    for a in range(0, 1 << BITS, 7):
+        for b in range(0, 1 << BITS, 5):
+            z = _py_morton(a, b)
+            assert z not in seen
+            seen.add(z)
+    # aligned 2x2 block = 4 CONSECUTIVE curve positions
+    for a in range(0, 16, 2):
+        for b in range(0, 16, 2):
+            zs = sorted(_py_morton(a + da, b + db)
+                        for da in (0, 1) for db in (0, 1))
+            assert zs[3] - zs[0] == 3
+
+
+def _files_overlapping(path: str, col: str, lo: int, hi: int) -> int:
+    """Count parquet files whose footer [min,max] for ``col`` intersects
+    [lo, hi] — the files any stats-based scanner must open."""
+    n = 0
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(
+                [md.schema.column(i).name
+                 for i in range(md.num_columns)].index(col)).statistics
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmin is not None and not (fmax < lo or fmin > hi):
+            n += 1
+    return n
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    """A 5k-row grid over 4 langs x full length range, written 16 ways
+    twice: z-ordered vs sorted by size_code only."""
+    base = tmp_path_factory.mktemp("zorder")
+    rows = [(i, ["en", "zh", "es", "fr"][i % 4], (i * 37) % 1000)
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    zpath, lpath = str(base / "z"), str(base / "linear")
+    write_zordered(df, zpath, n_files=16)
+    from email_sanitizer_api_spark.functions.zorder import _codes, zvalue
+    coded = _codes(df, "doc_id", "lang", "n_chars").withColumn(
+        "zval", zvalue(F.col("lang_code"), F.col("size_code")))
+    (coded.repartitionByRange(16, "size_code")
+     .sortWithinPartitions("size_code")
+     .write.mode("overwrite").parquet(lpath))
+    return zpath, lpath
+
+
+def test_zorder_skips_on_both_axes(layouts):
+    zpath, lpath = layouts
+    n_files = len(glob.glob(f"{zpath}/*.parquet"))
+    assert n_files >= 12
+    # axis 1: a single lang's code point
+    c = _lang_code("zh")
+    z_lang = _files_overlapping(zpath, "lang_code", c, c)
+    # axis 2: a narrow size band
+    z_size = _files_overlapping(zpath, "size_code", 32, 47)
+    # the z-layout must skip a real fraction of files on BOTH axes
+    assert z_lang <= n_files * 3 // 4, (z_lang, n_files)
+    assert z_size <= n_files * 3 // 4, (z_size, n_files)
+
+
+def test_single_sort_layout_skips_only_its_axis(layouts):
+    zpath, lpath = layouts
+    n_files = len(glob.glob(f"{lpath}/*.parquet"))
+    c = _lang_code("zh")
+    # its own axis: near-perfect pruning
+    l_size = _files_overlapping(lpath, "size_code", 32, 47)
+    assert l_size <= max(2, n_files // 4)
+    # the other axis: every file carries every lang -> no pruning
+    l_lang = _files_overlapping(lpath, "lang_code", c, c)
+    assert l_lang == n_files
+
+
+def test_rectangle_scan_correctness(spark, layouts):
+    """Layout never changes results: rectangle filter over the
+    z-ordered files equals the same filter over the original rows."""
+    zpath, _ = layouts
+    got = (spark.read.parquet(zpath)
+           .filter((F.col("size_code") >= 32) & (F.col("size_code") <= 47))
+           .groupBy("lang_code").count())
+    want = {(r["lang_code"]): r["count"] for r in got.collect()}
+    assert sum(want.values()) > 0
+    rows = [(i, ["en", "zh", "es", "fr"][i % 4], (i * 37) % 1000)
+            for i in range(5000)]
+    from collections import Counter
+    exp = Counter(_lang_code(l) for _, l, n in rows
+                  if 32 <= min(n // 4, (1 << BITS) - 1) <= 47)
+    assert want == dict(exp)
