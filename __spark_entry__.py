@@ -2897,6 +2897,23 @@ def _sql_zorder_layout_scan() -> str:
     return zorder_layout_scan_sql()
 
 
+def _q_srp_project_embeddings(spark, sf_dir):
+    """Signed random projection (Achlioptas 2003): 64-d float vectors
+    -> 16 integer JL components, map-only (k aggregate() passes per
+    row, no shuffle, no UDF, no fitted matrix — signs are md5
+    parities). Floats quantized once to micro-units so every component
+    is an integer signed sum — bit-exact across engines and summation
+    orders; JL cosine-distortion pinned in tests/test_srp.py
+    (functions/srp.py)."""
+    from email_sanitizer_api_spark.functions.srp import srp_project
+    return srp_project(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_srp_project_embeddings() -> str:
+    from email_sanitizer_api_spark.functions.srp import srp_project_sql
+    return srp_project_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2918,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_front_docs": _q_pareto_front_docs,
         "feature_hash_vectors": _q_feature_hash_vectors,
         "zorder_layout_scan": _q_zorder_layout_scan,
+        "srp_project_embeddings": _q_srp_project_embeddings,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3088,6 +3106,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_front_docs": _sql_pareto_front_docs(),
         "feature_hash_vectors": _sql_feature_hash_vectors(),
         "zorder_layout_scan": _sql_zorder_layout_scan(),
+        "srp_project_embeddings": _sql_srp_project_embeddings(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

@@ -1,0 +1,83 @@
+"""Signed random projection (SRP) — integer Johnson-Lindenstrauss
+dimensionality reduction for the embedding/ANN family.
+
+The ANN paths pay per-dimension cost everywhere (cosine_topk scans
+64-float vectors; PQ compresses them; hyperplane LSH reads them per
+probe).  The classic pre-step is a JL projection onto k << d signed
+directions: r_j ∈ {+1,−1}^d, out_j = ⟨r_j, x⟩ (Achlioptas 2003 — ±1
+entries satisfy the JL lemma with the same guarantees as Gaussian
+directions, and need no stored matrix when the signs are hashed).
+
+Determinism contract: the input floats are quantized ONCE to integer
+micro-units (floor(x·1e6 + 0.5) — floor is exact in IEEE, the
+engine-wide idiom), and every projection component is then an INTEGER
+signed sum — no float accumulation exists, so Spark, DuckDB, and the
+numpy test twin agree bit-for-bit regardless of summation order.  The
+sign of direction j at coordinate i is the md5 parity of "j:i" (the
+cms/bloom idiom); nothing is fitted and nothing is broadcast.
+
+Scale shape: map-only — k aggregate() higher-order expressions per
+row, each a single JVM pass over the array (k·d multiply-adds/row,
+no shuffle, no UDF).  The JL distortion bound is a PROPERTY of the
+output, so tests/test_srp.py pins measured cosine distortion vs the
+exact 64-d cosines on the real corpus, plus a numpy third engine.
+
+Output: (vec_id, j, comp) sparse-ish triples, k rows per vector —
+the downstream ANN operators consume them as k-d vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["srp_project", "srp_project_sql", "K_DIRECTIONS"]
+
+#: contract-query output dimensionality (64-d -> 16-d)
+K_DIRECTIONS = 16
+
+
+def _comp_expr(j: int) -> str:
+    """One projection component: integer signed sum over the array."""
+    return (
+        "aggregate(sequence(0, size(embedding) - 1), CAST(0 AS BIGINT), "
+        "(acc, i) -> acc + "
+        f"(CASE WHEN CAST(conv(substring(md5(concat('{j}', ':', CAST(i AS STRING))), 16, 1), 16, 10) AS BIGINT) % 2 = 0 "
+        "THEN 1 ELSE -1 END) * "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+
+
+def srp_project(emb: DataFrame, id_col: str = "vec_id",
+                k: int = K_DIRECTIONS) -> DataFrame:
+    """(id, j, comp): k integer JL components per vector."""
+    comps = F.array(*[F.expr(_comp_expr(j)).alias(f"c{j}")
+                      for j in range(k)])
+    return (emb.select(F.col(id_col), F.posexplode(comps)
+                       .alias("j", "comp"))
+            .select(id_col, F.col("j").cast("int").alias("j"),
+                    F.col("comp").cast("long").alias("comp")))
+
+
+def srp_project_sql(table: str = "embeddings", id_col: str = "vec_id",
+                    k: int = K_DIRECTIONS) -> str:
+    """DuckDB twin: lateral coordinate unnest + md5-parity signs +
+    integer sums (embedding[i+1]: DuckDB lists are 1-based where the
+    Spark lambda's i is 0-based — the md5 key uses the 0-based i)."""
+    return f"""
+WITH coords AS (
+  SELECT {id_col}, i,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS q
+  FROM {table},
+       LATERAL (SELECT unnest(range(0, len(embedding))) AS i)),
+signed AS (
+  SELECT {id_col}, j.j, i, q,
+         CASE WHEN ('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' ||
+                                          CAST(i AS VARCHAR)), 16, 1))::BIGINT
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM coords, (SELECT unnest(range(0, {k})) AS j) j)
+SELECT {id_col}, CAST(j AS INT) AS j, CAST(sum(s * q) AS BIGINT) AS comp
+FROM signed GROUP BY {id_col}, j
+"""

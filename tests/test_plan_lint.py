@@ -101,6 +101,8 @@ EXCHANGE_BUDGET = {
     "embedding_norms": 0,
     # Morton code: pure shift/mask integer map
     "zorder_layout_scan": 0,
+    # JL projection: k aggregate() passes per row, map-only
+    "srp_project_embeddings": 0,
     # broadcast dim joins: zero shuffles by construction
     "bcast_anti_join_blocklist": 0, "bcast_semi_join_customers_in_region": 0,
     # documented exact baselines (broadcast cross joins: 0-1 exchanges)

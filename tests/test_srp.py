@@ -1,0 +1,86 @@
+"""Signed random projection (functions/srp.py): numpy third engine +
+the JL property measured on the real corpus."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from email_sanitizer_api_spark.functions.srp import (
+    K_DIRECTIONS,
+    srp_project,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sign_matrix(k: int, d: int) -> np.ndarray:
+    s = np.empty((k, d), dtype=np.int64)
+    for j in range(k):
+        for i in range(d):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+            s[j, i] = 1 if int(h[15], 16) % 2 == 0 else -1
+    return s
+
+
+def _quant(v) -> np.ndarray:
+    return np.floor(np.asarray(v, dtype=np.float64) * 1e6 + 0.5).astype(
+        np.int64)
+
+
+def test_matches_numpy_third_engine(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    d = len(rows[0]["embedding"])
+    S = _sign_matrix(K_DIRECTIONS, d)
+    want = {}
+    for r in rows:
+        out = S @ _quant(r["embedding"])
+        for j in range(K_DIRECTIONS):
+            want[(r["vec_id"], j)] = int(out[j])
+    got = {(r["vec_id"], r["j"]): r["comp"]
+           for r in srp_project(emb).collect()}
+    assert got == want
+
+
+def test_jl_cosine_distortion(spark):
+    """Projected 16-d cosines track exact 64-d cosines: mean absolute
+    error small, and high-cosine pairs stay high (the property ANN
+    shortlisting needs)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").limit(80).collect()
+    d = len(rows[0]["embedding"])
+    S = _sign_matrix(K_DIRECTIONS, d)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    P = (S @ _quant_matrix(X).T).T.astype(np.float64)
+
+    def cos(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1
+        m = m / n
+        return m @ m.T
+
+    c_exact, c_proj = cos(X), cos(P)
+    iu = np.triu_indices(len(rows), 1)
+    err = np.abs(c_exact[iu] - c_proj[iu])
+    # JL std at k=16 is ~1/sqrt(k) = 0.25; measured mean |err| ~0.19
+    assert float(err.mean()) < 0.25, err.mean()
+    # order preservation where it matters: the top-decile exact pairs
+    # keep systematically higher projected cosine than the bottom half
+    ex, pr = c_exact[iu], c_proj[iu]
+    hi = pr[ex >= np.quantile(ex, 0.9)]
+    lo = pr[ex <= np.quantile(ex, 0.5)]
+    assert hi.mean() > lo.mean() + 0.1
+
+
+def _quant_matrix(X: np.ndarray) -> np.ndarray:
+    return np.floor(X * 1e6 + 0.5).astype(np.int64)
+
+
+def test_no_shuffle_map_only(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = srp_project(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
