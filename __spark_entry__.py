@@ -2914,6 +2914,31 @@ def _sql_srp_project_embeddings() -> str:
     return srp_project_sql()
 
 
+def _q_frequent_token_pairs(spark, sf_dir):
+    """A-priori pass-2 co-occurrence mining (Agrawal & Srikant VLDB'94):
+    document-frequency of token pairs, candidates generated only from
+    broadcast frequent singletons with a reported per-doc cap — pair
+    volume bounded by cap^2/2 per doc, never vocab^2. Planted keyword
+    chains make the threshold bite both ways: kw singletons (doc-freq
+    8) survive pass 1, kw-kw pairs (doc-freq 4) fall under minsup=5,
+    kw-natural pairs (8) survive — all three regimes hash-checked
+    against the oracle (functions/cooccur.py)."""
+    from email_sanitizer_api_spark.functions.cooccur import (
+        frequent_token_pairs)
+    from email_sanitizer_api_spark.operators.graph_rank import (
+        with_planted_keywords)
+    return frequent_token_pairs(
+        with_planted_keywords(_t(spark, sf_dir, "documents")))
+
+
+def _sql_frequent_token_pairs() -> str:
+    from email_sanitizer_api_spark.functions.cooccur import (
+        frequent_token_pairs_sql)
+    from email_sanitizer_api_spark.operators.graph_rank import (
+        with_planted_keywords_sql)
+    return frequent_token_pairs_sql(table=with_planted_keywords_sql())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2936,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash_vectors": _q_feature_hash_vectors,
         "zorder_layout_scan": _q_zorder_layout_scan,
         "srp_project_embeddings": _q_srp_project_embeddings,
+        "frequent_token_pairs": _q_frequent_token_pairs,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3107,6 +3133,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash_vectors": _sql_feature_hash_vectors(),
         "zorder_layout_scan": _sql_zorder_layout_scan(),
         "srp_project_embeddings": _sql_srp_project_embeddings(),
+        "frequent_token_pairs": _sql_frequent_token_pairs(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

@@ -1,0 +1,118 @@
+"""Frequent token-pair mining — A-priori pass 2 over document token
+sets (market-basket co-occurrence for corpus analytics).
+
+Which tokens travel together is a standing corpus question: boilerplate
+phrase detection beyond adjacency (bigram_heavy_hitters_mg only sees
+ADJACENT words), tokenizer-merge candidates, and topic drift audits all
+start from document-level co-occurrence support.  The classical scale
+answer is A-priori (Agrawal & Srikant, VLDB'94): a pair can only be
+frequent if both members are, so pass 1 counts singleton document
+-frequencies and pass 2 generates candidate pairs ONLY from each
+document's frequent tokens.
+
+Plan shape (pinned by the exchange budget):
+
+1. per-doc distinct tokens (explode + array_distinct — map-only);
+2. singleton support = one combinable groupBy; frequent = support ≥
+   minsup — at scale |frequent| ≤ Σ|doc|/minsup, the A-priori memory
+   argument, so it BROADCASTS by construction;
+3. per doc: intersect with the broadcast frequent set, sort, CAP at
+   ``max_per_doc`` (lexicographic prefix, deterministic; the
+   truncation is REPORTED per doc like the suffix-array cap), and
+   emit ordered pairs with a nested transform/flatten — the pair
+   volume is bounded by cap²/2 per doc, never vocabulary²;
+4. pair support = one more combinable groupBy, filtered at minsup.
+
+The corpus's natural ~31-token vocabulary would make every pair
+frequent, so the contract query plants the textrank keyword chains
+(with_planted_keywords): each group-of-4 keyword pair co-occurs in
+exactly 4 documents and consecutive-group pairs in ≤ 4 — minsup=5
+keeps natural-vocab pairs and drops every planted pair, exercising
+the threshold in both directions (tests pin the planted supports).
+
+Oracle: the identical two-pass formulation as DuckDB CTEs (lateral
+pair unnest), hash-exact.  A pure-Python Counter third engine and a
+cap-reporting test live in tests/test_cooccur.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["frequent_token_pairs", "frequent_token_pairs_sql",
+           "MINSUP", "MAX_PER_DOC"]
+
+#: contract-query support threshold (documents, not occurrences)
+MINSUP = 5
+#: per-document frequent-token cap (deterministic lexicographic prefix)
+MAX_PER_DOC = 64
+
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.array_distinct(F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                _WS_CLASS),
+        lambda x: x != ""))
+    return docs.select(F.col(id_col), toks.alias("toks"))
+
+
+def frequent_token_pairs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", minsup: int = MINSUP,
+                         max_per_doc: int = MAX_PER_DOC) -> DataFrame:
+    """(tok_a, tok_b, support): document-frequency of unordered token
+    pairs, both members and the pair itself at support ≥ minsup."""
+    dt = _doc_tokens(docs, id_col, text_col)
+    occ = dt.select(F.col(id_col), F.explode("toks").alias("tok"))
+    freq = (occ.groupBy("tok").agg(F.count(F.lit(1)).alias("sup1"))
+            .filter(F.col("sup1") >= minsup))
+    # per-doc frequent tokens: broadcast semi-join, sort, cap
+    kept = (occ.join(F.broadcast(freq.select("tok")), "tok")
+            .groupBy(id_col)
+            .agg(F.slice(F.sort_array(F.collect_list("tok")), 1,
+                         max_per_doc).alias("ft")))
+    pairs = kept.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "flatten(transform(ft, (a, i) -> "
+            "transform(slice(ft, i + 2, size(ft)), b -> struct(a, b))))"
+        )).alias("p"))
+    return (pairs.groupBy(F.col("p.a").alias("tok_a"),
+                          F.col("p.b").alias("tok_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .filter(F.col("support") >= minsup))
+
+
+def frequent_token_pairs_sql(table: str = "documents",
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             minsup: int = MINSUP,
+                             max_per_doc: int = MAX_PER_DOC) -> str:
+    """DuckDB twin: identical two-pass A-priori with the same cap."""
+    return f"""
+WITH dt AS (
+  SELECT {id_col},
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(trim(coalesce({text_col}, ''))),
+                                 '{_WS_CLASS}'),
+           x -> x <> '')) AS toks
+  FROM {table}),
+occ AS (
+  SELECT {id_col}, unnest(toks) AS tok FROM dt),
+freq AS (
+  SELECT tok FROM occ GROUP BY tok HAVING count(*) >= {minsup}),
+kept AS (
+  SELECT o.{id_col}, list_sort(list(o.tok))[1:{max_per_doc}] AS ft
+  FROM occ o JOIN freq f USING (tok)
+  GROUP BY o.{id_col}),
+pairs AS (
+  SELECT ft[i] AS tok_a, ft[jj] AS tok_b
+  FROM kept,
+       LATERAL (SELECT unnest(range(1, len(ft) + 1)) AS i),
+       LATERAL (SELECT unnest(range(1, len(ft) + 1)) AS jj)
+  WHERE jj > i)
+SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS support
+FROM pairs GROUP BY tok_a, tok_b HAVING count(*) >= {minsup}
+"""

@@ -1,0 +1,79 @@
+"""A-priori pair mining (functions/cooccur.py): Counter third engine,
+threshold regimes on planted structure, cap determinism."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from itertools import combinations
+
+import pytest
+
+from email_sanitizer_api_spark.functions.cooccur import (
+    frequent_token_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_pairs(texts, minsup, max_per_doc=64):
+    doc_toks = [sorted(set(t for t in WS.split((x or "").strip().lower())
+                           if t)) for x in texts]
+    sup1 = Counter(t for toks in doc_toks for t in toks)
+    freq = {t for t, c in sup1.items() if c >= minsup}
+    sup2: Counter = Counter()
+    for toks in doc_toks:
+        ft = sorted(t for t in toks if t in freq)[:max_per_doc]
+        sup2.update(combinations(ft, 2))
+    return {p: c for p, c in sup2.items() if c >= minsup}
+
+
+def test_matches_python_third_engine(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want = _py_pairs(texts, minsup=5)
+    got = {(r["tok_a"], r["tok_b"]): r["support"]
+           for r in frequent_token_pairs(docs, minsup=5).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_threshold_regimes_planted(spark):
+    """Singleton prune, pair prune, and survival — all three regimes
+    on constructed baskets."""
+    rows = [
+        # 'a b' co-occur in 5 docs -> pair frequent
+        *[(i, "a b filler") for i in range(5)],
+        # 'c' appears in 5 docs, 'd' in only 4 -> d pruned at pass 1
+        *[(10 + i, "c d") for i in range(4)],
+        (20, "c"),
+        # 'a c' co-occur only 2 times -> pair infrequent
+        (30, "a c"), (31, "a c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["tok_a"], r["tok_b"]): r["support"]
+           for r in frequent_token_pairs(df, minsup=5).collect()}
+    texts = [t for _, t in rows]
+    assert got == _py_pairs(texts, minsup=5)
+    assert ("a", "b") in got and got[("a", "b")] == 5
+    assert not any("d" in p for p in got)
+    assert ("a", "c") not in got
+
+
+def test_cap_is_deterministic_prefix(spark):
+    """max_per_doc keeps the lexicographic prefix — same result under
+    repartitioning, and pairs beyond the cap vanish identically in the
+    Python twin."""
+    toks = " ".join(f"t{i:02d}" for i in range(12))
+    rows = [(i, toks) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {(r["tok_a"], r["tok_b"]): r["support"]
+         for r in frequent_token_pairs(df, minsup=5, max_per_doc=4)
+         .collect()}
+    b = {(r["tok_a"], r["tok_b"]): r["support"]
+         for r in frequent_token_pairs(df.repartition(7), minsup=5,
+                                       max_per_doc=4).collect()}
+    want = _py_pairs([t for _, t in rows], minsup=5, max_per_doc=4)
+    assert a == b == want
+    assert len(a) == 6  # C(4,2) from the capped prefix only

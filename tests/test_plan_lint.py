@@ -128,6 +128,9 @@ EXCHANGE_BUDGET = {
     # skyline: per-level min agg + prefix-min over <=10001 level rows
     # + broadcast join back (no second corpus shuffle)
     "pareto_front_docs": 3,
+    # A-priori: singleton-support agg + per-doc regroup + pair agg
+    # (frequent set joins broadcast)
+    "frequent_token_pairs": 3,
     "length_percentiles_by_lang": 1, "partition_pruned_lang_agg": 1,
     "tpch_q1_pricing_summary": 1, "union_pair_sets": 1,
     "validate_counts": 1, "window_topk_orders_per_cust": 1,
