@@ -2939,6 +2939,25 @@ def _sql_frequent_token_pairs() -> str:
     return frequent_token_pairs_sql(table=with_planted_keywords_sql())
 
 
+def _q_session_overlap_pairs(spark, sf_dir):
+    """Interval-overlap (range) join — the third temporal join beside
+    sessionization and as-of: error-sessions x purchase-sessions that
+    were in flight together. Spark side is the BINNED rewrite with the
+    later-start-bin single-count trick (each overlapping pair emitted
+    by exactly one bin — no dedup shuffle); the oracle is the plain
+    inequality join DuckDB executes with its native IEJoin — an
+    independent algorithm (operators/interval_join.py)."""
+    from email_sanitizer_api_spark.operators.interval_join import (
+        session_overlap_pairs)
+    return session_overlap_pairs(_t(spark, sf_dir, "events"))
+
+
+def _sql_session_overlap_pairs() -> str:
+    from email_sanitizer_api_spark.operators.interval_join import (
+        session_overlap_pairs_sql)
+    return session_overlap_pairs_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2962,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout_scan": _q_zorder_layout_scan,
         "srp_project_embeddings": _q_srp_project_embeddings,
         "frequent_token_pairs": _q_frequent_token_pairs,
+        "session_overlap_pairs": _q_session_overlap_pairs,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3134,6 +3154,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout_scan": _sql_zorder_layout_scan(),
         "srp_project_embeddings": _sql_srp_project_embeddings(),
         "frequent_token_pairs": _sql_frequent_token_pairs(),
+        "session_overlap_pairs": _sql_session_overlap_pairs(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

@@ -1,0 +1,139 @@
+"""Interval-overlap (range) join — the third temporal join beside
+sessionization and the as-of join.
+
+"Which error sessions were in flight while a purchase session was
+open" is an inequality join (a.start ≤ b.end AND b.start ≤ a.end):
+Spark plans a raw inequality pair as BroadcastNestedLoopJoin — the
+O(|A|·|B|) scale-killer the plan lint exists to catch.  DuckDB ships
+a native inequality-join algorithm (IEJoin — Khayyat et al.,
+SIGMOD'15), which makes it the perfect oracle twin; the engine side
+uses the standard BINNED rewrite (the same family as Databricks'
+range-join hints):
+
+1. every interval explodes into the fixed-width time bins it covers —
+   O(duration / bin_width) rows per interval, a bounded fan-out knob;
+2. overlapping pairs must share the bin containing the LATER START
+   (``bin = floor(greatest(a.s0, b.s0) / W)``), so the equi-join on
+   bin emits every overlapping pair EXACTLY ONCE — no DISTINCT
+   de-duplication pass, which would be a second full shuffle of the
+   output (the double-count problem every naive binned range join
+   hits);
+3. the exact overlap predicate + different-user filter run as cheap
+   post-join conditions inside the same stage.
+
+Bin width trades fan-out (short bins = more replicas per interval)
+against join selectivity (long bins = more non-overlapping candidates
+sharing a bin); skewed bins (rush hour) are AQE skew-join territory,
+documented rather than hidden.  Intervals here are ±10-minute-padded
+event sessions (the co-activity window), split into error-flagged and
+purchase-flagged sides — a genuine A×B range join, not a self-join.
+
+All arithmetic is integer epoch seconds; output overlap_s is an
+integer — hash-exact against DuckDB's native IEJoin formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["event_sessions_flagged", "interval_overlap_join",
+           "session_overlap_pairs", "session_overlap_pairs_sql",
+           "BIN_S", "PAD_S", "GAP_S"]
+
+#: equi-join bin width (seconds)
+BIN_S = 3600
+#: co-activity padding applied to each session (seconds)
+PAD_S = 600
+#: sessionization silence gap (seconds) — matches events_sessionized
+GAP_S = 1800
+
+
+def event_sessions_flagged(events: DataFrame) -> DataFrame:
+    """(user_id, session_no, s0, s1, has_err, has_pur): ±PAD_S-padded
+    sessions with per-type flags (the events_sessionized construction)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > GAP_S), 1).otherwise(0)
+    sess = (events.withColumn("new_sess", new_sess)
+            .withColumn("session_no", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_no")
+            .agg((F.min(F.unix_timestamp("ts")) - PAD_S).alias("s0"),
+                 (F.max(F.unix_timestamp("ts")) + PAD_S).alias("s1"),
+                 F.max(F.when(F.col("event_type") == "error", 1)
+                       .otherwise(0)).alias("has_err"),
+                 F.max(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("has_pur")))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          bin_s: int = BIN_S) -> DataFrame:
+    """Binned overlap join of two interval relations, each with columns
+    (user_id, session_no, s0, s1).  Emits one row per overlapping pair
+    with different user_ids (later-start-bin single-count trick)."""
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("user_id").alias(f"user_{tag}"),
+            F.col("session_no").alias(f"sess_{tag}"),
+            F.col("s0").alias(f"s0_{tag}"),
+            F.col("s1").alias(f"s1_{tag}"),
+            F.explode(F.sequence(
+                F.floor(F.col("s0") / bin_s).cast("long"),
+                F.floor(F.col("s1") / bin_s).cast("long"))).alias("bin"))
+
+    a, b = binned(left, "a"), binned(right, "b")
+    later_start = F.greatest(F.col("s0_a"), F.col("s0_b"))
+    return (a.join(b, "bin")
+            .filter((F.col("s0_a") <= F.col("s1_b"))
+                    & (F.col("s0_b") <= F.col("s1_a"))
+                    & (F.col("user_a") != F.col("user_b"))
+                    & (F.col("bin")
+                       == F.floor(later_start / bin_s).cast("long")))
+            .select("user_a", "sess_a", "user_b", "sess_b",
+                    (F.least(F.col("s1_a"), F.col("s1_b")) - later_start)
+                    .cast("long").alias("overlap_s")))
+
+
+def session_overlap_pairs(events: DataFrame) -> DataFrame:
+    """Contract query: error-sessions × purchase-sessions overlap."""
+    sess = event_sessions_flagged(events)
+    return interval_overlap_join(
+        sess.filter(F.col("has_err") == 1).select(
+            "user_id", "session_no", "s0", "s1"),
+        sess.filter(F.col("has_pur") == 1).select(
+            "user_id", "session_no", "s0", "s1"))
+
+
+def session_overlap_pairs_sql(table: str = "events") -> str:
+    """DuckDB twin: identical sessions, then the PLAIN inequality join
+    (DuckDB plans it as its native IEJoin — an independent algorithm,
+    which is the point of the oracle)."""
+    return f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g),
+sess AS (
+  SELECT user_id, session_no,
+         CAST(min(floor(epoch(ts))) AS BIGINT) - {PAD_S} AS s0,
+         CAST(max(floor(epoch(ts))) AS BIGINT) + {PAD_S} AS s1,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_err,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_pur
+  FROM s GROUP BY user_id, session_no)
+SELECT a.user_id AS user_a, CAST(a.session_no AS BIGINT) AS sess_a,
+       b.user_id AS user_b, CAST(b.session_no AS BIGINT) AS sess_b,
+       CAST(least(a.s1, b.s1) - greatest(a.s0, b.s0) AS BIGINT)
+         AS overlap_s
+FROM sess a JOIN sess b
+  ON a.s0 <= b.s1 AND b.s0 <= a.s1 AND a.user_id <> b.user_id
+WHERE a.has_err = 1 AND b.has_pur = 1
+"""

@@ -1,0 +1,79 @@
+"""Interval-overlap join (operators/interval_join.py): brute-force
+third engine, single-count property across bin widths, boundary
+semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.interval_join import (
+    interval_overlap_join,
+    session_overlap_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _brute(left, right):
+    out = {}
+    for ua, sa, a0, a1 in left:
+        for ub, sb, b0, b1 in right:
+            if ua != ub and a0 <= b1 and b0 <= a1:
+                out[(ua, sa, ub, sb)] = min(a1, b1) - max(a0, b0)
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, session_no bigint, s0 bigint, s1 bigint")
+
+
+def test_matches_brute_force_constructed(spark):
+    left = [(1, 1, 0, 100), (1, 2, 500, 700), (2, 1, 50, 60),
+            (3, 1, 7000, 7200)]
+    right = [(2, 9, 90, 510), (4, 1, 699, 800), (1, 9, 7100, 7300),
+             (5, 1, 10_000, 10_001)]
+    got = {(r["user_a"], r["sess_a"], r["user_b"], r["sess_b"]):
+           r["overlap_s"]
+           for r in interval_overlap_join(_df(spark, left),
+                                          _df(spark, right)).collect()}
+    assert got == _brute(left, right)
+    # sanity on the fixture: overlaps cross bin boundaries (7000-7200
+    # vs 7100-7300 straddles 2 bins) and zero-width touching intervals
+    assert got[(1, 2, 4, 1)] == 1          # 699..700 overlap
+    assert (2, 1, 2, 9) not in got         # same-user pair excluded
+
+
+def test_single_count_across_bin_widths(spark):
+    """The later-start-bin trick emits each pair exactly once whatever
+    the bin width — long intervals spanning many bins included."""
+    left = [(1, i, i * 10, i * 10 + 5000) for i in range(40)]
+    right = [(2, i, i * 7, i * 7 + 3000) for i in range(40)]
+    want = _brute(left, right)
+    for bin_s in (60, 3600, 86400):
+        got = {}
+        for r in interval_overlap_join(_df(spark, left), _df(spark, right),
+                                       bin_s=bin_s).collect():
+            k = (r["user_a"], r["sess_a"], r["user_b"], r["sess_b"])
+            assert k not in got, f"pair double-counted at bin_s={bin_s}"
+            got[k] = r["overlap_s"]
+        assert got == want, bin_s
+
+
+def test_corpus_query_matches_brute(spark):
+    """The contract query equals the brute-force inequality join over
+    the same flagged sessions."""
+    from email_sanitizer_api_spark.operators.interval_join import (
+        event_sessions_flagged)
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sess = event_sessions_flagged(events).collect()
+    left = [(r["user_id"], r["session_no"], r["s0"], r["s1"])
+            for r in sess if r["has_err"] == 1]
+    right = [(r["user_id"], r["session_no"], r["s0"], r["s1"])
+             for r in sess if r["has_pur"] == 1]
+    got = {(r["user_a"], r["sess_a"], r["user_b"], r["sess_b"]):
+           r["overlap_s"]
+           for r in session_overlap_pairs(events).collect()}
+    assert got == _brute(left, right)
+    assert len(got) > 0

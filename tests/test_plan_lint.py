@@ -131,6 +131,9 @@ EXCHANGE_BUDGET = {
     # A-priori: singleton-support agg + per-doc regroup + pair agg
     # (frequent set joins broadcast)
     "frequent_token_pairs": 3,
+    # binned range join: sessionize window+agg share one exchange per
+    # side branch; bin equi-join broadcasts at lint scale (+1 headroom)
+    "session_overlap_pairs": 3,
     "length_percentiles_by_lang": 1, "partition_pruned_lang_agg": 1,
     "tpch_q1_pricing_summary": 1, "union_pair_sets": 1,
     "validate_counts": 1, "window_topk_orders_per_cust": 1,
