@@ -139,6 +139,21 @@ def main() -> None:
         # DSIR hashed-ngram selection: 2 corpus-pass shuffles + K-row
         # broadcast model
         "dsir_selection_weights",
+        # r04 session-7 additions (same caveat: per-query compare):
+        # deterministic MG heavy hitters (bounded windows + O(B*k) merge)
+        "bigram_heavy_hitters_mg",
+        # pips order sampling on the distributed-rank plan
+        "weighted_sample_poisson",
+        # level-decomposed skyline (no dominance join)
+        "pareto_front_docs",
+        # vocabulary-free signed-hash vectorizer (1 shuffle)
+        "feature_hash_vectors",
+        # integer JL projection (map-only aggregate() passes)
+        "srp_project_embeddings",
+        # A-priori pass-2 co-occurrence (broadcast frequent set)
+        "frequent_token_pairs",
+        # binned interval-overlap range join (single-count bin trick)
+        "session_overlap_pairs",
     ]
     headline = [q for q in headline if q in queries]
 
