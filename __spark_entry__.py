@@ -2958,6 +2958,42 @@ def _sql_session_overlap_pairs() -> str:
     return session_overlap_pairs_sql()
 
 
+def _q_join_size_estimate_cms(spark, sf_dir):
+    """Join-admission diagnostic: CMS inner-product estimate of
+    |orders ⋈ customer| (Cormode-Muthukrishnan §4.2) next to the exact
+    size — decide whether a shuffle is affordable from two d x w
+    sketches instead of running the join. Adversarially small grid
+    (1500 custkeys >> w=128) so the collision overestimate branch is
+    itself hash-checked; estimate NEVER undercounts (one-sided, the
+    safe direction for admission) (functions/sketch_join.py)."""
+    from email_sanitizer_api_spark.functions.sketch_join import (
+        cms_join_size)
+    return cms_join_size(_t(spark, sf_dir, "orders"), "o_custkey",
+                         _t(spark, sf_dir, "customer"), "c_custkey")
+
+
+def _sql_join_size_estimate_cms() -> str:
+    from email_sanitizer_api_spark.functions.sketch_join import (
+        cms_join_size_sql)
+    return cms_join_size_sql("orders", "o_custkey", "customer", "c_custkey")
+
+
+def _q_ams_f2_custkey(spark, sf_dir):
+    """AMS second-moment sketch (Alon-Matias-Szegedy STOC'96): the
+    self-join size / skew diagnostic F2 = sum n(k)^2 of the orders
+    foreign key from d signed counter rows — predicts shuffle-key
+    safety from a constant-size sketch where key_skew_profile_fp
+    reports the observed top keys. Integer floor-averaged estimate
+    beside the exact F2 (functions/sketch_join.py)."""
+    from email_sanitizer_api_spark.functions.sketch_join import ams_f2
+    return ams_f2(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+def _sql_ams_f2_custkey() -> str:
+    from email_sanitizer_api_spark.functions.sketch_join import ams_f2_sql
+    return ams_f2_sql("orders", "o_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -2982,6 +3018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_project_embeddings": _q_srp_project_embeddings,
         "frequent_token_pairs": _q_frequent_token_pairs,
         "session_overlap_pairs": _q_session_overlap_pairs,
+        "join_size_estimate_cms": _q_join_size_estimate_cms,
+        "ams_f2_custkey": _q_ams_f2_custkey,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3155,6 +3193,8 @@ def oracle_sql() -> dict[str, str]:
         "srp_project_embeddings": _sql_srp_project_embeddings(),
         "frequent_token_pairs": _sql_frequent_token_pairs(),
         "session_overlap_pairs": _sql_session_overlap_pairs(),
+        "join_size_estimate_cms": _sql_join_size_estimate_cms(),
+        "ams_f2_custkey": _sql_ams_f2_custkey(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

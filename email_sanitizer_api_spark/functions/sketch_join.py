@@ -1,0 +1,145 @@
+"""Sketch-based join-size estimation — decide whether a shuffle is
+affordable BEFORE running it.
+
+At 100 TB the most expensive mistake is launching a join whose output
+explodes (the weighted_jaccard audit in BASELINE.md measured exactly
+that: a 3.2M-candidate join whose cost WAS the output).  The classical
+streaming answer estimates join cardinality from constant-size sketches
+of the two key columns:
+
+- **CMS inner product** (Cormode & Muthukrishnan 2005, §4.2):
+  |A ⋈ B| = Σ_k nA(k)·nB(k), and the sketch estimate is the MIN over
+  depth rows of the cell-wise inner product Σ_cell cntA(j,c)·cntB(j,c).
+  Every row's estimate ≥ the true size (collision cross-terms are
+  non-negative), so the estimator NEVER UNDERCOUNTS — the safe
+  direction for an admission decision, the same one-sided guarantee
+  the CMS point estimates carry.
+- **AMS second moment** (Alon, Matias, Szegedy — STOC'96): the
+  SELF-join size F₂ = Σ_k n(k)² from signed counter rows S_j =
+  Σ_k s_j(k)·n(k); each S_j² is an unbiased F₂ estimate, averaged
+  over depth rows.  F₂ is the skew diagnostic: F₂/N is the average
+  occurrences a random occurrence's key has — the number that says
+  whether a groupBy key is safe to shuffle on (key_skew_profile_fp
+  reports the observed top keys; AMS predicts the aggregate from a
+  d×w-bounded sketch).
+
+Both sketches reuse the engine's deterministic md5 cell/sign idioms
+(cms.py / feature_hash.py), so every counter, every inner product,
+and the floor-divided average are INTEGERS — hash-exact in DuckDB.
+Build cost: one combinable groupBy per key column into a d×w-bounded
+relation; the estimate join is a broadcast of grid-sized tables.
+tests/test_sketch_join.py pins never-undercount, exactness when w
+exceeds the key cardinality, the F₂ error band over multiple depths,
+and pure-Python third engines for both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.cms import cms_build, cms_cells
+
+__all__ = ["cms_join_size", "cms_join_size_sql",
+           "ams_f2", "ams_f2_sql", "WIDTH", "DEPTH"]
+
+#: adversarially small grid (keys >> w) so collision terms are exercised
+WIDTH = 128
+DEPTH = 4
+
+
+def cms_join_size(left: DataFrame, left_key: str,
+                  right: DataFrame, right_key: str,
+                  w: int = WIDTH, d: int = DEPTH) -> DataFrame:
+    """One row: (est_join_size, true_join_size) for the equi-join on
+    the given key columns.  est ≥ true always."""
+    a = cms_build(left.select(F.col(left_key).cast("string").alias("k"))
+                  .select(F.col("k").alias("tok")), w=w, d=d)
+    b = cms_build(right.select(F.col(right_key).cast("string").alias("k"))
+                  .select(F.col("k").alias("tok")), w=w, d=d)
+    est = (a.alias("a").join(b.alias("b"),
+                             (F.col("a.j") == F.col("b.j"))
+                             & (F.col("a.cell") == F.col("b.cell")))
+           .groupBy("a.j")
+           .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+           .agg(F.min("ip").cast("long").alias("est_join_size")))
+    ca = (left.groupBy(F.col(left_key).cast("string").alias("k"))
+          .agg(F.count(F.lit(1)).alias("na")))
+    cb = (right.groupBy(F.col(right_key).cast("string").alias("k"))
+          .agg(F.count(F.lit(1)).alias("nb")))
+    true = (ca.join(cb, "k")
+            .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+                 .cast("long").alias("true_join_size")))
+    return est.crossJoin(true)
+
+
+def cms_join_size_sql(left_table: str, left_key: str,
+                      right_table: str, right_key: str,
+                      w: int = WIDTH, d: int = DEPTH) -> str:
+    cell = (f"(('0x' || substring(md5(k || ':' || j), 1, 15))::BIGINT"
+            f" % {w})")
+    return f"""
+WITH ka AS (SELECT CAST({left_key} AS VARCHAR) AS k FROM {left_table}),
+kb AS (SELECT CAST({right_key} AS VARCHAR) AS k FROM {right_table}),
+ca AS (
+  SELECT j, {cell} AS cell, count(*) AS cnt
+  FROM ka, (SELECT unnest(range(0, {d})) AS j) GROUP BY 1, 2),
+cb AS (
+  SELECT j, {cell} AS cell, count(*) AS cnt
+  FROM kb, (SELECT unnest(range(0, {d})) AS j) GROUP BY 1, 2),
+ip AS (
+  SELECT ca.j, sum(ca.cnt * cb.cnt) AS ip
+  FROM ca JOIN cb ON ca.j = cb.j AND ca.cell = cb.cell
+  GROUP BY ca.j),
+est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip),
+tc AS (
+  SELECT CAST(coalesce(sum(na.n * nb.n), 0) AS BIGINT) AS true_join_size
+  FROM (SELECT k, count(*) AS n FROM ka GROUP BY k) na
+  JOIN (SELECT k, count(*) AS n FROM kb GROUP BY k) nb USING (k))
+SELECT est.est_join_size, tc.true_join_size FROM est, tc
+"""
+
+
+def ams_f2(df: DataFrame, key: str, w: int = WIDTH,
+           d: int = DEPTH) -> DataFrame:
+    """One row: (est_f2, true_f2) — AMS sketch estimate of the
+    self-join size Σ n(k)² (integer floor-average over depth rows)."""
+    occ = df.select(F.col(key).cast("string").alias("tok"))
+    rows = []
+    for j in range(d):
+        sign = (F.when(
+            F.conv(F.substring(F.md5(F.concat(F.col("tok"),
+                                              F.lit(f"#s{j}"))), 16, 1),
+                   16, 10).cast("long") % 2 == 0,
+            F.lit(1)).otherwise(F.lit(-1)))
+        rows.append(occ.select(F.lit(j).alias("j"), sign.alias("s")))
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionByName(r)
+    est = (allrows.groupBy("j").agg(F.sum("s").alias("S"))
+           .agg(F.expr("CAST(sum(S * S) DIV count(*) AS BIGINT)")
+                .alias("est_f2")))
+    true = (df.groupBy(F.col(key).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * F.col("n")).cast("long")
+                 .alias("true_f2")))
+    return est.crossJoin(true)
+
+
+def ams_f2_sql(table: str, key: str, d: int = DEPTH) -> str:
+    return f"""
+WITH occ AS (SELECT CAST({key} AS VARCHAR) AS tok FROM {table}),
+signed AS (
+  SELECT j.j,
+         CASE WHEN ('0x' || substring(md5(tok || '#s' || j.j), 16, 1))::BIGINT
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM occ, (SELECT unnest(range(0, {d})) AS j) j),
+sums AS (SELECT j, sum(s) AS S FROM signed GROUP BY j),
+est AS (
+  SELECT CAST(sum(S * S) // count(*) AS BIGINT) AS est_f2 FROM sums),
+tc AS (
+  SELECT CAST(sum(n * n) AS BIGINT) AS true_f2
+  FROM (SELECT tok, count(*) AS n FROM occ GROUP BY tok))
+SELECT est.est_f2, tc.true_f2 FROM est, tc
+"""

@@ -76,6 +76,9 @@ NLJ_OK = {
     # ~16x-compressed codes, not vectors; compose with IVF lists to
     # prune candidates when the corpus is clustered
     "cosine_topk_pq": "broadcast side is the fixed query set; scan side ships PQ codes (compressed exhaustive scan by design)",
+    # est x true: crossJoin of two 1-row scalar aggregates
+    "join_size_estimate_cms": "crossJoin of two broadcast 1-row estimate/exact scalar aggregates",
+    "ams_f2_custkey": "crossJoin of two broadcast 1-row estimate/exact scalar aggregates",
 }
 
 LINT_NAMES = sorted(set(entry.queries()) - EAGER)
@@ -134,6 +137,10 @@ EXCHANGE_BUDGET = {
     # binned range join: sessionize window+agg share one exchange per
     # side branch; bin equi-join broadcasts at lint scale (+1 headroom)
     "session_overlap_pairs": 3,
+    # sketch builds (2 grids) + grid join + exact-count twin branches
+    "join_size_estimate_cms": 7,
+    # d signed-sum rows + exact-F2 twin branch
+    "ams_f2_custkey": 4,
     "length_percentiles_by_lang": 1, "partition_pruned_lang_agg": 1,
     "tpch_q1_pricing_summary": 1, "union_pair_sets": 1,
     "validate_counts": 1, "window_topk_orders_per_cust": 1,

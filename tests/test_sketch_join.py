@@ -1,0 +1,96 @@
+"""Sketch join-size estimation (functions/sketch_join.py): one-sided
+CMS guarantee, exactness at ample width, AMS error band, pure-Python
+third engines."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections import Counter
+
+import pytest
+
+from email_sanitizer_api_spark.functions.sketch_join import (
+    ams_f2,
+    cms_join_size,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_cms_join(ka, kb, w, d):
+    def cell(k, j):
+        return int(hashlib.md5(f"{k}:{j}".encode()).hexdigest()[:15],
+                   16) % w
+    est = None
+    for j in range(d):
+        ga, gb = Counter(), Counter()
+        for k in ka:
+            ga[cell(k, j)] += 1
+        for k in kb:
+            gb[cell(k, j)] += 1
+        ip = sum(ga[c] * gb[c] for c in ga)
+        est = ip if est is None else min(est, ip)
+    ca, cb = Counter(ka), Counter(kb)
+    true = sum(ca[k] * cb[k] for k in ca)
+    return est, true
+
+
+def _py_ams_f2(ks, d):
+    def sign(k, j):
+        return (1 if int(hashlib.md5(f"{k}#s{j}".encode())
+                         .hexdigest()[15], 16) % 2 == 0 else -1)
+    sums = [sum(sign(k, j) for k in ks) for j in range(d)]
+    est = sum(s * s for s in sums) // d
+    c = Counter(ks)
+    return est, sum(n * n for n in c.values())
+
+
+def _keys(spark, table, col):
+    df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+    return df, [str(r[col]) for r in df.select(col).collect()]
+
+
+def test_cms_matches_python_and_never_undercounts(spark):
+    orders, ka = _keys(spark, "orders", "o_custkey")
+    customer, kb = _keys(spark, "customer", "c_custkey")
+    r = cms_join_size(orders, "o_custkey", customer, "c_custkey").first()
+    est, true = _py_cms_join(ka, kb, 128, 4)
+    assert (r["est_join_size"], r["true_join_size"]) == (est, true)
+    assert r["est_join_size"] >= r["true_join_size"]
+    # adversarial sizing did its job: collisions actually contribute
+    assert r["est_join_size"] > r["true_join_size"]
+
+
+def test_cms_exact_when_wide(spark):
+    """w >> distinct keys: no collisions land in shared cells often
+    enough to matter — with distinct cells per key the min-row inner
+    product equals the true join size."""
+    rows_a = [(k,) for k in range(20) for _ in range(k % 3 + 1)]
+    rows_b = [(k,) for k in range(0, 40, 2)]
+    a = spark.createDataFrame(rows_a, ["k"])
+    b = spark.createDataFrame(rows_b, ["k"])
+    r = cms_join_size(a, "k", b, "k", w=4096, d=4).first()
+    assert r["est_join_size"] == r["true_join_size"]
+
+
+def test_ams_matches_python_and_error_band(spark):
+    orders, ka = _keys(spark, "orders", "o_custkey")
+    r = ams_f2(orders, "o_custkey").first()
+    est, true = _py_ams_f2(ka, 4)
+    assert (r["est_f2"], r["true_f2"]) == (est, true)
+    # AMS variance <= 2 F2^2 / d -> d=4 keeps a same-order estimate;
+    # generous band (the estimator is unbiased, not concentrated)
+    assert true / 5 <= max(est, 1) <= true * 5
+
+
+def test_ams_detects_skew():
+    """F2 separates a uniform column from a skewed one of equal size:
+    the pure-Python twin (same arithmetic as the engines) shows the
+    diagnostic actually discriminates."""
+    uniform = [str(i) for i in range(1000)]
+    skewed = ["hot"] * 900 + [str(i) for i in range(100)]
+    eu, tu = _py_ams_f2(uniform, 8)
+    es, ts = _py_ams_f2(skewed, 8)
+    assert ts > 100 * tu
+    assert es > 10 * max(eu, 1)
