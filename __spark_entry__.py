@@ -2994,6 +2994,25 @@ def _sql_ams_f2_custkey() -> str:
     return ams_f2_sql("orders", "o_custkey")
 
 
+def _q_kmv_vocab_overlap(spark, sf_dir):
+    """KMV bottom-k distinct sketch (Bar-Yossef'02 / Beyer SIGMOD'07):
+    the mergeable cardinality sketch that supports INTERSECTION — the
+    set operation HLL registers cannot do. en/zh bigram-vocabulary
+    overlap: per-side bottom-64 md5 values give integer distinct
+    estimates ((k-1)*2^60 DIV h_k), the merged sketch estimates the
+    union, and the one-permutation Jaccard numerator recovers the
+    intersection — all beside their exact twins in one row
+    (functions/kmv.py)."""
+    from email_sanitizer_api_spark.functions.kmv import kmv_overlap_report
+    return kmv_overlap_report(_t(spark, sf_dir, "documents"))
+
+
+def _sql_kmv_vocab_overlap() -> str:
+    from email_sanitizer_api_spark.functions.kmv import (
+        kmv_overlap_report_sql)
+    return kmv_overlap_report_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -3020,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_overlap_pairs": _q_session_overlap_pairs,
         "join_size_estimate_cms": _q_join_size_estimate_cms,
         "ams_f2_custkey": _q_ams_f2_custkey,
+        "kmv_vocab_overlap": _q_kmv_vocab_overlap,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3195,6 +3215,7 @@ def oracle_sql() -> dict[str, str]:
         "session_overlap_pairs": _sql_session_overlap_pairs(),
         "join_size_estimate_cms": _sql_join_size_estimate_cms(),
         "ams_f2_custkey": _sql_ams_f2_custkey(),
+        "kmv_vocab_overlap": _sql_kmv_vocab_overlap(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

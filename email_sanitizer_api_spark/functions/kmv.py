@@ -1,0 +1,167 @@
+"""KMV (k-minimum-values / bottom-k) distinct sketch — the mergeable
+cardinality sketch that supports SET OPERATIONS.
+
+The distinct-count trio (exact / HLL++ / deterministic HLL) answers
+"how many" per group; corpus comparisons need "how much do two corpora
+SHARE" — vocabulary overlap between language slices, release-over-
+release novelty, shared phrases between sources — and HLL registers
+cannot intersect (only union).  The KMV sketch (Bar-Yossef et al.
+2002; Beyer et al., SIGMOD'07) can: keep the k smallest md5 values of
+each set; then
+
+- distinct estimate  D̂ = (k−1) · M / h_(k)   (M = hash range, h_(k)
+  the k-th smallest kept hash) — the classic bottom-k estimator;
+- union sketch       = bottom-k of the MERGED kept values (closed
+  under union, like HLL);
+- Jaccard estimate   Ĵ = |K(A∪B) ∩ K(A) ∩ K(B)| / k — the fraction
+  of the union's bottom-k kept by both sides (the one-permutation
+  MinHash argument), giving |A∩B| ≈ Ĵ · D̂(A∪B) — the operation HLL
+  fundamentally lacks.
+
+Contract instance: the word-BIGRAM vocabularies of the 'en' and 'zh'
+slices (the corpus's language slices share ~98% of their phrase
+vocabulary — measured 892 of 907/896 at sf0.01 — so the intersection
+path is non-vacuous; mid-Jaccard error bands are pinned on planted
+sets in pytest where the geometry is controlled).
+
+Determinism contract: hashes are the engine's 52-bit md5 integers,
+estimates are INTEGER floor divisions ((k−1)·2^52 DIV h_k), and the
+bottom-k is selected by VALUE — no tie ambiguity, no float anywhere,
+so DuckDB replays sketch and estimates bit-for-bit.  Sketches that
+have not filled (distinct < k) report their exact count — both
+engines branch identically.
+
+Scale shape: each side is explode → DISTINCT hash (combinable) →
+bottom-k.  The contract formulation ranks the deduped hash set with
+one global window and documents the trade; the two-pass production
+refinement (pre-filter by a broadcast k-th-value upper bound from a
+per-partition bottom-k, then rank the tiny survivor set) drops the
+window input to O(partitions · k) — same output by construction.
+Every post-dedup relation is O(k) rows.
+
+tests/test_kmv.py: pure-Python third engine, union-closure, error
+bands at small k on planted mid-Jaccard sets, intersection recovery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.misra_gries import _bigrams
+
+__all__ = ["kmv_overlap_report", "kmv_overlap_report_sql", "K_MIN"]
+
+#: sketch size — small enough that estimates differ from exact counts
+#: (the error is the point; bands pinned in pytest)
+K_MIN = 64
+
+_M = 1 << 52  # md5-52 hash range: (k-1)*M must fit BIGINT
+#      (63 * 2^60 overflows int64 — measured Spark analysis error)
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _side_hashes(docs: DataFrame, lang: str) -> DataFrame:
+    """Distinct 52-bit hashes of the side's bigram vocabulary."""
+    grams = _bigrams(docs.filter(F.col("lang") == lang), "text")
+    return (grams.select(F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10)
+                         .cast("long").alias("h"))
+            .distinct())
+
+
+def _bottom_k(hashes: DataFrame, k: int) -> DataFrame:
+    w = Window.orderBy("h")
+    return (hashes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def _est(sk: DataFrame, k: int, name: str) -> DataFrame:
+    return sk.agg(
+        F.when(F.max("rn") >= k,
+               F.expr(f"CAST(({k} - 1) * {_M} DIV max(h) AS BIGINT)"))
+        .otherwise(F.count(F.lit(1)).cast("long")).alias(name))
+
+
+def kmv_overlap_report(docs: DataFrame, lang_a: str = "en",
+                       lang_b: str = "zh", k: int = K_MIN) -> DataFrame:
+    """One row: KMV estimates vs exact vocabulary overlap of two
+    language slices — (est_a, est_b, est_union, jacc_num,
+    est_intersection, exact_a, exact_b, exact_intersection)."""
+    ha, hb = _side_hashes(docs, lang_a), _side_hashes(docs, lang_b)
+    ka, kb = _bottom_k(ha, k), _bottom_k(hb, k)
+    ku = _bottom_k(ka.select("h").unionByName(kb.select("h")).distinct(), k)
+    jacc_num = (ku.join(ka.select("h"), "h")
+                .join(kb.select("h"), "h")
+                .agg(F.count(F.lit(1)).cast("long").alias("jacc_num")))
+    exact = (ha.withColumn("in_a", F.lit(1))
+             .join(hb.withColumn("in_b", F.lit(1)), "h", "full")
+             .agg(F.sum(F.coalesce("in_a", F.lit(0))).cast("long")
+                  .alias("exact_a"),
+                  F.sum(F.coalesce("in_b", F.lit(0))).cast("long")
+                  .alias("exact_b"),
+                  F.sum(F.when(F.col("in_a").isNotNull()
+                               & F.col("in_b").isNotNull(), 1)
+                        .otherwise(0)).cast("long")
+                  .alias("exact_intersection")))
+    ku_n = ku.agg(F.count(F.lit(1)).cast("long").alias("ku_n"))
+    out = (_est(ka, k, "est_a").crossJoin(_est(kb, k, "est_b"))
+           .crossJoin(_est(ku, k, "est_union"))
+           .crossJoin(jacc_num).crossJoin(ku_n).crossJoin(exact))
+    # Ĵ = jacc_num / |K(A∪B)|: the denominator is the union sketch's
+    # ACTUAL size (= k once filled; smaller sketches are exact sets)
+    return out.select(
+        "est_a", "est_b", "est_union", "jacc_num",
+        F.expr("CAST(jacc_num * est_union DIV ku_n AS BIGINT)")
+        .alias("est_intersection"),
+        "exact_a", "exact_b", "exact_intersection")
+
+
+def kmv_overlap_report_sql(table: str = "documents", lang_a: str = "en",
+                           lang_b: str = "zh", k: int = K_MIN) -> str:
+    def side(lang: str) -> str:
+        return f"""(
+  SELECT DISTINCT (('0x' || substring(md5(g), 1, 13))::BIGINT) AS h
+  FROM (
+    SELECT toks[i] || ' ' || toks[i + 1] AS g
+    FROM (
+      SELECT list_filter(
+               regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                     '{_WS_CLASS}'),
+               x -> x <> '') AS toks
+      FROM {table} WHERE lang = '{lang}') t,
+      LATERAL (SELECT unnest(range(1, len(toks))) AS i)))"""
+
+    return f"""
+WITH ha AS (SELECT h FROM {side(lang_a)} sa),
+hb AS (SELECT h FROM {side(lang_b)} sb),
+ka AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha
+       QUALIFY rn <= {k}),
+kb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb
+       QUALIFY rn <= {k}),
+ku AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL
+                                     SELECT h FROM kb))
+       QUALIFY rn <= {k}),
+ea AS (SELECT CASE WHEN max(rn) >= {k}
+              THEN CAST(({k} - 1) * {_M} // max(h) AS BIGINT)
+              ELSE CAST(count(*) AS BIGINT) END AS est_a FROM ka),
+eb AS (SELECT CASE WHEN max(rn) >= {k}
+              THEN CAST(({k} - 1) * {_M} // max(h) AS BIGINT)
+              ELSE CAST(count(*) AS BIGINT) END AS est_b FROM kb),
+eu AS (SELECT CASE WHEN max(rn) >= {k}
+              THEN CAST(({k} - 1) * {_M} // max(h) AS BIGINT)
+              ELSE CAST(count(*) AS BIGINT) END AS est_union FROM ku),
+jn AS (SELECT CAST(count(*) AS BIGINT) AS jacc_num
+       FROM ku JOIN ka USING (h) JOIN kb USING (h)),
+kn AS (SELECT CAST(count(*) AS BIGINT) AS ku_n FROM ku),
+ex AS (
+  SELECT CAST((SELECT count(*) FROM ha) AS BIGINT) AS exact_a,
+         CAST((SELECT count(*) FROM hb) AS BIGINT) AS exact_b,
+         CAST((SELECT count(*) FROM ha JOIN hb USING (h)) AS BIGINT)
+           AS exact_intersection)
+SELECT ea.est_a, eb.est_b, eu.est_union, jn.jacc_num,
+       CAST(jn.jacc_num * eu.est_union // kn.ku_n AS BIGINT)
+         AS est_intersection,
+       ex.exact_a, ex.exact_b, ex.exact_intersection
+FROM ea, eb, eu, jn, kn, ex
+"""

@@ -1,0 +1,109 @@
+"""KMV bottom-k sketch (functions/kmv.py): pure-Python third engine,
+union closure, error bands on planted mid-Jaccard sets."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from email_sanitizer_api_spark.functions.kmv import (
+    K_MIN,
+    kmv_overlap_report,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+WS = re.compile(r"[ \t\n\x0b\f\r]+")
+M = 1 << 52
+
+
+def _h(g: str) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:13], 16)
+
+
+def _bigrams(text: str) -> set[str]:
+    toks = [t for t in WS.split((text or "").strip().lower()) if t]
+    return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+
+def _py_report(set_a: set[str], set_b: set[str], k: int):
+    ha = sorted(_h(g) for g in set_a)
+    hb = sorted(_h(g) for g in set_b)
+    ka, kb = ha[:k], hb[:k]
+    ku = sorted(set(ka) | set(kb))[:k]
+
+    def est(sk, full):
+        return (k - 1) * M // sk[-1] if len(sk) >= k and full else len(sk)
+
+    jacc_num = len(set(ku) & set(ka) & set(kb))
+    est_u = est(ku, len(ku) >= k)
+    return {
+        "est_a": est(ka, len(ha) >= k), "est_b": est(kb, len(hb) >= k),
+        "est_union": est_u, "jacc_num": jacc_num,
+        "est_intersection": jacc_num * est_u // len(ku),
+        "exact_a": len(set_a), "exact_b": len(set_b),
+        "exact_intersection": len(set_a & set_b),
+    }
+
+
+def test_matches_python_on_corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sa, sb = set(), set()
+    for r in docs.select("lang", "text").collect():
+        if r["lang"] == "en":
+            sa |= _bigrams(r["text"])
+        elif r["lang"] == "zh":
+            sb |= _bigrams(r["text"])
+    got = kmv_overlap_report(docs).first().asDict()
+    assert got == _py_report(sa, sb, K_MIN)
+
+
+def _mk_docs(spark, texts_a, texts_b):
+    rows = [(i, "en", t) for i, t in enumerate(texts_a)]
+    rows += [(1000 + i, "zh", t) for i, t in enumerate(texts_b)]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def test_planted_mid_jaccard_bands(spark):
+    """500-vs-500 element sets with 200 shared: estimates land within
+    the KMV relative-error band (~1/sqrt(k-1) ≈ 0.13 at k=64; allow
+    3x) and the intersection estimate recovers the planted overlap."""
+    shared = [f"s{i} s{i}x" for i in range(200)]
+    only_a = [f"a{i} a{i}x" for i in range(300)]
+    only_b = [f"b{i} b{i}x" for i in range(300)]
+    # each 2-token text contributes exactly its one bigram
+    df = _mk_docs(spark, shared + only_a, shared + only_b)
+    r = kmv_overlap_report(df).first()
+    assert r["exact_a"] == r["exact_b"] == 500
+    assert r["exact_intersection"] == 200
+    for est, exact in ((r["est_a"], 500), (r["est_b"], 500),
+                       (r["est_union"], 800)):
+        assert abs(est - exact) / exact < 0.4, (est, exact)
+    assert abs(r["est_intersection"] - 200) / 200 < 0.6, r
+
+
+def test_union_closure(spark):
+    """Sketching A∪B directly equals merging the two sketches: run the
+    report with both slices relabelled to one language vs the merged
+    estimate — est('all') == est_union of the split report."""
+    shared = [f"s{i} s{i}x" for i in range(150)]
+    only_a = [f"a{i} a{i}x" for i in range(150)]
+    only_b = [f"b{i} b{i}x" for i in range(150)]
+    split = kmv_overlap_report(
+        _mk_docs(spark, shared + only_a, shared + only_b)).first()
+    merged = kmv_overlap_report(
+        _mk_docs(spark, shared + only_a + only_b, ["zz zz"])).first()
+    assert split["est_union"] == merged["est_a"]
+
+
+def test_unfilled_sketch_is_exact(spark):
+    """Fewer than k distinct elements: the sketch IS the set and every
+    estimate equals its exact twin."""
+    a = [f"a{i} a{i}x" for i in range(20)]
+    b = [f"a{i} a{i}x" for i in range(10)] + [f"b{i} b{i}x" for i in range(5)]
+    r = kmv_overlap_report(_mk_docs(spark, a, b)).first()
+    assert r["est_a"] == r["exact_a"] == 20
+    assert r["est_b"] == r["exact_b"] == 15
+    assert r["est_union"] == 25
+    assert r["est_intersection"] == r["exact_intersection"] == 10

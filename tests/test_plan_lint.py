@@ -79,6 +79,7 @@ NLJ_OK = {
     # est x true: crossJoin of two 1-row scalar aggregates
     "join_size_estimate_cms": "crossJoin of two broadcast 1-row estimate/exact scalar aggregates",
     "ams_f2_custkey": "crossJoin of two broadcast 1-row estimate/exact scalar aggregates",
+    "kmv_vocab_overlap": "crossJoins of six broadcast 1-row sketch-estimate/exact scalar aggregates",
 }
 
 LINT_NAMES = sorted(set(entry.queries()) - EAGER)
@@ -141,6 +142,9 @@ EXCHANGE_BUDGET = {
     "join_size_estimate_cms": 7,
     # d signed-sum rows + exact-F2 twin branch
     "ams_f2_custkey": 4,
+    # 2 side dedups + 3 bottom-k windows + union/join/exact branches;
+    # every post-dedup relation is O(k) rows
+    "kmv_vocab_overlap": 13,
     "length_percentiles_by_lang": 1, "partition_pruned_lang_agg": 1,
     "tpch_q1_pricing_summary": 1, "union_pair_sets": 1,
     "validate_counts": 1, "window_topk_orders_per_cust": 1,
