@@ -2994,6 +2994,65 @@ def _sql_ams_f2_custkey() -> str:
     return ams_f2_sql("orders", "o_custkey")
 
 
+def _evolved_docs_path(spark, sf_dir) -> str:
+    """Write (once per source-table VERSION, resume-idempotent — the
+    _partitioned_docs_path pattern incl. the stale-warehouse
+    fingerprint) two parquet batches with DIFFERENT schemas under one
+    table dir: batch v1 = even doc_ids with the base 3 columns, batch
+    v2 = odd doc_ids with an extra ``stars`` column — the schema-drift
+    shape every long-lived ingest dir develops."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = (f"/tmp/spark_graft_wh/evolved_{tag}_"
+            f"{st.st_size}_{int(st.st_mtime)}")
+    done = os.path.join(path, "_GRAFT_DONE")
+    if not os.path.exists(done):
+        docs = _t(spark, sf_dir, "documents")
+        v1 = (docs.filter(F.col("doc_id") % 2 == 0)
+              .select("doc_id", "lang", "n_chars"))
+        v2 = (docs.filter(F.col("doc_id") % 2 == 1)
+              .select("doc_id", "lang", "n_chars",
+                      (F.col("doc_id") % 5).cast("long").alias("stars")))
+        v1.write.mode("overwrite").parquet(f"{path}/batch=v1")
+        v2.write.mode("overwrite").parquet(f"{path}/batch=v2")
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _q_schema_evolution_scan(spark, sf_dir):
+    """Schema-drift read: two ingest batches with different schemas
+    under one table dir, unified by ``mergeSchema`` (footer-schema
+    union at planning time — rows from the pre-drift batch surface the
+    new column as NULL, the Iceberg/Delta schema-evolution contract on
+    plain parquet). The aggregate proves the unified read: per lang,
+    rows with/without the late column and the late column's sum. The
+    oracle derives the same numbers from the ORIGINAL table (the
+    doc_id parity defines which batch a row landed in), so it checks
+    the semantics, not the scratch files."""
+    docs = (spark.read.option("mergeSchema", "true")
+            .parquet(_evolved_docs_path(spark, sf_dir)))
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col("stars").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_pre_drift"),
+                 F.coalesce(F.sum("stars"), F.lit(0)).cast("long")
+                 .alias("sum_stars")))
+
+
+_SQL_SCHEMA_EVOLUTION_SCAN = """
+SELECT lang, count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pre_drift,
+       CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN doc_id % 5 END), 0)
+            AS BIGINT) AS sum_stars
+FROM documents GROUP BY lang
+"""
+
+
 def _q_kmv_vocab_overlap(spark, sf_dir):
     """KMV bottom-k distinct sketch (Bar-Yossef'02 / Beyer SIGMOD'07):
     the mergeable cardinality sketch that supports INTERSECTION — the
@@ -3040,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate_cms": _q_join_size_estimate_cms,
         "ams_f2_custkey": _q_ams_f2_custkey,
         "kmv_vocab_overlap": _q_kmv_vocab_overlap,
+        "schema_evolution_scan": _q_schema_evolution_scan,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3216,6 +3276,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate_cms": _sql_join_size_estimate_cms(),
         "ams_f2_custkey": _sql_ams_f2_custkey(),
         "kmv_vocab_overlap": _sql_kmv_vocab_overlap(),
+        "schema_evolution_scan": _SQL_SCHEMA_EVOLUTION_SCAN,
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

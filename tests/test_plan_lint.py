@@ -146,6 +146,8 @@ EXCHANGE_BUDGET = {
     # every post-dedup relation is O(k) rows
     "kmv_vocab_overlap": 13,
     "length_percentiles_by_lang": 1, "partition_pruned_lang_agg": 1,
+    # mergeSchema footer-union read + one grouped agg
+    "schema_evolution_scan": 1,
     "tpch_q1_pricing_summary": 1, "union_pair_sets": 1,
     "validate_counts": 1, "window_topk_orders_per_cust": 1,
     # two-stage aggs / bucketed ANN probes
