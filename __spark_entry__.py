@@ -3053,6 +3053,24 @@ FROM documents GROUP BY lang
 """
 
 
+def _q_first_seen_novelty(spark, sf_dir):
+    """First-seen novelty attribution — the mixing/ordering complement
+    to dedup: every distinct word bigram belongs to the EARLIEST doc
+    containing it; per-doc novelty = introduced/total (integer ppm).
+    Two combinable aggs + one feature-keyed equi-join — nothing
+    sequential despite the greedy-over-ingest-order framing; uniform
+    n-gram keys, no window, no driver state (functions/novelty.py)."""
+    from email_sanitizer_api_spark.functions.novelty import (
+        first_seen_novelty)
+    return first_seen_novelty(_t(spark, sf_dir, "documents"))
+
+
+def _sql_first_seen_novelty() -> str:
+    from email_sanitizer_api_spark.functions.novelty import (
+        first_seen_novelty_sql)
+    return first_seen_novelty_sql()
+
+
 def _q_kmv_vocab_overlap(spark, sf_dir):
     """KMV bottom-k distinct sketch (Bar-Yossef'02 / Beyer SIGMOD'07):
     the mergeable cardinality sketch that supports INTERSECTION — the
@@ -3100,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_custkey": _q_ams_f2_custkey,
         "kmv_vocab_overlap": _q_kmv_vocab_overlap,
         "schema_evolution_scan": _q_schema_evolution_scan,
+        "first_seen_novelty": _q_first_seen_novelty,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3277,6 +3296,7 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2_custkey": _sql_ams_f2_custkey(),
         "kmv_vocab_overlap": _sql_kmv_vocab_overlap(),
         "schema_evolution_scan": _SQL_SCHEMA_EVOLUTION_SCAN,
+        "first_seen_novelty": _sql_first_seen_novelty(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

@@ -1,0 +1,110 @@
+"""First-seen novelty attribution — what does each document ADD.
+
+Dedup answers "is this a copy"; mixing and ordering policies need the
+complementary signal: how much of a document's content is NEW at the
+moment it arrives (greedy data-selection heuristics — D4, DoReMi-style
+mix tuning, curriculum ordering — all start from a novelty curve over
+the ingest order).  The attribution rule is first-seen: every distinct
+feature (word bigram here, any shingle in general) belongs to the
+EARLIEST document containing it; a document's novelty is the fraction
+of its features it introduced.
+
+The whole operator is two combinable aggregations and one equi-join —
+nothing sequential, despite the "greedy over ingest order" framing:
+
+1. per-doc distinct features (explode + array_distinct, map-only);
+2. ``min(doc_id)`` per feature — the attribution table, a combinable
+   agg over uniform feature keys;
+3. join features back to their docs; novelty = count of features
+   whose attribution equals the doc — with per-doc totals from the
+   same relation, one more combinable agg.
+
+Everything is integer (counts + a 1e6-ppm ratio via integer
+division), hash-exact in DuckDB.  The ingest order is doc_id; any
+total order works (the attribution table just changes min key).
+
+Scale shape: feature keys are uniform (natural text n-grams), the
+attribution agg is partial-aggregated map-side, and the join is
+feature-keyed — no skew by construction, no window, no driver state.
+tests/test_novelty.py: Counter third engine, exact-dup docs add zero,
+conservation (Σ novel = |vocabulary|), prefix monotonicity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["first_seen_novelty", "first_seen_novelty_sql"]
+
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def first_seen_novelty(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, n_feats, n_novel, novelty_ppm): per-doc distinct word
+    bigrams, how many the doc introduced (first-seen by id order),
+    and the integer ppm ratio.  Docs with no bigrams report 0/0/0."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                _WS_CLASS),
+        lambda x: x != "")
+    grams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "array_distinct(transform(sequence(1, size(toks) - 1), "
+        "i -> concat(toks[i - 1], ' ', toks[i]))) "
+        "ELSE array() END")
+    df = (docs.select(F.col(id_col), toks.alias("toks"))
+          .select(F.col(id_col), F.explode_outer(grams).alias("g")))
+    first = df.groupBy("g").agg(F.min(id_col).alias("first_id"))
+    return (df.join(first, "g", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("n_feats"),
+                 F.sum(F.when(F.col("first_id") == F.col(id_col), 1)
+                       .otherwise(0)).cast("long").alias("n_novel"))
+            .withColumn(
+                "novelty_ppm",
+                F.expr("CAST(CASE WHEN n_feats > 0 "
+                       "THEN 1000000 * n_novel DIV n_feats "
+                       "ELSE 0 END AS BIGINT)")))
+
+
+def first_seen_novelty_sql(table: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB twin: identical tokenizer, attribution, and ppm math."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, list_filter(
+           regexp_split_to_array(lower(trim(coalesce({text_col}, ''))),
+                                 '{_WS_CLASS}'),
+           x -> x <> '') AS toks
+  FROM {table}),
+grams AS (
+  SELECT {id_col},
+         CASE WHEN len(toks) >= 2 THEN
+           list_distinct(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1]))
+         ELSE [] END AS gs
+  FROM toks),
+df AS (
+  SELECT {id_col}, unnest(
+           CASE WHEN len(gs) = 0 THEN [NULL] ELSE gs END) AS g
+  FROM grams),
+first AS (
+  SELECT g, min({id_col}) AS first_id FROM df
+  WHERE g IS NOT NULL GROUP BY g),
+agg AS (
+  SELECT df.{id_col},
+         CAST(sum(CASE WHEN df.g IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_feats,
+         CAST(sum(CASE WHEN f.first_id = df.{id_col} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM df LEFT JOIN first f ON df.g = f.g
+  GROUP BY df.{id_col})
+SELECT {id_col}, n_feats, n_novel,
+       CAST(CASE WHEN n_feats > 0 THEN 1000000 * n_novel // n_feats
+            ELSE 0 END AS BIGINT) AS novelty_ppm
+FROM agg
+"""

@@ -1,0 +1,74 @@
+"""First-seen novelty (functions/novelty.py): Counter third engine,
+conservation, exact-dup zero, prefix monotonicity."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from email_sanitizer_api_spark.functions.novelty import first_seen_novelty
+
+SF_DIR = "/root/testdata/sf0.001"
+WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_novelty(rows):
+    """rows: [(doc_id, text)] -> {doc_id: (n_feats, n_novel, ppm)}."""
+    grams = {}
+    for i, t in rows:
+        toks = [x for x in WS.split((t or "").strip().lower()) if x]
+        grams[i] = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+    first = {}
+    for i in sorted(grams):
+        for g in grams[i]:
+            if g not in first or i < first[g]:
+                first[g] = i
+    out = {}
+    for i, gs in grams.items():
+        nov = sum(1 for g in gs if first[g] == i)
+        out[i] = (len(gs), nov,
+                  1_000_000 * nov // len(gs) if gs else 0)
+    return out
+
+
+def test_matches_python_on_corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = [(r["doc_id"], r["text"])
+            for r in docs.select("doc_id", "text").collect()]
+    got = {r["doc_id"]: (r["n_feats"], r["n_novel"], r["novelty_ppm"])
+           for r in first_seen_novelty(docs).collect()}
+    assert got == _py_novelty(rows)
+
+
+def test_conservation_and_exact_dup_zero(spark):
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "c d e f"), (4, ""),
+            (5, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_feats"], r["n_novel"])
+           for r in first_seen_novelty(df).collect()}
+    # exact dup of doc 1 introduces nothing
+    assert got[2] == (3, 0)
+    # doc 3 shares 'c d', introduces 'd e', 'e f'
+    assert got[3] == (3, 2)
+    # empty + single-token docs are 0/0
+    assert got[4] == (0, 0) and got[5] == (0, 0)
+    # conservation: sum of novel == distinct vocabulary
+    vocab = {"a b", "b c", "c d", "d e", "e f"}
+    assert sum(n for _, n in got.values()) == len(vocab)
+
+
+def test_prefix_monotonicity(spark):
+    """Appending documents never changes earlier docs' novelty (the
+    attribution is first-seen: later arrivals cannot steal it)."""
+    rows = [(i, f"w{i} w{i+1} w{i+2}") for i in range(10)]
+    more = rows + [(100 + i, f"w{i} w{i+1} stolen{i}") for i in range(5)]
+    a = {r["doc_id"]: r["n_novel"]
+         for r in first_seen_novelty(
+             spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    b = {r["doc_id"]: r["n_novel"]
+         for r in first_seen_novelty(
+             spark.createDataFrame(more, ["doc_id", "text"])).collect()}
+    for i in a:
+        assert b[i] == a[i], i

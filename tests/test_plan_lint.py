@@ -122,6 +122,8 @@ EXCHANGE_BUDGET = {
     "events_props_json": 1,
     # hashing-trick vectorizer: explode + one combinable groupBy
     "feature_hash_vectors": 1,
+    # first-seen attribution: feature min-agg + keyed join + doc agg
+    "first_seen_novelty": 3,
     # time-RANGE sliding frame: one hash-partitioned window
     "events_range_window": 1,
     # ROLLUP via Expand: one scan, one exchange per distinct-agg level
