@@ -779,6 +779,63 @@ SELECT id AS content_sha256, min(label) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def _q_dedup_threshold_hierarchy(spark, sf_dir):
+    """Single-link hierarchy by threshold sweep: the SAME exact-verify
+    pair set (computed once, with exact Jaccards) filtered at tau =
+    0.5 / 0.7 / 0.9, each level resolved by connected components —
+    the dendrogram slice dedup policy tuning needs (how clusters merge
+    as the threshold relaxes). Single-linkage guarantees nesting:
+    every tau=0.9 cluster is contained in one tau=0.7 cluster is
+    contained in one tau=0.5 cluster (pinned in pytest). Long format
+    (tau_pct, content_sha256, cluster_id) incl. singletons; oracle =
+    three recursive-CTE CC levels over the shared brute-force pair
+    CTE. EAGER (iterative CC per level)."""
+    from email_sanitizer_api_spark.operators.cluster import (
+        connected_components)
+    from email_sanitizer_api_spark.operators.neardup import (
+        exact_near_dup_pairs)
+    cfg = DedupConfig(jaccard_threshold=_NEAR_DUP_TAU, verify_mode="exact")
+    sigs = _minhash_sigs(spark, sf_dir, cfg)
+    pairs = exact_near_dup_pairs(sigs, cfg).select(
+        "a", "b", "jaccard").persist()
+    pairs.count()
+    all_ids = sigs.select(F.col("content_sha256").alias("id")).distinct()
+    outs = []
+    for tau_pct in (50, 70, 90):
+        p = (pairs.filter(F.col("jaccard") >= tau_pct / 100.0)
+             .select("a", "b"))
+        cc = connected_components(p, cfg)
+        outs.append(
+            all_ids.join(cc, "id", "left").select(
+                F.lit(tau_pct).cast("int").alias("tau_pct"),
+                F.col("id").alias("content_sha256"),
+                F.coalesce("cluster_id", F.col("id")).alias("cluster_id")))
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
+def _sql_dedup_threshold_hierarchy() -> str:
+    levels = []
+    for tau_pct in (50, 70, 90):
+        t = tau_pct / 100.0
+        levels.append(f"""
+near{tau_pct} AS (SELECT a, b FROM near WHERE jaccard >= {t}),
+ed{tau_pct} AS (SELECT a AS src, b AS dst FROM near{tau_pct}
+                UNION SELECT b, a FROM near{tau_pct}),
+reach{tau_pct}(id, label) AS (
+  SELECT DISTINCT src, src FROM ed{tau_pct}
+  UNION
+  SELECT e.dst, r.label FROM reach{tau_pct} r JOIN ed{tau_pct} e
+    ON e.src = r.id),
+lab{tau_pct} AS (SELECT id, min(label) AS cluster_id FROM reach{tau_pct}
+                 GROUP BY id)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INT) AS tau_pct, n.id AS content_sha256, "
+        f"coalesce(l.cluster_id, n.id) AS cluster_id "
+        f"FROM n LEFT JOIN lab{t} l ON l.id = n.id" for t in (50, 70, 90))
+    return (f"WITH RECURSIVE {_near_dup_cte(_NEAR_DUP_TAU)},"
+            + ",".join(levels) + "\n" + sel)
+
+
 def _q_simhash_hamming_pairs(spark, sf_dir):
     """Auditable SimHash pair set (operators/simhash.py simhash_md5_pairs):
     pigeonhole chunk equi-join + bit_count confirm, over a token-level
@@ -3119,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_vocab_overlap": _q_kmv_vocab_overlap,
         "schema_evolution_scan": _q_schema_evolution_scan,
         "first_seen_novelty": _q_first_seen_novelty,
+        "dedup_threshold_hierarchy": _q_dedup_threshold_hierarchy,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3297,6 +3355,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_vocab_overlap": _sql_kmv_vocab_overlap(),
         "schema_evolution_scan": _SQL_SCHEMA_EVOLUTION_SCAN,
         "first_seen_novelty": _sql_first_seen_novelty(),
+        "dedup_threshold_hierarchy": _sql_dedup_threshold_hierarchy(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

@@ -56,6 +56,8 @@ EAGER = {
     "dup_graph_triangles",
     # bounded peel loop localCheckpoints per round (the CC pattern)
     "dup_graph_kcore",
+    # three iterative-CC levels over one persisted exact pair set
+    "dedup_threshold_hierarchy",
 }
 
 # name -> reason a BroadcastNestedLoopJoin / CartesianProduct is safe.

@@ -1,0 +1,90 @@
+"""Threshold-sweep single-link hierarchy (__spark_entry__
+._q_dedup_threshold_hierarchy): union-find third engine per level +
+the nesting property."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class _UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+@pytest.fixture(scope="module")
+def levels(spark):
+    rows = entry.queries()["dedup_threshold_hierarchy"](
+        spark, SF_DIR).collect()
+    out = defaultdict(dict)
+    for r in rows:
+        out[r["tau_pct"]][r["content_sha256"]] = r["cluster_id"]
+    return out
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    rows = entry.queries()["minhash_near_dup_pairs"](
+        spark, SF_DIR).collect()
+    return [(r["a"], r["b"], r["jaccard"]) for r in rows]
+
+
+def test_matches_union_find_per_level(levels, exact_pairs):
+    for tau_pct, labels in levels.items():
+        uf = _UF()
+        for i in labels:
+            uf.find(i)
+        for a, b, j in exact_pairs:
+            if j >= tau_pct / 100.0:
+                uf.union(a, b)
+        # min-label canonicalization on both sides
+        groups = defaultdict(list)
+        for i in labels:
+            groups[uf.find(i)].append(i)
+        want = {}
+        for members in groups.values():
+            m = min(members)
+            for i in members:
+                want[i] = m
+        assert labels == want, tau_pct
+
+
+def test_nesting_single_linkage(levels):
+    """Finer thresholds refine coarser ones: same cluster at tau=90
+    => same cluster at 70 => same at 50."""
+    ids = sorted(levels[50])
+    assert set(ids) == set(levels[70]) == set(levels[90])
+    for hi, lo in ((90, 70), (70, 50)):
+        coarse_of = {}
+        for i in ids:
+            fine = levels[hi][i]
+            if fine in coarse_of:
+                assert coarse_of[fine] == levels[lo][i], (hi, lo, i)
+            else:
+                coarse_of[fine] = levels[lo][i]
+
+
+def test_levels_actually_differ(levels):
+    """The sweep is non-vacuous on the corpus: relaxing the threshold
+    merges at least one pair of tau=0.9 clusters."""
+    n = {t: len(set(m.values())) for t, m in levels.items()}
+    assert n[50] <= n[70] <= n[90]
+    assert n[50] < n[90]
