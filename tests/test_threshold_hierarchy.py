@@ -82,9 +82,36 @@ def test_nesting_single_linkage(levels):
                 coarse_of[fine] = levels[lo][i]
 
 
-def test_levels_actually_differ(levels):
-    """The sweep is non-vacuous on the corpus: relaxing the threshold
-    merges at least one pair of tau=0.9 clusters."""
+def test_monotone_cluster_counts(levels):
+    """Coarser thresholds never split clusters (sf0.001's tiny corpus
+    has only >=0.9 pairs, so the levels may coincide — the strict
+    separation is planted in test_levels_differ_planted)."""
     n = {t: len(set(m.values())) for t, m in levels.items()}
     assert n[50] <= n[70] <= n[90]
-    assert n[50] < n[90]
+
+
+def test_levels_differ_planted(spark, tmp_path):
+    """Graded prefix-truncation plants pairs in every tau band: the
+    three levels produce strictly coarser partitions as tau relaxes."""
+    words = " ".join(f"w{i:03d}" for i in range(40))
+    fam = {
+        1: words,                                    # full
+        2: " ".join(words.split()[:36]),             # J ~ 0.9 vs 1
+        3: " ".join(words.split()[:22]),             # J ~ 0.55 vs 1
+    }
+    rows = [(i, t, "en", "src0", len(t)) for i, t in fam.items()]
+    rows += [(10 + i, f"unrelated{i} " * 20, "en", "src0", 200)
+             for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet")
+    out = defaultdict(dict)
+    for r in entry.queries()["dedup_threshold_hierarchy"](
+            spark, sf_dir).collect():
+        out[r["tau_pct"]][r["content_sha256"]] = r["cluster_id"]
+    n = {t: len(set(m.values())) for t, m in out.items()}
+    assert n[50] < n[90], n
+    assert n[50] <= n[70] <= n[90]
