@@ -3147,6 +3147,38 @@ def _sql_kmv_vocab_overlap() -> str:
     return kmv_overlap_report_sql()
 
 
+def _q_funnel_stages(spark, sf_dir):
+    """Strict-order first-touch funnel (view -> click -> purchase):
+    each stage's qualifying timestamp conditions on the previous
+    stage's, as a chain of filter -> per-user min-agg -> equi-join
+    steps — uniform user keys, no event-history window, no per-user
+    collect (operators/funnel.py)."""
+    from email_sanitizer_api_spark.operators.funnel import funnel_stages
+    return funnel_stages(_t(spark, sf_dir, "events"))
+
+
+def _sql_funnel_stages() -> str:
+    from email_sanitizer_api_spark.operators.funnel import (
+        funnel_stages_sql)
+    return funnel_stages_sql()
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    """Retention cohort grid: users by first-seen week x weekly
+    activity offset — per-user min-agg + distinct activity pairs +
+    one countDistinct rollup; all-integer floor(epoch/week) buckets
+    (operators/funnel.py)."""
+    from email_sanitizer_api_spark.operators.funnel import (
+        retention_cohorts)
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+def _sql_retention_cohorts() -> str:
+    from email_sanitizer_api_spark.operators.funnel import (
+        retention_cohorts_sql)
+    return retention_cohorts_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface (SURVEY.md §2.2-2.6)
@@ -3177,6 +3209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_scan": _q_schema_evolution_scan,
         "first_seen_novelty": _q_first_seen_novelty,
         "dedup_threshold_hierarchy": _q_dedup_threshold_hierarchy,
+        "funnel_stages": _q_funnel_stages,
+        "retention_cohorts": _q_retention_cohorts,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3356,6 +3390,8 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_scan": _SQL_SCHEMA_EVOLUTION_SCAN,
         "first_seen_novelty": _sql_first_seen_novelty(),
         "dedup_threshold_hierarchy": _sql_dedup_threshold_hierarchy(),
+        "funnel_stages": _sql_funnel_stages(),
+        "retention_cohorts": _sql_retention_cohorts(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

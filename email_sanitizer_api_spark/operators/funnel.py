@@ -1,0 +1,122 @@
+"""Event-sequence analytics: strict-order funnels and retention
+cohorts — the fourth and fifth temporal shapes beside sessionization,
+as-of, and the interval join.
+
+A funnel asks "did the user view, THEN click, THEN purchase" — strict
+temporal order, first-touch semantics: the qualifying click is the
+earliest click AFTER the first view, the qualifying purchase the
+earliest AFTER that click.  Each stage's timestamp conditions on the
+previous stage's, so the operator is a chain of (filter → per-user
+min-agg → equi-join) steps — one shuffle per stage, all keyed on the
+uniform user id, no window over event history and no per-user
+collect.  A user's row reports how deep they got (stage 0-3) plus the
+qualifying integer epochs.
+
+A retention cohort table asks "of the users who first appeared in
+week W, how many were active in week W+k" — the grid every retention
+chart draws: per-user first week (one min-agg), distinct (user, week)
+activity pairs (one dedup), an offset join, and a countDistinct per
+(cohort, offset) cell.
+
+Both are pure integer arithmetic over floor(epoch/…) — hash-exact in
+DuckDB.  tests/test_funnel.py: pure-Python third engines, constructed
+order-violation cases (a click BEFORE the first view must not count),
+and cohort diagonal conservation (Σ offset-0 cells = distinct users).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_stages", "funnel_stages_sql",
+           "retention_cohorts", "retention_cohorts_sql", "WEEK_S"]
+
+WEEK_S = 604800
+
+_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """(user_id, v_epoch, c_epoch, p_epoch, stage): first-touch strict
+    -order funnel over view → click → purchase."""
+    e = events.select("user_id", "event_type",
+                      F.unix_timestamp("ts").alias("ep"))
+    v = (e.filter(F.col("event_type") == _STEPS[0])
+         .groupBy("user_id").agg(F.min("ep").alias("v_epoch")))
+    c = (e.filter(F.col("event_type") == _STEPS[1])
+         .join(v, "user_id")
+         .filter(F.col("ep") > F.col("v_epoch"))
+         .groupBy("user_id").agg(F.min("ep").alias("c_epoch")))
+    p = (e.filter(F.col("event_type") == _STEPS[2])
+         .join(c, "user_id")
+         .filter(F.col("ep") > F.col("c_epoch"))
+         .groupBy("user_id").agg(F.min("ep").alias("p_epoch")))
+    base = e.select("user_id").distinct()
+    out = (base.join(v, "user_id", "left").join(c, "user_id", "left")
+           .join(p, "user_id", "left"))
+    stage = (F.when(F.col("p_epoch").isNotNull(), 3)
+             .when(F.col("c_epoch").isNotNull(), 2)
+             .when(F.col("v_epoch").isNotNull(), 1)
+             .otherwise(0))
+    return out.select("user_id", "v_epoch", "c_epoch", "p_epoch",
+                      stage.cast("int").alias("stage"))
+
+
+def funnel_stages_sql(table: str = "events") -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM {table}),
+v AS (SELECT user_id, min(ep) AS v_epoch FROM e
+      WHERE event_type = '{_STEPS[0]}' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ep) AS c_epoch
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = '{_STEPS[1]}' AND e.ep > v.v_epoch
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ep) AS p_epoch
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = '{_STEPS[2]}' AND e.ep > c.c_epoch
+      GROUP BY e.user_id),
+base AS (SELECT DISTINCT user_id FROM e)
+SELECT b.user_id, v.v_epoch, c.c_epoch, p.p_epoch,
+       CAST(CASE WHEN p.p_epoch IS NOT NULL THEN 3
+                 WHEN c.c_epoch IS NOT NULL THEN 2
+                 WHEN v.v_epoch IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage
+FROM base b
+LEFT JOIN v ON v.user_id = b.user_id
+LEFT JOIN c ON c.user_id = b.user_id
+LEFT JOIN p ON p.user_id = b.user_id
+"""
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_users): users by first-seen week x
+    weekly activity offsets."""
+    e = events.select(
+        "user_id",
+        F.expr(f"CAST(unix_timestamp(ts) DIV {WEEK_S} AS BIGINT)")
+        .alias("wk"))
+    first = e.groupBy("user_id").agg(F.min("wk").alias("w0"))
+    act = e.distinct()
+    return (act.join(first, "user_id")
+            .groupBy(F.col("w0").alias("cohort_week"),
+                     (F.col("wk") - F.col("w0")).alias("week_offset"))
+            .agg(F.countDistinct("user_id").cast("long").alias("n_users")))
+
+
+def retention_cohorts_sql(table: str = "events") -> str:
+    return f"""
+WITH e AS (
+  -- cast BEFORE the division: DuckDB's // on DOUBLE is plain
+  -- division, and CAST(DOUBLE AS BIGINT) rounds (2817.57 -> 2818)
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // {WEEK_S} AS wk
+  FROM {table}),
+first AS (SELECT user_id, min(wk) AS w0 FROM e GROUP BY user_id)
+SELECT f.w0 AS cohort_week, e.wk - f.w0 AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""

@@ -1,0 +1,98 @@
+"""Funnel + retention cohorts (operators/funnel.py): pure-Python third
+engines, strict-order violations, cohort conservation."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from datetime import datetime, timezone
+
+import pytest
+
+from email_sanitizer_api_spark.operators.funnel import (
+    WEEK_S,
+    funnel_stages,
+    retention_cohorts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_funnel(rows):
+    """rows: [(user, type, epoch)] -> {user: (v, c, p, stage)}."""
+    by_u = defaultdict(list)
+    for u, t, ep in rows:
+        by_u[u].append((t, ep))
+    out = {}
+    for u, evs in by_u.items():
+        v = min((e for t, e in evs if t == "view"), default=None)
+        c = (min((e for t, e in evs if t == "click" and e > v),
+                 default=None) if v is not None else None)
+        p = (min((e for t, e in evs if t == "purchase" and e > c),
+                 default=None) if c is not None else None)
+        stage = 3 if p else 2 if c else 1 if v else 0
+        out[u] = (v, c, p, stage)
+    return out
+
+
+def _py_cohorts(rows):
+    first, act = {}, set()
+    for u, _, ep in rows:
+        wk = ep // WEEK_S
+        act.add((u, wk))
+        first[u] = min(first.get(u, wk), wk)
+    cells = defaultdict(set)
+    for u, wk in act:
+        cells[(first[u], wk - first[u])].add(u)
+    return {k: len(v) for k, v in cells.items()}
+
+
+def _collect_events(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return df, [(r["user_id"], r["event_type"],
+                 int(r["ts"].replace(tzinfo=timezone.utc).timestamp()))
+                for r in df.select("user_id", "event_type", "ts").collect()]
+
+
+def test_funnel_matches_python(spark):
+    df, rows = _collect_events(spark)
+    got = {r["user_id"]: (r["v_epoch"], r["c_epoch"], r["p_epoch"],
+                          r["stage"])
+           for r in funnel_stages(df).collect()}
+    assert got == _py_funnel(rows)
+    assert any(v[3] == 3 for v in got.values())
+
+
+def test_strict_order_violation(spark):
+    """A click BEFORE the first view does not qualify; a later one
+    does. Purchases before the qualifying click are ignored."""
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def ts(s):
+        return datetime.fromtimestamp(base.timestamp() + s, tz=timezone.utc)
+
+    rows = [
+        (1, ts(100), 1, "click", 0.0, "{}"),     # pre-view click: no
+        (2, ts(200), 1, "view", 0.0, "{}"),
+        (3, ts(300), 1, "purchase", 0.0, "{}"),  # pre-click purchase: no
+        (4, ts(400), 1, "click", 0.0, "{}"),     # qualifies
+        (5, ts(500), 1, "purchase", 0.0, "{}"),  # qualifies
+        (6, ts(100), 2, "purchase", 0.0, "{}"),  # purchase only: stage 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    got = {r["user_id"]: (r["stage"], r["c_epoch"], r["p_epoch"])
+           for r in funnel_stages(df).collect()}
+    b = int(base.timestamp())
+    assert got[1] == (3, b + 400, b + 500)
+    assert got[2] == (0, None, None)
+
+
+def test_cohorts_match_python_and_conserve(spark):
+    df, rows = _collect_events(spark)
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(df).collect()}
+    assert got == _py_cohorts(rows)
+    # conservation: offset-0 cells partition the user base
+    n_users = len({u for u, _, _ in rows})
+    assert sum(v for (cw, off), v in got.items() if off == 0) == n_users

@@ -126,6 +126,10 @@ EXCHANGE_BUDGET = {
     "feature_hash_vectors": 1,
     # first-seen attribution: feature min-agg + keyed join + doc agg
     "first_seen_novelty": 3,
+    # funnel: one min-agg + join per stage, all user-keyed
+    "funnel_stages": 6,
+    # cohorts: first-week agg + distinct + offset rollup
+    "retention_cohorts": 4,
     # time-RANGE sliding frame: one hash-partitioned window
     "events_range_window": 1,
     # ROLLUP via Expand: one scan, one exchange per distinct-agg level
