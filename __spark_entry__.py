@@ -3147,6 +3147,85 @@ def _sql_kmv_vocab_overlap() -> str:
     return kmv_overlap_report_sql()
 
 
+_REV_E4 = ("CAST(round(l_extendedprice * 100) AS BIGINT) * "
+           "(100 - CAST(round(l_discount * 100) AS BIGINT))")
+
+
+def _q_tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) adapted to the sf tables: the
+    3-table star join (customer ⋈ orders ⋈ lineitem) Catalyst plans
+    with a broadcast dim side + shuffle joins on the fact keys — the
+    multi-join reordering depth the single-join queries don't
+    exercise. Revenue is EXACT integer 1e-4-dollar units
+    (cents x (100 - discount%)), so the sum is order-free."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01"))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey",
+                     F.unix_timestamp("o_orderdate").alias("odate_epoch"),
+                     "o_orderpriority")
+            .agg(F.sum(F.expr(_REV_E4)).cast("long").alias("revenue_e4")))
+
+
+_SQL_TPCH_Q3 = f"""
+SELECT l_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate_epoch,
+       o_orderpriority,
+       CAST(sum({_REV_E4}) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume) adapted: the 6-table snowflake
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with
+    the SAME-NATION semi-predicate (c_nationkey = s_nationkey) — the
+    deepest join tree in the surface; region/nation/supplier sides
+    broadcast, fact joins shuffle. Integer revenue units as Q3."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, (l.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(F.expr(_REV_E4)).cast("long").alias("revenue_e4")))
+
+
+_SQL_TPCH_Q5 = f"""
+SELECT n_name, CAST(sum({_REV_E4}) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 def _q_funnel_stages(spark, sf_dir):
     """Strict-order first-touch funnel (view -> click -> purchase):
     each stage's qualifying timestamp conditions on the previous
@@ -3211,6 +3290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_hierarchy": _q_dedup_threshold_hierarchy,
         "funnel_stages": _q_funnel_stages,
         "retention_cohorts": _q_retention_cohorts,
+        "tpch_q3_shipping": _q_tpch_q3_shipping,
+        "tpch_q5_local_supplier": _q_tpch_q5_local_supplier,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3392,6 +3473,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_threshold_hierarchy": _sql_dedup_threshold_hierarchy(),
         "funnel_stages": _sql_funnel_stages(),
         "retention_cohorts": _sql_retention_cohorts(),
+        "tpch_q3_shipping": _SQL_TPCH_Q3,
+        "tpch_q5_local_supplier": _SQL_TPCH_Q5,
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

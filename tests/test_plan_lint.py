@@ -128,6 +128,8 @@ EXCHANGE_BUDGET = {
     "first_seen_novelty": 3,
     # funnel: one min-agg + join per stage, all user-keyed
     "funnel_stages": 6,
+    # star/snowflake joins: dims broadcast, one agg exchange
+    "tpch_q3_shipping": 2, "tpch_q5_local_supplier": 3,
     # cohorts: first-week agg + distinct + offset rollup
     "retention_cohorts": 4,
     # time-RANGE sliding frame: one hash-partitioned window
