@@ -3226,6 +3226,59 @@ GROUP BY n_name
 """
 
 
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _q_table_profile_documents(spark, sf_dir):
+    """Statistics collection (the ANALYZE TABLE / CBO input): per
+    column — rows, nulls, exact distinct count, lexicographic min/max
+    (as strings), mean serialized length in ppm — all five columns in
+    ONE scan (multi-countDistinct expands map-side; the single agg
+    row unpivots driver-free via stack). The stats every cost-based
+    decision in this file rides on (broadcast thresholds, skew
+    projections) made first-class and oracle-checked."""
+    d = _t(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"{c}__nnull"),
+            F.countDistinct(c).cast("long").alias(f"{c}__ndv"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+            F.expr(f"CAST(1000000 * sum(length(CAST({c} AS STRING))) "
+                   f"DIV count({c}) AS BIGINT)").alias(f"{c}__lenppm"),
+        ]
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nnull, {c}__ndv, {c}__min, {c}__max, {c}__lenppm"
+        for c in _PROFILE_COLS)
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n_null, n_distinct, min_str, max_str, avg_len_ppm)"
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_str",
+             "max_str", "avg_len_ppm")
+
+
+def _sql_table_profile_documents() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       (SELECT count(*) FROM documents) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_str,
+       max(CAST({c} AS VARCHAR)) AS max_str,
+       CAST(1000000 * sum(length(CAST({c} AS VARCHAR)))
+            // count({c}) AS BIGINT) AS avg_len_ppm
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def _q_funnel_stages(spark, sf_dir):
     """Strict-order first-touch funnel (view -> click -> purchase):
     each stage's qualifying timestamp conditions on the previous
@@ -3292,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "tpch_q3_shipping": _q_tpch_q3_shipping,
         "tpch_q5_local_supplier": _q_tpch_q5_local_supplier,
+        "table_profile_documents": _q_table_profile_documents,
         # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
         # validate / normalize / dedup (S1-S3)
@@ -3475,6 +3529,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": _sql_retention_cohorts(),
         "tpch_q3_shipping": _SQL_TPCH_Q3,
         "tpch_q5_local_supplier": _SQL_TPCH_Q5,
+        "table_profile_documents": _sql_table_profile_documents(),
         "partition_pruned_lang_agg": _SQL_PARTITION_PRUNED_LANG_AGG,
         "blocklist_filtered_docs": _SQL_BLOCKLIST_FILTERED_DOCS,
         "quote_aware_scan_docs": _sql_quote_aware_scan(),

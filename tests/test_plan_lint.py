@@ -130,6 +130,8 @@ EXCHANGE_BUDGET = {
     "funnel_stages": 6,
     # star/snowflake joins: dims broadcast, one agg exchange
     "tpch_q3_shipping": 2, "tpch_q5_local_supplier": 3,
+    # ANALYZE-style profile: one scan, Expand multi-distinct agg pair
+    "table_profile_documents": 2,
     # cohorts: first-week agg + distinct + offset rollup
     "retention_cohorts": 4,
     # time-RANGE sliding frame: one hash-partitioned window
