@@ -32,12 +32,16 @@ have not filled (distinct < k) report their exact count — both
 engines branch identically.
 
 Scale shape: each side is explode → DISTINCT hash (combinable) →
-bottom-k.  The contract formulation ranks the deduped hash set with
-one global window and documents the trade; the two-pass production
-refinement (pre-filter by a broadcast k-th-value upper bound from a
-per-partition bottom-k, then rank the tiny survivor set) drops the
-window input to O(partitions · k) — same output by construction.
-Every post-dedup relation is O(k) rows.
+bottom-k via ``orderBy(h).limit(k)``, which Spark plans as
+TakeOrderedAndProject: every partition keeps only its own k smallest
+hashes and the driver merges O(partitions · k) rows — never a
+single-partition global sort (the r04 formulation ranked the full
+deduped vocabulary under an unpartitioned ``row_number()`` window;
+VERDICT r04 flagged it as the one scale-killer plan in the repo, and
+tests/test_plan_lint.py now rejects that plan class outright).  The
+"sketch not yet filled" branch is detected with ``count(*) >= k``, so
+no rank column is ever materialized.  Every post-dedup relation is
+O(k) rows.
 
 tests/test_kmv.py: pure-Python third engine, union-closure, error
 bands at small k on planted mid-Jaccard sets, intersection recovery.
@@ -45,7 +49,7 @@ bands at small k on planted mid-Jaccard sets, intersection recovery.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from email_sanitizer_api_spark.functions.misra_gries import _bigrams
@@ -70,14 +74,16 @@ def _side_hashes(docs: DataFrame, lang: str) -> DataFrame:
 
 
 def _bottom_k(hashes: DataFrame, k: int) -> DataFrame:
-    w = Window.orderBy("h")
-    return (hashes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k))
+    # TakeOrderedAndProject: per-partition top-k + driver merge,
+    # O(partitions * k) shipped — NOT a single-partition sort window.
+    return hashes.orderBy("h").limit(k)
 
 
 def _est(sk: DataFrame, k: int, name: str) -> DataFrame:
+    # count(*) >= k == "sketch filled" (hashes are distinct by
+    # construction); empty sketches coalesce to an exact count of 0.
     return sk.agg(
-        F.when(F.max("rn") >= k,
+        F.when(F.count(F.lit(1)) >= k,
                F.expr(f"CAST(({k} - 1) * {_M} DIV max(h) AS BIGINT)"))
         .otherwise(F.count(F.lit(1)).cast("long")).alias(name))
 
@@ -108,10 +114,12 @@ def kmv_overlap_report(docs: DataFrame, lang_a: str = "en",
            .crossJoin(_est(ku, k, "est_union"))
            .crossJoin(jacc_num).crossJoin(ku_n).crossJoin(exact))
     # Ĵ = jacc_num / |K(A∪B)|: the denominator is the union sketch's
-    # ACTUAL size (= k once filled; smaller sketches are exact sets)
+    # ACTUAL size (= k once filled; smaller sketches are exact sets).
+    # ku_n = 0 (both slices empty) guards to 0, not NULL/div-by-zero.
     return out.select(
         "est_a", "est_b", "est_union", "jacc_num",
-        F.expr("CAST(jacc_num * est_union DIV ku_n AS BIGINT)")
+        F.expr("CAST(CASE WHEN ku_n = 0 THEN 0 "
+               "ELSE jacc_num * est_union DIV ku_n END AS BIGINT)")
         .alias("est_intersection"),
         "exact_a", "exact_b", "exact_intersection")
 
@@ -134,21 +142,19 @@ def kmv_overlap_report_sql(table: str = "documents", lang_a: str = "en",
     return f"""
 WITH ha AS (SELECT h FROM {side(lang_a)} sa),
 hb AS (SELECT h FROM {side(lang_b)} sb),
-ka AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha
-       QUALIFY rn <= {k}),
-kb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb
-       QUALIFY rn <= {k}),
-ku AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+ku AS (SELECT h
        FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL
                                      SELECT h FROM kb))
-       QUALIFY rn <= {k}),
-ea AS (SELECT CASE WHEN max(rn) >= {k}
+       ORDER BY h LIMIT {k}),
+ea AS (SELECT CASE WHEN count(*) >= {k}
               THEN CAST(({k} - 1) * {_M} // max(h) AS BIGINT)
               ELSE CAST(count(*) AS BIGINT) END AS est_a FROM ka),
-eb AS (SELECT CASE WHEN max(rn) >= {k}
+eb AS (SELECT CASE WHEN count(*) >= {k}
               THEN CAST(({k} - 1) * {_M} // max(h) AS BIGINT)
               ELSE CAST(count(*) AS BIGINT) END AS est_b FROM kb),
-eu AS (SELECT CASE WHEN max(rn) >= {k}
+eu AS (SELECT CASE WHEN count(*) >= {k}
               THEN CAST(({k} - 1) * {_M} // max(h) AS BIGINT)
               ELSE CAST(count(*) AS BIGINT) END AS est_union FROM ku),
 jn AS (SELECT CAST(count(*) AS BIGINT) AS jacc_num
@@ -160,7 +166,8 @@ ex AS (
          CAST((SELECT count(*) FROM ha JOIN hb USING (h)) AS BIGINT)
            AS exact_intersection)
 SELECT ea.est_a, eb.est_b, eu.est_union, jn.jacc_num,
-       CAST(jn.jacc_num * eu.est_union // kn.ku_n AS BIGINT)
+       CAST(CASE WHEN kn.ku_n = 0 THEN 0
+            ELSE jn.jacc_num * eu.est_union // kn.ku_n END AS BIGINT)
          AS est_intersection,
        ex.exact_a, ex.exact_b, ex.exact_intersection
 FROM ea, eb, eu, jn, kn, ex

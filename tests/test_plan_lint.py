@@ -264,6 +264,83 @@ EXCHANGE_BUDGET = {
 }
 
 
+# name -> why a GLOBAL (unpartitioned) Window is safe at 100 TB: the
+# window's input relation is bounded by construction (O(k)/O(buckets)/
+# O(levels) rows), so the single-partition sort it implies never sees
+# table-sized data.  Anything NOT in this dict that plans an
+# unpartitioned Window fails the lint — that plan class (e.g. the r04
+# KMV bottom-k ranking the full bigram vocabulary, VERDICT r04 #2) is
+# the canonical scale-killer.
+WINDOW_GLOBAL_OK = {
+    "bigram_heavy_hitters_mg":
+        "final-merge window over the O(B*k) per-bucket MG summaries",
+    "pareto_front_docs":
+        "prefix-min window over <=10001 per-level min rows",
+    "sorted_neighborhood_pairs":
+        "offset window over O(buckets) bucket-count rows",
+    "sequence_packing_layout":
+        "prefix-sum window over O(buckets) bucket-sum rows",
+    "stratified_sample_quota":
+        "offset/prefix windows over O(buckets)+O(strata) rows",
+    "weighted_sample_poisson":
+        "offset window over O(buckets) rows (distributed-rank plan)",
+    "dsir_selection_weights":
+        "totals window over the K-row hashed-ngram bucket table",
+    "vocab_topk_tokens":
+        "rank window over the K-row TakeOrdered top-k survivor set",
+    "key_skew_profile_fp":
+        "rank window over the <=k=20-row TakeOrdered heavy-hitter set",
+    "kmeans_assign_embeddings":
+        "seed-rank window over the <=k=8-row TakeOrdered seed set",
+}
+
+
+def _toplevel_bracket_groups(s: str) -> list[str]:
+    depth, groups, cur = 0, [], []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth > 0:
+            cur.append(ch)
+    return groups
+
+
+def _global_windows(plan: str) -> list[str]:
+    """Arguments lines of Window execs with an EMPTY partition spec.
+
+    A formatted-plan Window detail prints ``Arguments: [funcs], [part],
+    [order]``.  Either trailing group may be absent: ``partitionBy`` with
+    no ``orderBy`` prints ``[funcs], [part]`` and a global ordered window
+    prints ``[funcs], [order]`` — the two are told apart by the sort
+    direction (``ASC``/``DESC``) Spark always prints in an ordering spec.
+    """
+    lines = plan.splitlines()
+    import re as _re
+    bad = []
+    for i, line in enumerate(lines):
+        if _re.match(r"^\(\d+\) Window$", line.strip()):
+            for j in range(i + 1, min(i + 6, len(lines))):
+                if lines[j].startswith("Arguments:"):
+                    groups = _toplevel_bracket_groups(lines[j])
+                    if len(groups) >= 3:
+                        break  # funcs, part, order — partitioned
+                    if len(groups) == 2 and not _re.search(
+                            r"\b(ASC|DESC)\b", groups[1]):
+                        break  # funcs, part (no order) — partitioned
+                    bad.append(lines[j])
+                    break
+    return bad
+
+
 def _explain(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -314,8 +391,27 @@ def test_exchange_budget(plans, name):
         f"the plan or re-justify the budget in PLANS.md.\n{plans[name]}")
 
 
+@pytest.mark.parametrize("name", LINT_NAMES)
+def test_no_unpartitioned_windows(plans, name):
+    # A Window with an empty partition spec plans a SINGLE-PARTITION
+    # global sort of its whole input — the "No Partition Defined for
+    # Window" WARNING and the classic 100-TB scale-killer.  Allowed only
+    # when the window's input is bounded by construction (whitelist).
+    bad = _global_windows(plans[name])
+    if name in WINDOW_GLOBAL_OK:
+        if bad:
+            pytest.skip(f"bounded global window: {WINDOW_GLOBAL_OK[name]}")
+        return  # whitelisted query no longer plans one — even better
+    assert not bad, (
+        f"{name}: unpartitioned Window over a potentially table-sized "
+        f"relation — rewrite as orderBy().limit(k) (TakeOrderedAndProject) "
+        f"or partition the window; whitelist in WINDOW_GLOBAL_OK only with "
+        f"a boundedness justification.\n" + "\n".join(bad))
+
+
 def test_whitelist_is_tight():
     # every whitelisted / budgeted name must still exist in the query surface
     assert set(NLJ_OK) <= set(entry.queries())
     assert EAGER <= set(entry.queries())
     assert set(EXCHANGE_BUDGET) == set(LINT_NAMES)
+    assert set(WINDOW_GLOBAL_OK) <= set(entry.queries())
