@@ -39,6 +39,14 @@ in Spark SQL and the DuckDB oracle:
   returns -1) — within the threshold it equals the unbounded value the
   oracle computes.
 
+Strings shorter than ``t+1`` cannot be split into ``t+1`` non-empty
+segments; they take a separate SHORT-BUCKET path (r05, closes ADVICE
+r04): any partner of an ``l <= t`` string has length ``<= 2t``, so
+shorts pair through a target-length equi-join whose key space is at
+most ``2t`` distinct lengths and whose buckets (strings of ``<= 2t``
+chars) are alphabet-bounded regardless of corpus size.  Together the
+two paths restore the docstring's completeness claim for ALL lengths.
+
 Scale shape: two narrow explodes (index: k rows/string, probe:
 O(k * (2t+1)^2) rows/string — constants, not data-dependent), ONE
 equi-join, one DISTINCT, codegen verify. No window over the corpus, no
@@ -94,11 +102,11 @@ def edit_distance_pairs(docs: DataFrame, id_col: str = "doc_id",
     (doc_id_a, doc_id_b, edit_dist). PassJoin segment blocking; see
     module docstring for the completeness argument."""
     k = t + 1
-    strs = (docs.select(F.col(id_col).alias("id"),
-                        F.col(key_col).alias("s"))
-            .where(F.col("s").isNotNull())
-            .withColumn("l", F.length("s"))
-            .where(F.col("l") >= k))
+    strs0 = (docs.select(F.col(id_col).alias("id"),
+                         F.col(key_col).alias("s"))
+             .where(F.col("s").isNotNull())
+             .withColumn("l", F.length("s")))
+    strs = strs0.where(F.col("l") >= k)
 
     # index side: k segments per string
     i_col = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
@@ -136,7 +144,29 @@ def edit_distance_pairs(docs: DataFrame, id_col: str = "doc_id",
             | ((F.col("ls") == F.col("lr"))
                & (F.col("id_s") < F.col("id_r"))))
 
-    pairs = cand.select("id_s", "ss", "id_r", "rr").distinct()
+    # short bucket (ADVICE r04): a string with l < k = t+1 (i.e. at most
+    # t chars) cannot be split into t+1 non-empty segments, so the main
+    # path would silently drop its pairs.  Any partner within distance t
+    # has length <= l + t <= 2t, so pair shorts via a target-length
+    # equi-join: the join-key space is <= 2t distinct lengths and strings
+    # that short are alphabet-bounded, so the buckets stay small at any
+    # corpus size.  One orientation per pair (shorter side probes, ties
+    # by id) means no DISTINCT is needed: tl == lr is unique per pair.
+    short = (strs0.where(F.col("l") < k)
+             .select(F.col("id").alias("id_s"), F.col("s").alias("ss"),
+                     F.col("l").alias("ls"),
+                     F.explode(F.sequence(F.col("l"),
+                                          F.col("l") + t)).alias("tl")))
+    rhs = strs0.select(F.col("id").alias("id_r"), F.col("s").alias("rr"),
+                       F.col("l").alias("lr"))
+    short_pairs = (short.join(rhs, on=[short.tl == rhs.lr])
+                   .where((F.col("ls") < F.col("lr"))
+                          | ((F.col("ls") == F.col("lr"))
+                             & (F.col("id_s") < F.col("id_r"))))
+                   .select("id_s", "ss", "id_r", "rr"))
+
+    pairs = (cand.select("id_s", "ss", "id_r", "rr").distinct()
+             .unionByName(short_pairs))
     return (pairs
             .withColumn("edit_dist",
                         F.levenshtein("ss", "rr", t))
@@ -154,10 +184,11 @@ def edit_distance_pairs_sql(table: str = "documents",
     ``levenshtein`` + the same ``<= t`` filter)."""
     k = t + 1
     return f"""
-WITH strs AS (
+WITH strs0 AS (
   SELECT {id_col} AS id, {key_col} AS s, length({key_col}) AS l
   FROM {table}
-  WHERE {key_col} IS NOT NULL AND length({key_col}) >= {k}),
+  WHERE {key_col} IS NOT NULL),
+strs AS (SELECT * FROM strs0 WHERE l >= {k}),
 idx0 AS (
   SELECT id AS id_s, s AS ss, l AS ls,
          unnest(range(0, {k})) AS i
@@ -197,11 +228,19 @@ cand AS (
     ON idx.seg = substr(pr.rr, CAST(pr.q + 1 AS BIGINT),
                         CAST(pr.li2 AS BIGINT))
    AND idx.i = pr.i2 AND idx.ls = pr.ls2
-  WHERE idx.ls < pr.lr OR (idx.ls = pr.lr AND idx.id_s < pr.id_r))
+  WHERE idx.ls < pr.lr OR (idx.ls = pr.lr AND idx.id_s < pr.id_r)),
+short_cand AS (
+  SELECT a.id AS id_s, a.s AS ss, b.id AS id_r, b.s AS rr
+  FROM strs0 a JOIN strs0 b
+    ON b.l BETWEEN a.l AND a.l + {t}
+   AND (a.l < b.l OR (a.l = b.l AND a.id < b.id))
+  WHERE a.l < {k}),
+allcand AS (
+  SELECT * FROM cand UNION ALL SELECT * FROM short_cand)
 SELECT least(id_s, id_r) AS doc_id_a,
        greatest(id_s, id_r) AS doc_id_b,
        levenshtein(ss, rr) AS edit_dist
-FROM cand
+FROM allcand
 WHERE levenshtein(ss, rr) <= {t}
 """
 

@@ -86,11 +86,14 @@ def test_cross_length_orientation_unique(spark):
     assert dists == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
 
 
-def test_short_and_null_keys_excluded(spark):
+def test_null_keys_excluded_shorts_kept(spark):
+    # NULL keys never pair; short keys DO (r05 — the r04 build excluded
+    # them, see ADVICE r04): lev('ab','abcd') = 2 <= t
     rows = [(1, "ab"), (2, None), (3, "abcd"), (4, "abcd")]
     df = spark.createDataFrame(rows, ["doc_id", "fname"])
     out = edit_distance_pairs(df).collect()
-    assert {(r["doc_id_a"], r["doc_id_b"]) for r in out} == {(3, 4)}
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in out} == {
+        (1, 3), (1, 4), (3, 4)}
 
 
 def test_random_strings_vs_brute(spark):
@@ -118,3 +121,35 @@ def test_plan_is_single_equijoin(planted):
         .toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_short_strings_included(spark):
+    # keys shorter than t+1 chars (un-segmentable) must still pair —
+    # the r04 formulation silently dropped them (ADVICE r04); the short
+    # bucket restores completeness for ALL lengths, including empty
+    strings = {1: "ab", 2: "abc", 3: "a", 4: "abcd", 5: "", 6: "zz",
+               7: "abcde", 8: "b"}
+    df = spark.createDataFrame(sorted(strings.items()),
+                               ["doc_id", "fname"])
+    got = {(r["doc_id_a"], r["doc_id_b"], r["edit_dist"])
+           for r in edit_distance_pairs(df).collect()}
+    want = _brute(strings, DEFAULT_T)
+    assert (1, 2, 1) in want and (3, 5, 1) in want  # sanity: shorts pair
+    assert got == want
+
+
+def test_short_long_mix_vs_brute(spark):
+    # mixed corpus where short keys sit next to segmentable ones: every
+    # (short, short) and (short, long) pair within t must appear once
+    import hashlib
+
+    def mk(i: int) -> str:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return h[: i % 6]  # lengths 0..5 straddle the k = t+1 boundary
+
+    strings = {i: mk(i) for i in range(90)}
+    df = spark.createDataFrame(sorted(strings.items()),
+                               ["doc_id", "fname"])
+    got = {(r["doc_id_a"], r["doc_id_b"], r["edit_dist"])
+           for r in edit_distance_pairs(df).collect()}
+    assert got == _brute(strings, DEFAULT_T)
