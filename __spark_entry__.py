@@ -2766,7 +2766,10 @@ def _q_events_props_json(spark, sf_dir):
     k = F.from_json(F.col("props"), "k INT")["k"]
     return (
         e.select("event_type", k.alias("k"))
-        .groupBy("event_type", (F.col("k") / 10).cast("int").alias("k_decile"))
+        .groupBy("event_type",
+                 # floor division, matching DuckDB's `//`: (k/10).cast(int)
+                 # truncates toward zero and diverges on negative k
+                 F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("k").cast("long").alias("sum_k"),

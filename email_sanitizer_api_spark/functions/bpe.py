@@ -177,8 +177,9 @@ def _sql_parts(table: str, text_col: str, n_merges: int,
     (needed by bpe_token_stats_sql; learning itself only needs the
     final argmax)."""
     def apply_merge(k: int, prev: str, b: str) -> list[str]:
-        # mirrors _apply_merge; the 1-row argmax CTE `b` is cross-joined
-        # so l/r are plain columns (no scalar subqueries anywhere)
+        # mirrors _apply_merge; the guarded argmax CTE `b` (exactly one
+        # row, possibly NULL/NULL) is cross-joined so l/r are plain
+        # columns; NULL l/r yields no candidates, so the merge is a no-op
         return [f"""w{k} AS (
   SELECT freq, syms, l, r,
          [i FOR i IN range(1, len(syms))
@@ -223,7 +224,15 @@ def _sql_parts(table: str, text_col: str, n_merges: int,
         ctes.append(f"""b{k} AS (
   SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""")
         if k < n_merges or apply_last:
-            ctes.extend(apply_merge(k, prev, f"b{k}"))
+            # guard (ADVICE r04): on a corpus exhausted before n_merges,
+            # b{k} is EMPTY and a bare cross join would empty v{k} and
+            # every later vocabulary, while the Spark learner breaks and
+            # keeps the last one.  bg{k} always has exactly one row
+            # (NULL/NULL when no pairs remain), making the merge a no-op
+            # instead of a wipe — the engines converge on any corpus.
+            ctes.append(f"""bg{k} AS (
+  SELECT (SELECT l FROM b{k}) AS l, (SELECT r FROM b{k}) AS r)""")
+            ctes.extend(apply_merge(k, prev, f"bg{k}"))
         selects.append(
             f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, "
             f"cnt AS pair_count FROM b{k}")

@@ -165,3 +165,36 @@ def test_apply_merge_column_vs_python(spark, syms, pair, want):
     got = df.select(_apply_merge(F.col("syms"), *pair).alias("m")) \
         .first()["m"]
     assert got == want
+
+
+def test_degenerate_corpus_oracle_parity(spark):
+    # corpus exhausted before n_merges: after merging 'a'+'a' and then
+    # 'aa'+EOW no pairs remain, so supersteps 3..5 find an EMPTY argmax.
+    # Spark breaks and keeps the last vocabulary; the DuckDB twin's
+    # guarded bg{k} CTE (ADVICE r04) must do the same instead of wiping
+    # the vocabulary through a cross join with an empty relation.
+    import duckdb
+    import pandas as pd
+
+    from email_sanitizer_api_spark.functions.bpe import (
+        bpe_learn_merges_sql, bpe_token_stats_sql)
+
+    texts = ["aa aa aa", "aa"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    got_merges = _spark_learn(spark, texts, n=5)
+    assert len(got_merges) == 2  # learner stopped early
+
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    want = [tuple(r) for r in con.execute(
+        bpe_learn_merges_sql(n_merges=5)).fetchall()]
+    assert sorted(got_merges) == sorted(want)
+
+    got_stats = {(r["token"], r["n_occurrences"], r["n_positions"])
+                 for r in bpe_token_stats(df, n_merges=5).collect()}
+    want_stats = {tuple(r) for r in con.execute(
+        bpe_token_stats_sql(n_merges=5)).fetchall()}
+    assert got_stats == want_stats
+    assert got_stats, "fully-merged vocabulary must not be wiped"
