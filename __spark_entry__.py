@@ -2622,6 +2622,19 @@ def _sql_events_priced_asof() -> str:
     return events_priced_asof_sql()
 
 
+def _q_events_priced_asof_leveled(spark, sf_dir):
+    """The as-of join through the hot-key-leveled two-level rewrite
+    (r05): the running-last window partitions by (user_id, weekly time
+    bucket) so a user owning a huge event stream splits across buckets;
+    earlier-bucket versions arrive via an O(buckets)-per-key carry-in
+    window. Same DuckDB ASOF-JOIN oracle as events_priced_asof, so the
+    hash-equality row is direct evidence the leveling preserves
+    semantics (operators/asof.py asof_join_leveled)."""
+    from email_sanitizer_api_spark.operators.asof import (
+        events_priced_asof_leveled)
+    return events_priced_asof_leveled(_t(spark, sf_dir, "events"))
+
+
 def _q_edit_distance_pairs(spark, sf_dir):
     """Levenshtein-threshold similarity join (PassJoin segment blocking,
     PVLDB'11): pigeonhole t+1 segments per indexed string, substring
@@ -3453,6 +3466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantile_sketch_by_lang": _q_length_quantile_sketch,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "stratified_sample_quota": _q_stratified_sample_quota,
+        # r05: skew-leveled as-of join (two-level time-bucket rewrite)
+        "events_priced_asof_leveled": _q_events_priced_asof_leveled,
     }
 
 
@@ -3583,6 +3598,8 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _sql_edit_distance_pairs(),
         # as-of join vs DuckDB's NATIVE ASOF LEFT JOIN (r04 s5)
         "events_priced_asof": _sql_events_priced_asof(),
+        # leveled path, SAME oracle: hash-equality == leveling is sound
+        "events_priced_asof_leveled": _sql_events_priced_asof(),
         # fixed-superstep weighted PageRank / TextRank (r04 s5)
         "textrank_tokens": _sql_textrank_tokens(),
         # content-defined chunking dedup (r04 s5)

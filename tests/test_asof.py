@@ -82,3 +82,67 @@ def test_single_shuffle_no_join(events):
         .executedPlan().toString()
     assert "Join" not in plan, "as-of must plan join-free"
     assert plan.count("Exchange") <= 2  # window partitioning (+AQE read)
+
+
+def test_leveled_equals_plain_on_events(spark, events):
+    from email_sanitizer_api_spark.operators.asof import (
+        events_priced_asof_leveled)
+    plain = {tuple(r) for r in events_priced_asof(events).collect()}
+    # several bucket widths, including one so narrow that most buckets
+    # hold no version (carry-in does all the work) and one so wide the
+    # leveling degenerates to the plain single-window path
+    for width in (3600.0, 7 * 86400.0, 1e12):
+        leveled = {tuple(r) for r in
+                   events_priced_asof_leveled(events, width).collect()}
+        assert leveled == plain, f"width={width}"
+
+
+def test_leveled_hot_key_1e5_facts(spark):
+    # VERDICT r04 item 5's acceptance test: ONE key owns 10^5 facts.
+    # The leveled path must produce exactly the plain path's answer
+    # while partitioning that key's timeline across time buckets.
+    from email_sanitizer_api_spark.operators.asof import asof_join_leveled
+
+    n = 100_000
+    facts = (spark.range(n)
+             .select(F.lit("hot").alias("k"),
+                     F.col("id").cast("double").alias("ts"),
+                     F.col("id").alias("fact_id")))
+    # a version every 1000 ticks, offset so ties and gaps both occur
+    versions = (spark.range(n // 1000)
+                .select(F.lit("hot").alias("k"),
+                        (F.col("id") * 1000 + 500).cast("double")
+                        .alias("ts"),
+                        (F.col("id") * 7).alias("payload")))
+    got = (asof_join_leveled(facts, versions, key="k", payload=["payload"],
+                             bucket_width=4096.0)
+           .select("fact_id", "asof_ts", "payload"))
+    # closed form: fact at t picks version floor((t-500)/1000) for
+    # t >= 500, else NULL
+    rows = {r["fact_id"]: (r["asof_ts"], r["payload"])
+            for r in got.collect()}
+    assert len(rows) == n
+    import random
+    rng = random.Random(5)
+    for t in [0, 499, 500, 501, 1499, 1500, n - 1] + [
+            rng.randrange(n) for _ in range(200)]:
+        if t < 500:
+            assert rows[t] == (None, None), t
+        else:
+            v = (t - 500) // 1000
+            assert rows[t] == (v * 1000 + 500.0, v * 7), t
+
+
+def test_leveled_window_partitions_by_bucket(spark, events):
+    # the level-1 window must partition by (key, bucket) — the skew fix
+    # is real, not cosmetic: no Window in the plan partitions by
+    # user_id alone
+    from email_sanitizer_api_spark.operators.asof import (
+        events_priced_asof_leveled)
+    plan = (events_priced_asof_leveled(events)
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the leveled plan"
+    lvl1 = [s for s in specs if "_ts" in s]
+    assert lvl1 and all("_b" in s for s in lvl1), specs

@@ -224,6 +224,10 @@ EXCHANGE_BUDGET = {
     # as-of join via the union-window rewrite: the single key-partitioned
     # window (+ the version-collapse agg riding the same partitioning)
     "events_priced_asof": 2,
+    # leveled path: (key,bucket) level-1 window + bucket-distinct +
+    # O(keys x buckets) summary agg + per-key carry window + the
+    # (key,bucket) join back — every exchange keyed on the salted pair
+    "events_priced_asof_leveled": 7,
     # TextRank, 4 unrolled lazy supersteps: 3 exchanges per superstep
     # (message join + dst agg) but the UN-CACHED edges subtree (edge agg
     # + wout agg) repeats under every superstep in the lazy plan —
