@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stages", "funnel_stages_sql",
+__all__ = ["funnel", "funnel_sql", "funnel_stages", "funnel_stages_sql",
            "retention_cohorts", "retention_cohorts_sql", "WEEK_S"]
 
 WEEK_S = 604800
@@ -37,58 +37,98 @@ WEEK_S = 604800
 _STEPS = ("view", "click", "purchase")
 
 
+def funnel(events: DataFrame, steps: "tuple[str, ...]" = _STEPS,
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> DataFrame:
+    """First-touch strict-order funnel over an ARBITRARY ordered chain
+    of event types (r05 — the 3-step chain is now just the contract
+    instance).  Output: (user_id, s1_epoch, ..., sN_epoch, stage) where
+    ``s{{i}}_epoch`` is the qualifying epoch of step i (NULL if the user
+    never reached it) and ``stage`` is the deepest step reached (0-N).
+
+    Each step is one (filter → equi-join on the previous step → per-user
+    min-agg): N shuffles total, all keyed on the uniform user id — no
+    window over event history, no per-user collect, at any N."""
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    e = events.select(F.col(user_col).alias("user_id"),
+                      F.col(type_col).alias("event_type"),
+                      F.unix_timestamp(ts_col).alias("ep"))
+    stage_dfs = []
+    prev_df, prev_col = None, None
+    for i, step in enumerate(steps, start=1):
+        cur = e.filter(F.col("event_type") == step)
+        if prev_df is not None:
+            cur = (cur.join(prev_df, "user_id")
+                   .filter(F.col("ep") > F.col(prev_col)))
+        col = f"s{i}_epoch"
+        cur = cur.groupBy("user_id").agg(F.min("ep").alias(col))
+        stage_dfs.append(cur)
+        prev_df, prev_col = cur, col
+    out = e.select("user_id").distinct()
+    for sdf in stage_dfs:
+        out = out.join(sdf, "user_id", "left")
+    n = len(steps)
+    stage = F.when(F.col(f"s{n}_epoch").isNotNull(), n)
+    for i in range(n - 1, 0, -1):
+        stage = stage.when(F.col(f"s{i}_epoch").isNotNull(), i)
+    stage = stage.otherwise(0)
+    return out.select(
+        "user_id", *[f"s{i}_epoch" for i in range(1, len(steps) + 1)],
+        stage.cast("int").alias("stage"))
+
+
+def funnel_sql(table: str, steps: "tuple[str, ...]" = _STEPS,
+               user_col: str = "user_id", type_col: str = "event_type",
+               ts_col: str = "ts") -> str:
+    """DuckDB twin of :func:`funnel` for any step chain."""
+    ctes = [f"""e AS (
+  SELECT {user_col} AS user_id, {type_col} AS event_type,
+         CAST(floor(epoch({ts_col})) AS BIGINT) AS ep
+  FROM {table})"""]
+    for i, step in enumerate(steps, start=1):
+        if i == 1:
+            ctes.append(
+                f"s1 AS (SELECT user_id, min(ep) AS s1_epoch FROM e\n"
+                f"      WHERE event_type = '{step}' GROUP BY user_id)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ep) AS s{i}_epoch\n"
+                f"      FROM e JOIN s{i - 1} ON e.user_id = "
+                f"s{i - 1}.user_id\n"
+                f"      WHERE e.event_type = '{step}' "
+                f"AND e.ep > s{i - 1}.s{i - 1}_epoch\n"
+                f"      GROUP BY e.user_id)")
+    ctes.append("base AS (SELECT DISTINCT user_id FROM e)")
+    n = len(steps)
+    case = "CASE "
+    for i in range(n, 0, -1):
+        case += f"WHEN s{i}.s{i}_epoch IS NOT NULL THEN {i} "
+    case += "ELSE 0 END"
+    sel = ", ".join(f"s{i}.s{i}_epoch" for i in range(1, n + 1))
+    joins = "\n".join(
+        f"LEFT JOIN s{i} ON s{i}.user_id = b.user_id"
+        for i in range(1, n + 1))
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT b.user_id, {sel}, CAST({case} AS INT) AS stage\n"
+            f"FROM base b\n{joins}\n")
+
+
 def funnel_stages(events: DataFrame) -> DataFrame:
-    """(user_id, v_epoch, c_epoch, p_epoch, stage): first-touch strict
-    -order funnel over view → click → purchase."""
-    e = events.select("user_id", "event_type",
-                      F.unix_timestamp("ts").alias("ep"))
-    v = (e.filter(F.col("event_type") == _STEPS[0])
-         .groupBy("user_id").agg(F.min("ep").alias("v_epoch")))
-    c = (e.filter(F.col("event_type") == _STEPS[1])
-         .join(v, "user_id")
-         .filter(F.col("ep") > F.col("v_epoch"))
-         .groupBy("user_id").agg(F.min("ep").alias("c_epoch")))
-    p = (e.filter(F.col("event_type") == _STEPS[2])
-         .join(c, "user_id")
-         .filter(F.col("ep") > F.col("c_epoch"))
-         .groupBy("user_id").agg(F.min("ep").alias("p_epoch")))
-    base = e.select("user_id").distinct()
-    out = (base.join(v, "user_id", "left").join(c, "user_id", "left")
-           .join(p, "user_id", "left"))
-    stage = (F.when(F.col("p_epoch").isNotNull(), 3)
-             .when(F.col("c_epoch").isNotNull(), 2)
-             .when(F.col("v_epoch").isNotNull(), 1)
-             .otherwise(0))
-    return out.select("user_id", "v_epoch", "c_epoch", "p_epoch",
-                      stage.cast("int").alias("stage"))
+    """(user_id, v_epoch, c_epoch, p_epoch, stage): the contract
+    instance of :func:`funnel` — view → click → purchase."""
+    out = funnel(events, _STEPS)
+    return out.select("user_id",
+                      F.col("s1_epoch").alias("v_epoch"),
+                      F.col("s2_epoch").alias("c_epoch"),
+                      F.col("s3_epoch").alias("p_epoch"),
+                      "stage")
 
 
 def funnel_stages_sql(table: str = "events") -> str:
-    return f"""
-WITH e AS (
-  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep
-  FROM {table}),
-v AS (SELECT user_id, min(ep) AS v_epoch FROM e
-      WHERE event_type = '{_STEPS[0]}' GROUP BY user_id),
-c AS (SELECT e.user_id, min(e.ep) AS c_epoch
-      FROM e JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = '{_STEPS[1]}' AND e.ep > v.v_epoch
-      GROUP BY e.user_id),
-p AS (SELECT e.user_id, min(e.ep) AS p_epoch
-      FROM e JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = '{_STEPS[2]}' AND e.ep > c.c_epoch
-      GROUP BY e.user_id),
-base AS (SELECT DISTINCT user_id FROM e)
-SELECT b.user_id, v.v_epoch, c.c_epoch, p.p_epoch,
-       CAST(CASE WHEN p.p_epoch IS NOT NULL THEN 3
-                 WHEN c.c_epoch IS NOT NULL THEN 2
-                 WHEN v.v_epoch IS NOT NULL THEN 1
-                 ELSE 0 END AS INT) AS stage
-FROM base b
-LEFT JOIN v ON v.user_id = b.user_id
-LEFT JOIN c ON c.user_id = b.user_id
-LEFT JOIN p ON p.user_id = b.user_id
-"""
+    inner = funnel_sql(table, _STEPS)
+    return (f"SELECT user_id, s1_epoch AS v_epoch, s2_epoch AS c_epoch, "
+            f"s3_epoch AS p_epoch, stage FROM (\n{inner}) t")
 
 
 def retention_cohorts(events: DataFrame) -> DataFrame:

@@ -96,3 +96,84 @@ def test_cohorts_match_python_and_conserve(spark):
     # conservation: offset-0 cells partition the user base
     n_users = len({u for u, _, _ in rows})
     assert sum(v for (cw, off), v in got.items() if off == 0) == n_users
+
+
+def test_four_step_funnel_with_violation_plant(spark):
+    """r05 (VERDICT r04 item 6): arbitrary-length chains. A 4-step
+    view -> click -> signup -> purchase funnel, with a user whose
+    signup PRECEDES their qualifying click (must stall at stage 2) and
+    a user who walks all four in order (stage 4). Checked against a
+    generic pure-Python engine AND the generic DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    from email_sanitizer_api_spark.operators.funnel import funnel, funnel_sql
+
+    steps = ("view", "click", "signup", "purchase")
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def ts(s):
+        return datetime.fromtimestamp(base.timestamp() + s,
+                                      tz=timezone.utc)
+
+    rows = [
+        # user 1: full walk, in order
+        (1, ts(10), 1, "view", 0.0, "{}"),
+        (2, ts(20), 1, "click", 0.0, "{}"),
+        (3, ts(30), 1, "signup", 0.0, "{}"),
+        (4, ts(40), 1, "purchase", 0.0, "{}"),
+        # user 2: signup BEFORE the qualifying click -> stalls at 2
+        (5, ts(10), 2, "view", 0.0, "{}"),
+        (6, ts(15), 2, "signup", 0.0, "{}"),
+        (7, ts(20), 2, "click", 0.0, "{}"),
+        (8, ts(25), 2, "purchase", 0.0, "{}"),  # needs signup: ignored
+        # user 3: repeat views/clicks, late signup qualifies
+        (9, ts(5), 3, "view", 0.0, "{}"),
+        (10, ts(6), 3, "view", 0.0, "{}"),
+        (11, ts(7), 3, "click", 0.0, "{}"),
+        (12, ts(50), 3, "signup", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    got = {r["user_id"]: tuple(r)[1:]
+           for r in funnel(df, steps).collect()}
+    b = int(base.timestamp())
+    assert got[1] == (b + 10, b + 20, b + 30, b + 40, 4)
+    assert got[2] == (b + 10, b + 20, None, None, 2)
+    assert got[3] == (b + 5, b + 7, b + 50, None, 3)
+
+    # generic pure-Python engine over the same chain
+    def py(rows):
+        by_u = defaultdict(list)
+        for _, t, u, et, _, _ in rows:
+            by_u[u].append((et, int(t.timestamp())))
+        out = {}
+        for u, evs in by_u.items():
+            epochs, prev = [], None
+            for st in steps:
+                cur = (min((e for t2, e in evs
+                            if t2 == st and (prev is None or e > prev)),
+                           default=None)
+                       if (prev is not None or not epochs) else None)
+                epochs.append(cur)
+                if cur is None:
+                    epochs.extend([None] * (len(steps) - len(epochs)))
+                    break
+                prev = cur
+            stage = sum(1 for e in epochs if e is not None)
+            out[u] = tuple(epochs) + (stage,)
+        return out
+
+    assert got == py(rows)
+
+    # generic DuckDB twin
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.tz_localize(None)
+    con.register("events4", pdf)
+    want = {r[0]: tuple(r)[1:]
+            for r in con.execute(funnel_sql("events4", steps)).fetchall()}
+    assert got == want
