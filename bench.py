@@ -133,9 +133,6 @@ def main() -> None:
         "cdc_chunk_dedup",
         # PQ-ADC compressed scan + exact re-rank (Arrow einsum UDFs)
         "cosine_topk_pq",
-        # r04 session-6 additions (same caveat: per-query compare):
-        # degree-ordered triangle census over a 1.1M-edge dup graph
-        "dup_graph_triangles",
         # DSIR hashed-ngram selection: 2 corpus-pass shuffles + K-row
         # broadcast model
         "dsir_selection_weights",
@@ -155,7 +152,18 @@ def main() -> None:
         # binned interval-overlap range join (single-count bin trick)
         "session_overlap_pairs",
     ]
+    # STRESS section (r05, VERDICT r04 item 4): dense-graph stress
+    # entries whose cost is the adversarial input itself (the tau=0.8
+    # organic dup graph: 1.1M edges, ~1e8 wedges), not the production
+    # surface. Reported separately so the headline total tracks the
+    # production queries round-over-round — one 130 s census entry was
+    # 56% of the r04 headline and made total comparisons noise.
+    stress = [
+        # degree-ordered triangle census over a 1.1M-edge dup graph
+        "dup_graph_triangles",
+    ]
     headline = [q for q in headline if q in queries]
+    stress = [q for q in stress if q in queries]
 
     # number of input files the flagship pipeline processes (for files/sec)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -172,12 +180,13 @@ def main() -> None:
     # shift hits different queries in different passes, and min-of-passes
     # recovers each query's machine-limited number — the same interleaving
     # defence the scaling harness uses across its two levels.
-    samples: dict[str, list[float]] = {name: [] for name in headline}
+    run_list = headline + stress
+    samples: dict[str, list[float]] = {name: [] for name in run_list}
     pass_probes: list[dict] = []
     n_passes = 3
     for p in range(n_passes):
         pass_probes.append(host_probe(1.0))
-        for name in headline:
+        for name in run_list:
             best = min(samples[name], default=float("inf"))
             # skip a stable query's last pass: two readings within 15%
             # are already machine-limited; the flagship (the headline
@@ -190,7 +199,8 @@ def main() -> None:
             t0 = time.perf_counter()
             force(queries[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
-    per_query = {name: round(min(ts), 3) for name, ts in samples.items()}
+    per_query = {name: round(min(samples[name]), 3) for name in headline}
+    per_stress = {name: round(min(samples[name]), 3) for name in stress}
 
     probe_post = host_probe()
     total = round(sum(per_query.values()), 3)
@@ -200,6 +210,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        # dense-graph stress entries: same min-of-passes protocol, kept
+        # OUT of the headline total (cost tracks the adversarial input,
+        # not the production surface — compare per-query across rounds)
+        "stress": per_stress,
+        "stress_total": round(sum(per_stress.values()), 3),
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
         "dedup_files": n_docs,

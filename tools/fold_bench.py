@@ -59,11 +59,15 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     ap.add_argument("--state-dir", default=None,
                     help="default: a fresh temp dir (removed afterwards)")
+    ap.add_argument("--delete-n", type=int, default=120,
+                    help="files tombstoned per delete fold (0 disables); "
+                         "constant across folds, so O(touched) predicts "
+                         "flat delete deltas as the corpus grows")
     args = ap.parse_args()
 
     from email_sanitizer_api_spark.config import DedupConfig
     from email_sanitizer_api_spark.operators.incremental import (
-        DedupState, incremental_dedup)
+        DedupState, incremental_dedup, incremental_delete)
     from email_sanitizer_api_spark.session import get_spark
 
     import __spark_entry__ as entry
@@ -89,7 +93,7 @@ def main() -> None:
             n_total = res.files_clustered.count()
             sec = round(time.perf_counter() - t0, 2)
             delta = _dir_bytes(os.path.join(root, f"v{res.state_version}"))
-            folds.append({
+            fold = {
                 "fold": b + 1,
                 "batch_rows": res.metrics["batch_rows"],
                 "fresh_content": res.metrics["fresh_content"],
@@ -98,7 +102,33 @@ def main() -> None:
                 "delta_bytes": delta,
                 "probe_mops": pre,
                 "state_probe_plan": res.metrics["state_probe_plan"],
-            })
+            }
+            # the most expensive lifecycle op (VERDICT r04 item 8): a
+            # rebuild-splits delete of a CONSTANT-size doomed set right
+            # after each fold — if deletion cost were O(corpus) rather
+            # than O(touched), its delta bytes/sec would grow with fold
+            # index like an O(corpus) fold would
+            if args.delete_n:
+                doomed = (batch.select("repo", "path", "commit")
+                          .orderBy("path").limit(args.delete_n))
+                pre_d = _probe()
+                t0 = time.perf_counter()
+                dres = incremental_delete(spark, doomed, root, cfg,
+                                          rebuild_splits=True)
+                dsec = round(time.perf_counter() - t0, 2)
+                ddelta = _dir_bytes(
+                    os.path.join(root, f"v{dres.state_version}"))
+                fold["delete"] = {
+                    "sec": dsec,
+                    "delta_bytes": ddelta,
+                    "probe_mops": pre_d,
+                    "files_deleted": dres.metrics.get("files_deleted"),
+                    "content_forgotten":
+                        dres.metrics.get("content_forgotten"),
+                    "clusters_rebuilt":
+                        dres.metrics.get("clusters_rebuilt"),
+                }
+            folds.append(fold)
             spark.catalog.clearCache()
         state_bytes = _dir_bytes(root)
         v = DedupState(spark, root).version()
@@ -120,6 +150,14 @@ def main() -> None:
         # embedded probes
         "flat_ratio_bytes": round(last["delta_bytes"] / first["delta_bytes"], 3),
         "flat_ratio_sec": round(last["sec"] / first["sec"], 3),
+        # same two ratios for the delete+rebuild folds (O(touched) claim)
+        "flat_ratio_delete_bytes": (
+            round(last["delete"]["delta_bytes"]
+                  / first["delete"]["delta_bytes"], 3)
+            if args.delete_n else None),
+        "flat_ratio_delete_sec": (
+            round(last["delete"]["sec"] / first["delete"]["sec"], 3)
+            if args.delete_n else None),
         "state_bytes_final": state_bytes,
         "state_versions": v,
     }
