@@ -2622,6 +2622,26 @@ def _sql_events_priced_asof() -> str:
     return events_priced_asof_sql()
 
 
+def _q_blocking_recall_snm(spark, sf_dir):
+    """Blocking-quality ablation (r05): for every TRUE token-Jaccard>=0.8
+    pair, its rank distance in the md5-SimHash sorted-neighborhood order,
+    rolled up per window size into (candidates minted, true pairs found,
+    recall_ppm) — the candidate-volume-vs-recall trade every blocking
+    config decides blind, measured on the corpus itself with no sampling.
+    All integers; DuckDB twin replays signatures, row_number order, the
+    brute-force true-pair join, and the same rollup
+    (operators/ordering.py blocking_recall_snm)."""
+    from email_sanitizer_api_spark.operators.ordering import (
+        blocking_recall_snm)
+    return blocking_recall_snm(_t(spark, sf_dir, "documents"))
+
+
+def _sql_blocking_recall_snm() -> str:
+    from email_sanitizer_api_spark.operators.ordering import (
+        blocking_recall_snm_sql)
+    return blocking_recall_snm_sql()
+
+
 def _q_events_priced_asof_leveled(spark, sf_dir):
     """The as-of join through the hot-key-leveled two-level rewrite
     (r05): the running-last window partitions by (user_id, weekly time
@@ -3468,6 +3488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_quota": _q_stratified_sample_quota,
         # r05: skew-leveled as-of join (two-level time-bucket rewrite)
         "events_priced_asof_leveled": _q_events_priced_asof_leveled,
+        # r05: SNM blocking-quality ablation (candidates vs recall)
+        "blocking_recall_snm": _q_blocking_recall_snm,
     }
 
 
@@ -3600,6 +3622,8 @@ def oracle_sql() -> dict[str, str]:
         "events_priced_asof": _sql_events_priced_asof(),
         # leveled path, SAME oracle: hash-equality == leveling is sound
         "events_priced_asof_leveled": _sql_events_priced_asof(),
+        # r05: SNM blocking-quality ablation
+        "blocking_recall_snm": _sql_blocking_recall_snm(),
         # fixed-superstep weighted PageRank / TextRank (r04 s5)
         "textrank_tokens": _sql_textrank_tokens(),
         # content-defined chunking dedup (r04 s5)

@@ -48,6 +48,8 @@ from email_sanitizer_api_spark.operators.simhash import (
 )
 
 __all__ = [
+    "blocking_recall_snm",
+    "blocking_recall_snm_sql",
     "global_rank",
     "global_running_sum",
     "sorted_neighborhood_pairs",
@@ -204,4 +206,148 @@ ranked AS (
 SELECT a.id AS a, b.id AS b, CAST({ham} AS BIGINT) AS hamming
 FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + {window}
 WHERE {ham} <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocking-quality measurement: SNM window recall against the exact pair set
+# ---------------------------------------------------------------------------
+
+DEFAULT_RECALL_WINDOWS = (1, 2, 4, 8, 16, 32)
+
+
+def blocking_recall_snm(docs: DataFrame,
+                        windows: "tuple[int, ...]" = DEFAULT_RECALL_WINDOWS,
+                        threshold: float = 0.8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_chunks: int = 4,
+                        n_buckets: int = 256) -> DataFrame:
+    """Candidate-generator QUALITY as a first-class query (r05): for
+    every TRUE near-dup pair (exact token Jaccard >= ``threshold``,
+    computed by the PPJoin path — itself oracle-checked), measure its
+    rank distance in the md5-SimHash sorted-neighborhood order, and roll
+    up per window size: how many true pairs a window-``w`` SNM pass
+    would catch, against the exactly ``n*w - w(w+1)/2`` candidates it
+    would mint.  Output one row per window:
+
+        (window, n_docs, n_candidates, n_true_pairs, n_found,
+         recall_ppm)
+
+    This is the engineering trade every blocking configuration decides
+    blind — candidates (cost, linear in w) vs recall (quality) — made
+    measurable inside the engine, on the corpus itself, with no sampling
+    and an exact DuckDB twin.  All integers; recall_ppm is the floor of
+    ``n_found * 1e6 / n_true_pairs`` (0 when no true pairs).
+
+    Scale shape: the signature rank is the SNM plan (bucketed global
+    rank — no single-partition window); true pairs are the prefix-
+    filtered similarity join; the rollup is two tiny joins (true pairs
+    x ranks on each endpoint), one conditional-sum aggregate, and a
+    ``stack`` unpivot over len(windows) literal rows.  The crossJoins
+    combine 1-row scalar aggregates (broadcast).
+    """
+    from email_sanitizer_api_spark.functions.similarity import (
+        token_set_similarity_join)
+
+    sig = simhash_md5_signatures(docs, id_col, text_col, n_chunks)
+    lead = f"c{n_chunks - 1}"
+    width = max(1, (1 << 16) // n_buckets)
+    sig = sig.withColumn("_bkt", F.floor(F.col(lead) / width).cast("int"))
+    order_cols = [f"c{j}" for j in reversed(range(n_chunks))] + ["id"]
+    ranked = global_rank(sig, order_cols, "_bkt").select("id", "r")
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), "lang",
+        F.array_distinct(
+            F.split(F.lower(F.trim(text_col)),
+                    "[ \\t\\n\\x0B\\f\\r]+")).alias("toks"))
+    true_pairs = token_set_similarity_join(
+        toks, threshold=threshold, id_col="doc_id", tokens_col="toks",
+        partition_cols=("lang",)).select("a", "b")
+
+    dist = (true_pairs
+            .join(ranked.select(F.col("id").alias("a"),
+                                F.col("r").alias("ra")), "a")
+            .join(ranked.select(F.col("id").alias("b"),
+                                F.col("r").alias("rb")), "b")
+            .select(F.abs(F.col("ra") - F.col("rb")).alias("d")))
+
+    found = dist.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        *[F.sum((F.col("d") <= w).cast("long")).alias(f"f_{w}")
+          for w in windows])
+    n_docs = ranked.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    stack = ("stack(" + str(len(windows)) + ", "
+             + ", ".join(f"{w}, f_{w}" for w in windows)
+             + ") AS (window, n_found)")
+    out = (found.crossJoin(F.broadcast(n_docs))
+           .select("n_docs", "n_true_pairs", F.expr(stack)))
+    w_ = F.col("window").cast("long")
+    n_ = F.col("n_docs")
+    n_cand = (F.when(n_ > w_, n_ * w_ - (w_ * (w_ + 1) / 2).cast("long"))
+              .otherwise((n_ * (n_ - 1) / 2).cast("long")))
+    recall = (F.when(F.col("n_true_pairs") == 0, F.lit(0).cast("long"))
+              .otherwise(F.floor(F.col("n_found") * F.lit(1000000)
+                                 / F.col("n_true_pairs")).cast("long")))
+    return out.select(
+        F.col("window").cast("int").alias("window"),
+        "n_docs",
+        n_cand.cast("long").alias("n_candidates"),
+        "n_true_pairs",
+        F.col("n_found").cast("long").alias("n_found"),
+        recall.alias("recall_ppm"))
+
+
+def blocking_recall_snm_sql(table: str = "documents",
+                            windows: "tuple[int, ...]"
+                            = DEFAULT_RECALL_WINDOWS,
+                            threshold: float = 0.8,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n_chunks: int = 4) -> str:
+    """DuckDB twin: identical signatures + row_number() order, the
+    brute-force true-pair join, and the same integer rollup."""
+    order = ", ".join(
+        [f"c{j}" for j in reversed(range(n_chunks))] + ["id"])
+    wlist = ", ".join(str(w) for w in windows)
+    jac = ("CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / "
+           "CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)")
+    return f"""
+WITH {simhash_md5_sig_ctes(table, id_col, text_col, n_chunks)},
+ranked AS (
+  SELECT id, row_number() OVER (ORDER BY {order}) - 1 AS r
+  FROM sig),
+jtoks AS (
+  SELECT {id_col} AS doc_id, lang,
+         list_distinct(regexp_split_to_array(lower(trim({text_col})),
+                                             '[ \\t\\n\\x0B\\f\\r]+')) AS t
+  FROM {table}),
+tp AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM jtoks a JOIN jtoks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE round({jac}, 5) >= {threshold}),
+dist AS (
+  SELECT abs(ra.r - rb.r) AS d
+  FROM tp JOIN ranked ra ON tp.a = ra.id JOIN ranked rb ON tp.b = rb.id),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ranked),
+ws AS (SELECT unnest([{wlist}]) AS w),
+agg AS (
+  SELECT ws.w,
+         CAST(count(d) AS BIGINT) AS n_true_pairs,
+         CAST(coalesce(sum(CASE WHEN d <= ws.w THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_found
+  FROM ws LEFT JOIN dist ON TRUE
+  GROUP BY ws.w)
+SELECT CAST(agg.w AS INT) AS "window",
+       n.n_docs,
+       CAST(CASE WHEN n.n_docs > agg.w
+            THEN n.n_docs * agg.w - (agg.w * (agg.w + 1)) // 2
+            ELSE (n.n_docs * (n.n_docs - 1)) // 2 END AS BIGINT)
+         AS n_candidates,
+       agg.n_true_pairs,
+       agg.n_found,
+       CAST(CASE WHEN agg.n_true_pairs = 0 THEN 0
+            ELSE agg.n_found * 1000000 // agg.n_true_pairs END AS BIGINT)
+         AS recall_ppm
+FROM agg, n
 """

@@ -1,0 +1,116 @@
+"""SNM blocking-quality ablation (operators/ordering.py
+blocking_recall_snm): pure-Python third engine + structural invariants.
+
+The report answers "how many true near-dup pairs would a window-w
+sorted-neighborhood pass catch, for how many candidates" — so the pins
+are (a) exact agreement with an independent Python computation of ranks,
+true pairs, and the rollup; (b) monotonicity in w for both n_found and
+n_candidates; (c) the closed-form candidate count; (d) total recall when
+the window covers the whole corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.operators.ordering import (
+    blocking_recall_snm,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _md5_simhash(text: str, n_chunks: int = 4) -> tuple[int, ...]:
+    # the engine's explicit whitespace class, NOT str.split(): Java \s
+    # and Python's differ on \x0B handling relative to the oracle
+    import re
+    toks = sorted({t for t in re.split(r"[ \t\n\x0B\f\r]+",
+                                       text.lower().strip()) if t})
+    votes = [0] * (16 * n_chunks)
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for c in range(n_chunks):
+            for k in range(16):
+                digit = int(h[c * 4 + k // 4], 16)
+                bit = (digit >> (k % 4)) & 1
+                votes[c * 16 + k] += 1 if bit else -1
+    out = []
+    for c in range(n_chunks):
+        v = 0
+        for k in range(16):
+            if votes[c * 16 + k] > 0:
+                v |= 1 << k
+        out.append(v)
+    return tuple(out)
+
+
+def _py_report(rows, windows=(1, 2, 4, 8, 16, 32), threshold=0.8):
+    import re
+    sigs = {}
+    for doc_id, lang, text in rows:
+        toks = {t for t in re.split(r"[ \t\n\x0B\f\r]+",
+                                    (text or "").lower().strip()) if t}
+        if toks:
+            sigs[doc_id] = _md5_simhash(text)
+    order = sorted(sigs, key=lambda i: (tuple(reversed(sigs[i])), i))
+    rank = {i: r for r, i in enumerate(order)}
+    # true pairs: token Jaccard >= threshold within lang, round-5 like
+    # the engine
+    toksets, langs = {}, {}
+    for doc_id, lang, text in rows:
+        t = set(re.split(r"[ \t\n\x0B\f\r]+", (text or "").lower().strip()))
+        toksets[doc_id] = t
+        langs[doc_id] = lang
+    ids = sorted(toksets)
+    dists = []
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            if langs[a] != langs[b]:
+                continue
+            j = len(toksets[a] & toksets[b]) / len(toksets[a] | toksets[b])
+            if round(j, 5) >= threshold:
+                if a in rank and b in rank:
+                    dists.append(abs(rank[a] - rank[b]))
+    n, nt = len(order), len(dists)
+    rep = {}
+    for w in windows:
+        found = sum(1 for d in dists if d <= w)
+        cand = n * w - w * (w + 1) // 2 if n > w else n * (n - 1) // 2
+        rep[w] = (n, cand, nt, found,
+                  found * 1000000 // nt if nt else 0)
+    return rep
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .where(F.col("doc_id") < 200))
+
+
+def test_matches_python_third_engine(spark, small_docs):
+    rows = [(r["doc_id"], r["lang"], r["text"])
+            for r in small_docs.select("doc_id", "lang", "text").collect()]
+    got = {r["window"]: (r["n_docs"], r["n_candidates"], r["n_true_pairs"],
+                         r["n_found"], r["recall_ppm"])
+           for r in blocking_recall_snm(small_docs).collect()}
+    assert got == _py_report(rows)
+
+
+def test_monotone_and_closed_form(spark, small_docs):
+    rows = sorted((tuple(r) for r in
+                   blocking_recall_snm(small_docs).collect()))
+    for (w1, n1, c1, t1, f1, r1), (w2, n2, c2, t2, f2, r2) in zip(
+            rows, rows[1:]):
+        assert w1 < w2 and f1 <= f2 and c1 < c2 and t1 == t2
+        assert c1 == n1 * w1 - w1 * (w1 + 1) // 2
+
+
+def test_full_window_catches_everything(spark, small_docs):
+    n = blocking_recall_snm(small_docs).first()["n_docs"]
+    full = blocking_recall_snm(small_docs, windows=(int(n),)).first()
+    assert full["n_found"] == full["n_true_pairs"]
+    assert full["recall_ppm"] == (1000000 if full["n_true_pairs"] else 0)
+    assert full["n_candidates"] == n * (n - 1) // 2

@@ -82,6 +82,7 @@ NLJ_OK = {
     "join_size_estimate_cms": "crossJoin of two broadcast 1-row estimate/exact scalar aggregates",
     "ams_f2_custkey": "crossJoin of two broadcast 1-row estimate/exact scalar aggregates",
     "kmv_vocab_overlap": "crossJoins of six broadcast 1-row sketch-estimate/exact scalar aggregates",
+    "blocking_recall_snm": "crossJoin of two broadcast 1-row rollup scalar aggregates",
 }
 
 LINT_NAMES = sorted(set(entry.queries()) - EAGER)
@@ -261,6 +262,12 @@ EXCHANGE_BUDGET = {
     "stratified_sample_quota": 7,
     # same distributed-rank plan over the u DIV w priority order
     "weighted_sample_poisson": 7,
+    # SNM blocking ablation: the ranked relation joins BOTH true-pair
+    # endpoints, so the lazy plan reprints the global_rank subtree twice
+    # and the PPJoin true-pair subtree once (~8) — runtime exchange
+    # reuse dedupes the identical rank subtrees (the textrank /
+    # cluster_agreement_ari accounting)
+    "blocking_recall_snm": 27,
     # DSIR: bucket agg (union of uni+bigram explodes) + O(K)-row totals
     # window + per-doc score agg + id-spine distinct and left join; the
     # K-row ratio table broadcasts (functions/dsir.py)
@@ -296,6 +303,9 @@ WINDOW_GLOBAL_OK = {
         "rank window over the <=k=20-row TakeOrdered heavy-hitter set",
     "kmeans_assign_embeddings":
         "seed-rank window over the <=k=8-row TakeOrdered seed set",
+    "blocking_recall_snm":
+        "offset windows over O(buckets) bucket-count rows (the "
+        "global_rank plan, same as sorted_neighborhood_pairs)",
 }
 
 
