@@ -2622,6 +2622,26 @@ def _sql_events_priced_asof() -> str:
     return events_priced_asof_sql()
 
 
+def _q_corpus_drift_by_lang(spark, sf_dir):
+    """Release-over-release distribution drift (r05): ppm-quantized
+    total-variation distance between two dumps' token distributions per
+    language slice, plus vocabulary inventory and novel-mass rate — the
+    "did the new crawl move under us" diagnostic every ingest pipeline
+    wants per release. Dumps split deterministically by doc_id parity
+    (planted-construct pattern); one corpus pass, three partial-
+    aggregable exchanges, all integers
+    (functions/corpus_drift.py corpus_drift_report)."""
+    from email_sanitizer_api_spark.functions.corpus_drift import (
+        corpus_drift_report)
+    return corpus_drift_report(_t(spark, sf_dir, "documents"))
+
+
+def _sql_corpus_drift_by_lang() -> str:
+    from email_sanitizer_api_spark.functions.corpus_drift import (
+        corpus_drift_report_sql)
+    return corpus_drift_report_sql()
+
+
 def _q_blocking_recall_snm(spark, sf_dir):
     """Blocking-quality ablation (r05): for every TRUE token-Jaccard>=0.8
     pair, its rank distance in the md5-SimHash sorted-neighborhood order,
@@ -3490,6 +3510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_priced_asof_leveled": _q_events_priced_asof_leveled,
         # r05: SNM blocking-quality ablation (candidates vs recall)
         "blocking_recall_snm": _q_blocking_recall_snm,
+        # r05: release-over-release token-distribution drift
+        "corpus_drift_by_lang": _q_corpus_drift_by_lang,
     }
 
 
@@ -3624,6 +3646,8 @@ def oracle_sql() -> dict[str, str]:
         "events_priced_asof_leveled": _sql_events_priced_asof(),
         # r05: SNM blocking-quality ablation
         "blocking_recall_snm": _sql_blocking_recall_snm(),
+        # r05: token-distribution drift between dumps
+        "corpus_drift_by_lang": _sql_corpus_drift_by_lang(),
         # fixed-superstep weighted PageRank / TextRank (r04 s5)
         "textrank_tokens": _sql_textrank_tokens(),
         # content-defined chunking dedup (r04 s5)

@@ -1,0 +1,136 @@
+"""Corpus drift report: token-distribution shift between two dumps.
+
+Every long-lived ingest pipeline faces the same question release over
+release: did the new dump's language/token mix MOVE — vendored spam
+flooding in, a crawler losing a domain, a language slice collapsing —
+and by how much, per slice?  The standard scalar for "how far apart are
+two distributions" that needs no smoothing and no logs is total
+variation distance TV(P, Q) = 1/2 * sum_t |P(t) - Q(t)|; alongside it
+the report carries the vocabulary inventory (sizes, overlap) and the
+novel-mass rate (fraction of the new dump's tokens whose type was never
+seen in the old dump — the "how much is genuinely new text" number).
+
+Determinism contract: probabilities are ppm-QUANTIZED integers
+(``c * 1e6 DIV N``) before the TV sum, so every value in the report is
+integer arithmetic both engines replay bit-for-bit — no float sums over
+a shuffled vocabulary, no decimal rounding-mode traps (a raw
+``sum|cA*NB - cB*NA|`` cross-product formulation is exact too but its
+numerator overflows int64 at ~10^7-token slices; ppm quantization keeps
+every intermediate under 10^13).  The metric is therefore DEFINED as
+ppm-quantized TV: quantization error is bounded by vocab/2e6 and it is
+the same number in Spark, DuckDB, and the pytest third engine.
+
+Scale shape: one explode → one (slice, token) groupBy with TWO
+conditional sums (the dump split rides the same aggregate — one corpus
+pass, not two), a per-slice rollup, and a broadcast join of the
+O(slices) totals back onto the vocabulary relation for the TV sum.
+Three exchanges, all partial-aggregable, no windows.
+
+The contract query splits dumps deterministically from the table itself
+(doc_id parity), the established planted-construct pattern — no
+external data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["corpus_drift_report", "corpus_drift_report_sql"]
+
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+_PPM = 1_000_000
+
+
+def corpus_drift_report(docs: DataFrame,
+                        dump_b: Column | None = None,
+                        slice_col: str = "lang",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """One row per ``slice_col`` value comparing dump A (``dump_b`` is
+    false) with dump B (true): (slice, n_tokens_a, n_tokens_b, vocab_a,
+    vocab_b, vocab_shared, tv_drift_ppm, novel_mass_ppm).  Token
+    occurrences (not distinct types) weight the distributions.  Default
+    split: odd ``doc_id`` is dump B."""
+    if dump_b is None:
+        dump_b = F.col(id_col) % 2 == 1
+    toks = docs.select(
+        F.col(slice_col).alias("slice"),
+        dump_b.cast("int").alias("b"),
+        F.explode(F.filter(
+            F.split(F.lower(F.trim(text_col)), _WS_CLASS),
+            lambda x: x != "")).alias("tok"))
+    counts = toks.groupBy("slice", "tok").agg(
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("b") == 1, 1).otherwise(0)).alias("cb"))
+    totals = counts.groupBy("slice").agg(
+        F.sum("ca").cast("long").alias("n_tokens_a"),
+        F.sum("cb").cast("long").alias("n_tokens_b"),
+        F.sum((F.col("ca") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("cb") > 0).cast("long")).alias("vocab_b"),
+        F.sum(((F.col("ca") > 0) & (F.col("cb") > 0)).cast("long"))
+        .alias("vocab_shared"),
+        F.sum(F.when(F.col("ca") == 0, F.col("cb")).otherwise(0))
+        .cast("long").alias("_novel"))
+    pa = F.expr(f"ca * {_PPM} DIV n_tokens_a")
+    pb = F.expr(f"cb * {_PPM} DIV n_tokens_b")
+    tv = (counts.join(F.broadcast(totals), "slice")
+          .where((F.col("n_tokens_a") > 0) & (F.col("n_tokens_b") > 0))
+          .groupBy("slice")
+          .agg((F.sum(F.abs(pa - pb)) / 2).cast("long")
+               .alias("tv_drift_ppm")))
+    novel = F.when(F.col("n_tokens_b") == 0, F.lit(0).cast("long")) \
+        .otherwise(F.expr(f"_novel * {_PPM} DIV n_tokens_b"))
+    return (totals.join(tv, "slice", "left")
+            .select("slice", "n_tokens_a", "n_tokens_b", "vocab_a",
+                    "vocab_b", "vocab_shared",
+                    F.coalesce("tv_drift_ppm", F.lit(0).cast("long"))
+                    .alias("tv_drift_ppm"),
+                    novel.alias("novel_mass_ppm")))
+
+
+def corpus_drift_report_sql(table: str = "documents",
+                            dump_b_sql: str = "doc_id % 2 = 1",
+                            slice_col: str = "lang",
+                            text_col: str = "text") -> str:
+    """DuckDB twin: identical tokenization, one-pass conditional counts,
+    the same ppm quantization and floor divisions."""
+    return f"""
+WITH toks AS (
+  SELECT {slice_col} AS slice,
+         CASE WHEN {dump_b_sql} THEN 1 ELSE 0 END AS b,
+         unnest(list_filter(
+           regexp_split_to_array(lower(trim({text_col})), '{_WS_CLASS}'),
+           x -> x <> '')) AS tok
+  FROM {table}),
+counts AS (
+  SELECT slice, tok,
+         sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS cb
+  FROM toks GROUP BY slice, tok),
+totals AS (
+  SELECT slice,
+         CAST(sum(ca) AS BIGINT) AS n_tokens_a,
+         CAST(sum(cb) AS BIGINT) AS n_tokens_b,
+         CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+         CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+         CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS vocab_shared,
+         CAST(sum(CASE WHEN ca = 0 THEN cb ELSE 0 END) AS BIGINT) AS _novel
+  FROM counts GROUP BY slice),
+tv AS (
+  SELECT c.slice,
+         CAST(sum(abs(c.ca * {_PPM} // t.n_tokens_a
+                      - c.cb * {_PPM} // t.n_tokens_b)) // 2 AS BIGINT)
+           AS tv_drift_ppm
+  FROM counts c JOIN totals t ON c.slice = t.slice
+  WHERE t.n_tokens_a > 0 AND t.n_tokens_b > 0
+  GROUP BY c.slice)
+SELECT t.slice, t.n_tokens_a, t.n_tokens_b, t.vocab_a, t.vocab_b,
+       t.vocab_shared,
+       CAST(coalesce(tv.tv_drift_ppm, 0) AS BIGINT) AS tv_drift_ppm,
+       CAST(CASE WHEN t.n_tokens_b = 0 THEN 0
+            ELSE t._novel * {_PPM} // t.n_tokens_b END AS BIGINT)
+         AS novel_mass_ppm
+FROM totals t LEFT JOIN tv ON tv.slice = t.slice
+"""

@@ -1,0 +1,97 @@
+"""Corpus drift report (functions/corpus_drift.py): pure-Python third
+engine, planted-drift corpora with known answers, metric bounds."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.functions.corpus_drift import (
+    corpus_drift_report,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+PPM = 1_000_000
+
+
+def _py_report(rows):
+    """rows: [(doc_id, lang, text)] -> {lang: tuple} replaying the
+    ppm-quantized definition exactly."""
+    counts: dict = {}
+    for doc_id, lang, text in rows:
+        b = doc_id % 2
+        for t in re.split(r"[ \t\n\x0B\f\r]+", (text or "").lower().strip()):
+            if t:
+                c = counts.setdefault(lang, {}).setdefault(t, [0, 0])
+                c[b] += 1
+    out = {}
+    for lang, toks in counts.items():
+        na = sum(v[0] for v in toks.values())
+        nb = sum(v[1] for v in toks.values())
+        va = sum(1 for v in toks.values() if v[0] > 0)
+        vb = sum(1 for v in toks.values() if v[1] > 0)
+        vs = sum(1 for v in toks.values() if v[0] > 0 and v[1] > 0)
+        novel = sum(v[1] for v in toks.values() if v[0] == 0)
+        if na > 0 and nb > 0:
+            tv = sum(abs(v[0] * PPM // na - v[1] * PPM // nb)
+                     for v in toks.values()) // 2
+        else:
+            tv = 0
+        out[lang] = (na, nb, va, vb, vs, tv,
+                     novel * PPM // nb if nb else 0)
+    return out
+
+
+def _collect(df):
+    return {r["slice"]: (r["n_tokens_a"], r["n_tokens_b"], r["vocab_a"],
+                         r["vocab_b"], r["vocab_shared"],
+                         r["tv_drift_ppm"], r["novel_mass_ppm"])
+            for r in corpus_drift_report(df).collect()}
+
+
+def test_matches_python_on_corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = [(r["doc_id"], r["lang"], r["text"])
+            for r in docs.select("doc_id", "lang", "text").collect()]
+    assert _collect(docs) == _py_report(rows)
+
+
+def test_identical_dumps_zero_drift(spark):
+    # dump B token-identical to dump A -> TV 0, novel mass 0, full overlap
+    rows = [(i, "xx", "alpha beta gamma alpha") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = _collect(df)["xx"]
+    assert got == (20, 20, 3, 3, 3, 0, 0)
+
+
+def test_disjoint_dumps_max_drift(spark):
+    # dump B shares NO token types with dump A: TV -> ~1e6, novel = 1e6
+    rows = [(0, "xx", "a b c d"), (2, "xx", "a b c d"),
+            (1, "xx", "p q r s"), (3, "xx", "p q r s")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    na, nb, va, vb, vs, tv, novel = _collect(df)["xx"]
+    assert (na, nb, va, vb, vs) == (8, 8, 4, 4, 0)
+    assert novel == PPM
+    assert tv == PPM  # 4 tokens x |250000 - 0| x 2 sides // 2
+
+
+def test_planted_partial_drift(spark):
+    # dump A: uniform {a,b,c,d}; dump B: a only -> quantized TV =
+    # (|250k-1M| + 3*|250k-0|) // 2 = 750k; novel mass 0
+    rows = [(0, "xx", "a b c d"), (1, "xx", "a a a a")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    na, nb, va, vb, vs, tv, novel = _collect(df)["xx"]
+    assert (na, nb, va, vb, vs) == (4, 4, 4, 1, 1)
+    assert tv == 750_000 and novel == 0
+
+
+def test_one_sided_slice_guarded(spark):
+    # a slice whose docs all land in dump A: no division blowup
+    rows = [(0, "only_a", "x y z"), (2, "only_a", "x y")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    na, nb, va, vb, vs, tv, novel = _collect(df)["only_a"]
+    assert (na, nb) == (5, 0)
+    assert tv == 0 and novel == 0

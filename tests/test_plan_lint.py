@@ -268,6 +268,11 @@ EXCHANGE_BUDGET = {
     # reuse dedupes the identical rank subtrees (the textrank /
     # cluster_agreement_ari accounting)
     "blocking_recall_snm": 27,
+    # token-distribution drift: the (slice, tok) counts subtree prints
+    # under the totals rollup AND the TV branch in the lazy plan (2 x
+    # [explode agg + slice rollup]) + the final slice join — runtime
+    # exchange reuse dedupes the shared counts aggregate
+    "corpus_drift_by_lang": 6,
     # DSIR: bucket agg (union of uni+bigram explodes) + O(K)-row totals
     # window + per-doc score agg + id-spine distinct and left join; the
     # K-row ratio table broadcasts (functions/dsir.py)
