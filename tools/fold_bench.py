@@ -63,11 +63,18 @@ def main() -> None:
                     help="files tombstoned per delete fold (0 disables); "
                          "constant across folds, so O(touched) predicts "
                          "flat delete deltas as the corpus grows")
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="run compact_state after every K folds (0 off): "
+                         "delete WALL TIME grows with the uncompacted "
+                         "version count (each masked read unions one more "
+                         "delta dir per committed version — bytes stay "
+                         "flat, seconds don't); this shows the documented "
+                         "maintenance-cadence answer flattening it")
     args = ap.parse_args()
 
     from email_sanitizer_api_spark.config import DedupConfig
     from email_sanitizer_api_spark.operators.incremental import (
-        DedupState, incremental_dedup, incremental_delete)
+        DedupState, compact_state, incremental_dedup, incremental_delete)
     from email_sanitizer_api_spark.session import get_spark
 
     import __spark_entry__ as entry
@@ -109,8 +116,16 @@ def main() -> None:
             # than O(touched), its delta bytes/sec would grow with fold
             # index like an O(corpus) fold would
             if args.delete_n:
-                doomed = (batch.select("repo", "path", "commit")
-                          .orderBy("path").limit(args.delete_n))
+                # prefer members of multi-file exact-sha groups so the
+                # cluster-rebuild path actually exercises (a plain head
+                # of the batch tends to tombstone only singletons)
+                keyed = batch.withColumn("_ck", F.md5("content"))
+                mult = keyed.groupBy("_ck").agg(
+                    F.count(F.lit(1)).alias("_m"))
+                doomed = (keyed.join(mult, "_ck")
+                          .orderBy(F.col("_m").desc(), "path")
+                          .limit(args.delete_n)
+                          .select("repo", "path", "commit"))
                 pre_d = _probe()
                 t0 = time.perf_counter()
                 dres = incremental_delete(spark, doomed, root, cfg,
@@ -128,6 +143,12 @@ def main() -> None:
                     "clusters_rebuilt":
                         dres.metrics.get("clusters_rebuilt"),
                 }
+            if (args.compact_every
+                    and (b + 1) % args.compact_every == 0
+                    and b + 1 < args.batches):
+                t0 = time.perf_counter()
+                compact_state(spark, root, cfg)
+                fold["compact_sec"] = round(time.perf_counter() - t0, 2)
             folds.append(fold)
             spark.catalog.clearCache()
         state_bytes = _dir_bytes(root)
