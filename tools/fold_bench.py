@@ -116,16 +116,14 @@ def main() -> None:
             # than O(touched), its delta bytes/sec would grow with fold
             # index like an O(corpus) fold would
             if args.delete_n:
-                # prefer members of multi-file exact-sha groups so the
-                # cluster-rebuild path actually exercises (a plain head
-                # of the batch tends to tombstone only singletons)
-                keyed = batch.withColumn("_ck", F.md5("content"))
-                mult = keyed.groupBy("_ck").agg(
-                    F.count(F.lit(1)).alias("_m"))
-                doomed = (keyed.join(mult, "_ck")
-                          .orderBy(F.col("_m").desc(), "path")
-                          .limit(args.delete_n)
-                          .select("repo", "path", "commit"))
+                # plain path-order head: rebuilds need LAST-reference
+                # deletions of shas inside near-dup clusters, and the
+                # head reliably contains some (measured 2-4 rebuilt
+                # clusters per fold at sf0.01); selecting multi-member
+                # sha groups instead would never free a sha and the
+                # rebuild path would sit idle
+                doomed = (batch.select("repo", "path", "commit")
+                          .orderBy("path").limit(args.delete_n))
                 pre_d = _probe()
                 t0 = time.perf_counter()
                 dres = incremental_delete(spark, doomed, root, cfg,
