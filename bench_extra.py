@@ -1,0 +1,80 @@
+"""Extra (non-contract) per-query benchmark + plan capture (guide §1).
+
+Times individual declared queries in isolation with the noop sink and/or
+dumps ``.explain("formatted")`` to ``plans/r06/``. Does NOT replace
+``bench.py`` (frozen for measurement) — numbers here are for optimization
+work and are cited in OPTIMIZATION_r06.md.
+
+Usage:
+    python bench_extra.py time  <query> [query ...]   # noop-timed, n runs
+    python bench_extra.py plan  <query> [query ...]   # write explain files
+    python bench_extra.py both  <query> [query ...]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
+(default 32), BENCH_EXTRA_RUNS (default 2), BENCH_EXTRA_TAG (plan file
+suffix, default none -> <query>.txt; e.g. "before"/"after").
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    mode = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("BENCH_EXTRA_RUNS", "2"))
+    tag = os.environ.get("BENCH_EXTRA_TAG", "")
+
+    from email_sanitizer_api_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-extra-{cpus}",
+                      master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus * 2, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    queries = entrymod.queries()
+
+    if names == ["ALL"]:
+        names = list(queries)
+
+    plan_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "plans", "r06")
+    os.makedirs(plan_dir, exist_ok=True)
+
+    out: dict[str, list[float]] = {}
+    for name in names:
+        fn = queries[name]
+        if mode in ("plan", "both"):
+            df = fn(spark, sf_dir)
+            suffix = f"_{tag}" if tag else ""
+            path = os.path.join(plan_dir, f"{name}{suffix}.txt")
+            with open(path, "w") as f:
+                f.write(df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"))
+            print(f"plan -> {path}", flush=True)
+            spark.catalog.clearCache()
+        if mode in ("time", "both"):
+            out[name] = []
+            for i in range(runs):
+                spark.catalog.clearCache()
+                spark.sparkContext.setJobDescription(f"{name}#{i}")
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                dt = time.perf_counter() - t0
+                spark.sparkContext.setJobDescription(None)
+                out[name].append(round(dt, 3))
+            print(f"TIME {name}: min={min(out[name])} runs={out[name]}",
+                  flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,38 @@ def _power_table(k: int, base: int = 1099511628211) -> np.ndarray:
     return np.array(out, dtype=np.uint64)
 
 
+#: polynomial base for the shingle hash (odd → invertible mod 2^64, which
+#: is what lets the rolling/prefix-scan form below divide powers back out)
+_SHINGLE_BASE = 1099511628211
+_SHINGLE_BASE_INV = pow(_SHINGLE_BASE, -1, 1 << 64)
+_MASK64 = (1 << 64) - 1
+
+# power tables cached per worker process (importable module + worker reuse
+# → amortized across tasks, guide-style heavyweight-state-once). Grown by
+# doubling: powers[i+m] = powers[i] * powers[m] mod 2^64, so extension is
+# O(n) vectorized with exact wraparound.
+_PW = np.array([1], dtype=np.uint64)
+_IPW = np.array([1], dtype=np.uint64)
+
+
+def _grown_powers(tab: np.ndarray, base_int: int, n: int) -> np.ndarray:
+    size = tab.size
+    while size < n:
+        size *= 2
+    if size == tab.size:
+        return tab
+    out = np.empty(size, dtype=np.uint64)
+    out[: tab.size] = tab
+    filled = tab.size
+    while filled < size:
+        m = min(filled, size - filled)
+        # base^filled computed in python ints (numpy scalar mul warns on wrap)
+        step = _U64((int(out[filled - 1]) * base_int) & _MASK64)
+        out[filled : filled + m] = out[:m] * step
+        filled += m
+    return out
+
+
 def _hash_families(num: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 1 << 63, size=num, dtype=np.uint64) * _U64(2) + _U64(1)  # odd
@@ -81,15 +113,20 @@ def shingle_hashes(content: str, k: int) -> np.ndarray:
         pad = np.zeros(k, dtype=np.uint8)
         pad[: buf.size] = buf
         buf, n = pad, 1
-    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
-    # positional polynomial combine, then splitmix finalize
-    powers = _power_table(k)
-    h = np.zeros(n, dtype=np.uint64)
-    # chunk the window dot to bound temp memory on big files
-    step = 1 << 16
-    for s in range(0, n, step):
-        e = min(n, s + step)
-        h[s:e] = (win[s:e] * powers).sum(axis=1, dtype=np.uint64)
+    # O(n) prefix-scan form of the positional polynomial (bit-identical to
+    # the windowed dot it replaces — every op is exact mod 2^64):
+    #   P[i] = sum_{m<i} buf[m]*base^m;  h[i] = (P[i+k]-P[i]) * base^{-i}
+    # One cumsum + two elementwise passes instead of an n×k window matrix.
+    global _PW, _IPW
+    m = buf.size
+    if _PW.size < m:
+        _PW = _grown_powers(_PW, _SHINGLE_BASE, m)
+    if _IPW.size < n:
+        _IPW = _grown_powers(_IPW, _SHINGLE_BASE_INV, n)
+    P = np.empty(m + 1, dtype=np.uint64)
+    P[0] = 0
+    np.cumsum(buf.astype(np.uint64) * _PW[:m], out=P[1:])
+    h = (P[k : k + n] - P[:n]) * _IPW[:n]
     return np.unique(_splitmix64(h))
 
 
@@ -144,18 +181,21 @@ def simhash_from_shingles(sh: np.ndarray) -> int:
     """64-bit SimHash (as signed int64) from unique shingle hashes."""
     if sh.size == 0:
         return 0
+    # votes[i] = 2*popcount(bit i over sh) - n, via np.unpackbits (C-speed)
+    # instead of a 64-wide shift matrix; little-endian byte+bit order makes
+    # flat bit index == uint64 bit position. Same votes, same tie rule.
     votes = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    step = 8192
+    step = 1 << 16
     for s in range(0, sh.size, step):
         chunk = sh[s : s + step]
-        bits = ((chunk[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int64)
-        votes += (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
+        bits = np.unpackbits(
+            chunk.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        votes += 2 * bits.sum(axis=0, dtype=np.int64) - np.int64(chunk.size)
+    val = 0
     for i in range(64):
         if votes[i] > 0:
-            out |= _U64(1) << _U64(i)
-    return int(out.view(np.int64) if hasattr(out, "view") else out)
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 
 def make_signature_udf(cfg: DedupConfig = DEFAULT_CONFIG):
