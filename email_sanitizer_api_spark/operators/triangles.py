@@ -124,9 +124,14 @@ def triangle_counts(pairs: DataFrame, a_col: str = "a",
                               F.col("dst").alias("w"))
     tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
 
-    member = (tri.select(F.col("u").alias("x"))
-              .unionAll(tri.select(F.col("v").alias("x")))
-              .unionAll(tri.select(F.col("w").alias("x"))))
+    # ONE pass over the triangle stream: explode each triangle into its
+    # three member ids. The 3-way unionAll of projections this replaces
+    # re-executed the LAZY wedge+closing join subtree three times (the
+    # O(m^1.5) wedge stream is the whole cost of this operator — measured
+    # 3x wall time at sf0.1); explode(array(u,v,w)) yields the identical
+    # member multiset from a single execution.
+    member = tri.select(
+        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("x"))
     per_node = member.groupBy("x").agg(
         F.count(F.lit(1)).alias("triangles"))
 
