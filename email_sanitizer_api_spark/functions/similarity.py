@@ -107,12 +107,22 @@ def prefix_filter_candidates(
     # preserving the brute-force-equality guarantee. Standard AllPairs/
     # PPJoin guard.
     plen = (F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz") - _EPS) + 1)
+    # Persisted: both sides of the candidate self-join read the prefix
+    # relation, which is tiny (O(docs · prefix_len) rows) while its
+    # subtree is not — unpersisted, Catalyst re-ran the explode + freq
+    # aggregation + rank window once per join branch (the
+    # weighted_similarity prefix-persist pattern; measured ~2x the
+    # prefix cost at sf0.1).
     prefix = (
         ex.join(freq, pc + ["_tok"])
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= plen)
         .select(*pc, "_id", "_tok", "_sz", "_rn")
+        .persist()
     )
+    prefix.count()
+    if cleanup is not None:
+        cleanup.append(prefix)
 
     l = prefix.select(*pc, "_tok", F.col("_id").alias("a"),
                       F.col("_sz").alias("_sza"), F.col("_rn").alias("_rna"))
