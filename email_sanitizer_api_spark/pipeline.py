@@ -194,20 +194,29 @@ def run_pipeline(
     if io is not None:
         edge_sets = [stage(name, thunk) for name, thunk in generators.items()]
     else:
-        # Generator *construction* is itself eager (the bucket-size window
-        # count inside pairs_from_buckets), so build the enabled generators
-        # from separate threads — the scheduler overlaps their bucket-count
-        # jobs instead of running them back-to-back. The pair joins they
-        # return stay lazy until the CC edge checkpoint executes them all
-        # in one job.
+        # Generator *construction* is eager (the bucket-size window count
+        # inside pairs_from_buckets), and so — since r06 — is each
+        # generator's PAIR SET: every thread persists + counts its own
+        # pair relation, so the three generators' join/verify chains run
+        # as concurrent jobs that back-fill each other's stage tails
+        # (guide §2.6) instead of serializing inside the single CC edge
+        # checkpoint job (measured: the cc-edges job dropped from ~10 s
+        # to ~2 s at sf0.1, with the generator phase absorbing the work
+        # concurrently). The CC input checkpoint then unions three cached
+        # relations.
         t0 = time.perf_counter()
 
         def _timed(name: str, thunk: Callable[[], DataFrame]) -> Callable[[], DataFrame]:
             def run() -> DataFrame:
+                from pyspark.storagelevel import StorageLevel
+
                 t = time.perf_counter()
-                df = thunk()
+                df = thunk().persist(StorageLevel.MEMORY_AND_DISK)
+                n = df.count()
+                gen_cleanup.append(df)
                 if _debug():
-                    print(f"[gen {name}] {time.perf_counter() - t:.1f}s", flush=True)
+                    print(f"[gen {name}] {time.perf_counter() - t:.1f}s "
+                          f"pairs={n}", flush=True)
                 return df
             return run
 
@@ -216,7 +225,7 @@ def run_pipeline(
                        for name, thunk in generators.items()}
             edge_sets = [f.result() for f in futures.values()]
         if _debug():
-            print(f"[gen s5/s6/s7 buckets] {time.perf_counter() - t0:.1f}s",
+            print(f"[gen s5/s6/s7 pairs] {time.perf_counter() - t0:.1f}s",
                   flush=True)
 
     # union of pair sets (SURVEY.md §2.6); dedup happens inside CC
