@@ -167,16 +167,22 @@ def main() -> None:
         # delta bytes per fold must not grow with corpus age (writes are
         # O(batch + merges)); seconds are window-dependent, read with the
         # embedded probes
-        "flat_ratio_bytes": round(last["delta_bytes"] / first["delta_bytes"], 3),
-        "flat_ratio_sec": round(last["sec"] / first["sec"], 3),
+        # guard every first-fold denominator (ADVICE r05): a zero-byte or
+        # sub-5ms first fold/delete must not ZeroDivisionError away the
+        # whole run after all folds completed — emit None instead
+        "flat_ratio_bytes": (
+            round(last["delta_bytes"] / first["delta_bytes"], 3)
+            if first["delta_bytes"] else None),
+        "flat_ratio_sec": (
+            round(last["sec"] / first["sec"], 3) if first["sec"] else None),
         # same two ratios for the delete+rebuild folds (O(touched) claim)
         "flat_ratio_delete_bytes": (
             round(last["delete"]["delta_bytes"]
                   / first["delete"]["delta_bytes"], 3)
-            if args.delete_n else None),
+            if args.delete_n and first["delete"]["delta_bytes"] else None),
         "flat_ratio_delete_sec": (
             round(last["delete"]["sec"] / first["delete"]["sec"], 3)
-            if args.delete_n else None),
+            if args.delete_n and first["delete"]["sec"] else None),
         "state_bytes_final": state_bytes,
         "state_versions": v,
     }
