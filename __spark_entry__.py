@@ -35,7 +35,19 @@ DOC_SIZE_CAP = 300  # bytes — chosen so the sf tables exercise TOO_LARGE
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Input-parallelism guard (the run_pipeline guard, applied to every
+    # table scan): the test tables are single-row-group parquet files, so
+    # Spark plans ONE scan task regardless of core count and every
+    # pre-shuffle map pass (tokenize / regex / hash / vector math)
+    # serializes onto one core — measured 8x on the sf0.1 gram explode.
+    # A round-robin repartition to the default parallelism is deterministic
+    # (sort-before-repartition) and costs one small exchange; real corpora
+    # arrive in thousands of splits and skip this.
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 
 def _docs_as_code_files(docs: DataFrame) -> DataFrame:

@@ -11,11 +11,13 @@ Two pieces:
    counts are one partial-aggregated groupBy, the running offsets are a
    window over the O(n_buckets) count rows (tiny by construction), and the
    final rank is ``offset[bucket] + local index`` assigned by a streaming
-   ``mapInPandas`` over bucket-clustered, in-partition-sorted rows. Fully
-   lazy — no driver collect, no persist — because the bucket id is a pure
-   function of the row, so every branch recomputes identical partitions
-   (unlike ``repartitionByRange``, whose sampled boundaries are not stable
-   across plan branches).
+   ``mapInPandas`` over bucket-clustered, in-partition-sorted rows. No
+   driver collect; since r06 the input relation is persisted (it fans out
+   into the bucket sums and the offset join, and for the SNM caller that
+   subtree is the whole md5-SimHash aggregation). The bucket id is a pure
+   function of the row, so branches stay deterministic either way (unlike
+   ``repartitionByRange``, whose sampled boundaries are not stable across
+   plan branches).
 
 2. :func:`sorted_neighborhood_pairs` — the classic Sorted Neighborhood
    Method (Hernández & Stolfo, SIGMOD'95) as a THIRD candidate generator
@@ -58,7 +60,8 @@ __all__ = [
 
 
 def global_running_sum(df: DataFrame, order_cols: list[str], bucket_col: str,
-                       value_col: str, out_col: str = "off") -> DataFrame:
+                       value_col: str, out_col: str = "off",
+                       cleanup: list | None = None) -> DataFrame:
     """EXCLUSIVE prefix sum of ``value_col`` over the total order given by
     ``order_cols`` — the distributed scan primitive — without the
     single-partition window Spark would plan for ``sum().over(orderBy)``.
@@ -70,6 +73,16 @@ def global_running_sum(df: DataFrame, order_cols: list[str], bucket_col: str,
     rows, data moves through ONE hash exchange on the bucket id.
     ``value_col`` must be non-null (coalesce upstream).
     """
+    # df fans out into the per-bucket sums AND the enriched join probe;
+    # unpersisted, Catalyst computes its subtree once per branch — for
+    # the SNM caller that subtree is the 64-aggregate md5-SimHash over
+    # the exploded token relation (measured ~2x its cost at sf0.1).
+    # Persist+count is an eager cut of a docs-sized relation; branch
+    # determinism (the old no-persist rationale) is unaffected.
+    df = df.persist()
+    df.count()
+    if cleanup is not None:
+        cleanup.append(df)
     sums = df.groupBy(bucket_col).agg(F.sum(value_col).alias("_n"))
     # running offsets over the per-bucket sums — O(n_buckets), not
     # O(rows); the single-partition window touches bucket SUMS only
@@ -108,7 +121,8 @@ def global_running_sum(df: DataFrame, order_cols: list[str], bucket_col: str,
 
 
 def global_rank(df: DataFrame, order_cols: list[str], bucket_col: str,
-                rank_col: str = "r") -> DataFrame:
+                rank_col: str = "r",
+                cleanup: list | None = None) -> DataFrame:
     """Dense 0-based global rank over ``order_cols`` (must be a total
     order: include a unique id as the last key) — the exclusive running
     sum of ones. See :func:`global_running_sum` for the bucket contract.
@@ -116,7 +130,7 @@ def global_rank(df: DataFrame, order_cols: list[str], bucket_col: str,
     return (
         global_running_sum(
             df.withColumn("_one", F.lit(1).cast("long")),
-            order_cols, bucket_col, "_one", rank_col)
+            order_cols, bucket_col, "_one", rank_col, cleanup=cleanup)
         .drop("_one")
     )
 

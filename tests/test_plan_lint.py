@@ -400,6 +400,16 @@ def test_no_rdd_scans(plans, name):
 def test_exchange_budget(plans, name):
     import re
     n = len(re.findall(r"^\(\d+\) Exchange", plans[name], re.M))
+    # The input-parallelism guard (_t / run_pipeline) round-robin
+    # repartitions single-row-group test parquet to the default
+    # parallelism so pre-shuffle map passes don't serialize onto one
+    # task. That exchange normalizes INPUT SPLITS (real corpora arrive
+    # in thousands of splits and skip it); it is not algorithmic shuffle
+    # structure, so it does not count against the per-query budget —
+    # which keeps pinning hash/range exchanges exactly as before.
+    n -= len(re.findall(
+        r"^\(\d+\) Exchange\nInput \[\d+\]:[^\n]*\n"
+        r"Arguments: RoundRobinPartitioning", plans[name], re.M))
     budget = EXCHANGE_BUDGET.get(name)
     assert budget is not None, (
         f"{name}: no shuffle budget declared — measure its plan and add it "
