@@ -35,15 +35,26 @@ DOC_SIZE_CAP = 300  # bytes — chosen so the sf tables exercise TOO_LARGE
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table scan with the input-parallelism guard (run_pipeline's guard,
+    r06): the test tables are single-row-group parquet files, so Spark
+    plans ONE scan task regardless of core count and a pre-shuffle map
+    pass serializes onto one core of 32 (measured 8x on the sf0.1 13-gram
+    explode). The round-robin repartition is deterministic
+    (sort-before-repartition); real corpora arrive in thousands of splits
+    and skip it.
+
+    Used ONLY by queries whose dominant work is a heavy map pass BEFORE
+    the first exchange (gram/winnow explodes, per-row vector math,
+    rolling-hash scans): an interleaved same-window A/B over the whole
+    headline set showed the guard wins 1.3-3.3x exactly there, while for
+    queries whose heavy work sits after a shuffle (already parallel) the
+    extra exchange + 32-task stages cost ~0.5-1.5 s of pure overhead at
+    sf0.1 — those keep the plain scan."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Input-parallelism guard (the run_pipeline guard, applied to every
-    # table scan): the test tables are single-row-group parquet files, so
-    # Spark plans ONE scan task regardless of core count and every
-    # pre-shuffle map pass (tokenize / regex / hash / vector math)
-    # serializes onto one core — measured 8x on the sf0.1 gram explode.
-    # A round-robin repartition to the default parallelism is deterministic
-    # (sort-before-repartition) and costs one small exchange; real corpora
-    # arrive in thousands of splits and skip this.
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
@@ -1089,7 +1100,7 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
 
 def _q_cosine_topk_lsh(spark, sf_dir):
     from email_sanitizer_api_spark.functions.similarity import cosine_topk_lsh
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return cosine_topk_lsh(emb, queries, k=5)
 
@@ -1262,7 +1273,7 @@ def _q_decontamination_report(spark, sf_dir):
     md5-hashed before the broadcast join (32-byte keys on the wire)."""
     from email_sanitizer_api_spark.functions.decontaminate import (
         contamination_report)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return contamination_report(docs)
 
 
@@ -1294,7 +1305,7 @@ def _q_source_overlap_chunks(spark, sf_dir):
     file dups are rare."""
     from email_sanitizer_api_spark.operators.source_overlap import (
         source_overlap)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return source_overlap(docs, unit="chunk")
 
 
@@ -2316,7 +2327,7 @@ def _q_cdc_chunk_dedup(spark, sf_dir):
     offset-invariance is exercised non-vacuously (operators/cdc.py)."""
     from email_sanitizer_api_spark.operators.cdc import (
         cdc_chunk_dedup, with_planted_footer)
-    return cdc_chunk_dedup(with_planted_footer(_t(spark, sf_dir,
+    return cdc_chunk_dedup(with_planted_footer(_tp(spark, sf_dir,
                                                   "documents")))
 
 
@@ -2698,7 +2709,7 @@ def _q_edit_distance_pairs(spark, sf_dir):
     in the DuckDB oracle) (functions/edit_distance.py)."""
     from email_sanitizer_api_spark.functions.edit_distance import (
         edit_distance_pairs, with_planted_fnames)
-    docs = with_planted_fnames(_t(spark, sf_dir, "documents"))
+    docs = with_planted_fnames(_tp(spark, sf_dir, "documents"))
     return edit_distance_pairs(docs)
 
 
@@ -2976,7 +2987,7 @@ def _q_pareto_front_docs(spark, sf_dir):
     (functions/skyline.py)."""
     from email_sanitizer_api_spark.functions.skyline import (
         pareto_front_docs)
-    return pareto_front_docs(_t(spark, sf_dir, "documents"))
+    return pareto_front_docs(_tp(spark, sf_dir, "documents"))
 
 
 def _sql_pareto_front_docs() -> str:
@@ -3031,7 +3042,7 @@ def _q_srp_project_embeddings(spark, sf_dir):
     orders; JL cosine-distortion pinned in tests/test_srp.py
     (functions/srp.py)."""
     from email_sanitizer_api_spark.functions.srp import srp_project
-    return srp_project(_t(spark, sf_dir, "embeddings"))
+    return srp_project(_tp(spark, sf_dir, "embeddings"))
 
 
 def _sql_srp_project_embeddings() -> str:

@@ -90,6 +90,19 @@ class DedupConfig:
     # exact oracle would be O(candidates x content). Deterministic sample
     # (xxhash64 order), so re-folds reproduce the same audit.
     fold_canary_pairs: int = 0
+    # auto-compaction cadence (r06, VERDICT r05 item 2): after a fold or
+    # delete commits, when the uncompacted version span (versions since
+    # the last STATE_BASE snapshot, inclusive) reaches this many
+    # versions, ``compact_state`` runs automatically in the same job.
+    # Delete/read latency grows with the uncompacted delta-dir count
+    # (each masked read unions one more dir per committed version —
+    # FOLD_BENCH_r05 measured delete seconds growing 2.4x over 6 folds);
+    # an automatic cadence bounds that fan-in at O(this knob) instead of
+    # relying on the operator remembering a maintenance flag. Compaction
+    # expires older version dirs (the documented snapshot-expiration
+    # contract), so time travel reaches back at most this many versions;
+    # 0 disables (manual compact_state / --compact-state only).
+    auto_compact_versions: int = 10
 
     # --- SimHash (S6) ---
     simhash_bits: int = 64

@@ -1,0 +1,72 @@
+"""Auto-compaction cadence (r06): folds trigger compact_state once the
+uncompacted version span reaches cfg.auto_compact_versions, results are
+unchanged, and masked-read delta fan-in stays bounded."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from email_sanitizer_api_spark.config import DedupConfig
+from email_sanitizer_api_spark.corpus import CorpusSpec, synthesize_code_files
+from email_sanitizer_api_spark.operators.incremental import (
+    DedupState,
+    incremental_dedup,
+)
+
+
+def _labels(files_clustered) -> dict:
+    return {(r["repo"], r["path"]): r["cluster_id"]
+            for r in files_clustered.select("repo", "path",
+                                            "cluster_id").collect()}
+
+
+def _fold_all(spark, pdf, root, cfg, k):
+    outs = []
+    for i in range(k):
+        batch = spark.createDataFrame(pdf.iloc[i::k])
+        outs.append(incremental_dedup(spark, batch, root, cfg,
+                                      enable_simhash=False,
+                                      enable_suffix=False))
+    return outs
+
+
+def test_auto_compact_triggers_and_preserves_results(spark, tmp_path):
+    pdf = synthesize_code_files(CorpusSpec(n_base=90, invalid_rows=0, seed=11))
+
+    # reference: no auto-compaction
+    cfg_off = DedupConfig(max_content_bytes=100_000, auto_compact_versions=0)
+    root_off = str(tmp_path / "off")
+    ref = _fold_all(spark, pdf, root_off, cfg_off, 4)[-1]
+
+    # cadence 3: the span hits 3 at v3 -> compact to v4; then again later
+    cfg_on = DedupConfig(max_content_bytes=100_000, auto_compact_versions=3)
+    root_on = str(tmp_path / "on")
+    outs = _fold_all(spark, pdf, root_on, cfg_on, 4)
+
+    # fold 3 committed v3, span (v1..v3) == 3 -> auto compact to v4
+    assert outs[2].metrics.get("auto_compacted_version") == 4
+    assert outs[2].state_version == 4
+    # expired dirs are gone; the base dir carries the STATE_BASE marker
+    assert not os.path.exists(os.path.join(root_on, "v1"))
+    assert os.path.exists(os.path.join(root_on, "v4", "STATE_BASE"))
+
+    # final labels identical with and without the cadence
+    assert _labels(outs[-1].files_clustered) == _labels(ref.files_clustered)
+
+    # fan-in bound: versions since base never exceeds the knob
+    state = DedupState(spark, root_on)
+    v = state.version()
+    base = state._marker_version("STATE_BASE", v)
+    assert v - base + 1 <= 3
+
+
+def test_auto_compact_off_by_flag(spark, tmp_path):
+    pdf = synthesize_code_files(CorpusSpec(n_base=40, invalid_rows=0, seed=3))
+    cfg = DedupConfig(max_content_bytes=100_000, auto_compact_versions=0)
+    root = str(tmp_path / "state")
+    outs = _fold_all(spark, pdf, root, cfg, 3)
+    assert outs[-1].state_version == 3
+    assert os.path.exists(os.path.join(root, "v1"))
+    assert "auto_compacted_version" not in outs[-1].metrics

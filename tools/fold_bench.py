@@ -64,12 +64,13 @@ def main() -> None:
                          "constant across folds, so O(touched) predicts "
                          "flat delete deltas as the corpus grows")
     ap.add_argument("--compact-every", type=int, default=0,
-                    help="run compact_state after every K folds (0 off): "
-                         "delete WALL TIME grows with the uncompacted "
-                         "version count (each masked read unions one more "
-                         "delta dir per committed version — bytes stay "
-                         "flat, seconds don't); this shows the documented "
-                         "maintenance-cadence answer flattening it")
+                    help="OVERRIDE: additionally run compact_state after "
+                         "every K folds (0 off). Since r06 the engine "
+                         "auto-compacts once the uncompacted version span "
+                         "reaches cfg.auto_compact_versions (default 10), "
+                         "so delete wall time stays bounded without this "
+                         "flag; keep it for measuring a tighter manual "
+                         "cadence")
     args = ap.parse_args()
 
     from email_sanitizer_api_spark.config import DedupConfig
