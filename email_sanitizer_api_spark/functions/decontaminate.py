@@ -40,18 +40,24 @@ def _with_grams(docs: DataFrame, n: int,
     toks = docs.select(
         *keep, F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+").alias("toks")
     )
-    # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], so short docs
-    # must produce an explicit empty array, not sequence()
-    grams = toks.select(
-        *keep,
-        F.expr(
-            f"if(size(toks) >= {n}, "
-            f"  transform(sequence(1, size(toks) - {n} + 1), "
-            f"            i -> md5(array_join(slice(toks, i, {n}), ' '))), "
-            f"  array())"
-        ).alias("grams"),
+    # Explode the start-position grid FIRST, then hash at the top level:
+    # md5/array_join inside a ``transform`` lambda run on the interpreted
+    # expression path (higher-order lambdas do not codegen), which
+    # measured 13x slower than the identical per-row expressions under
+    # whole-stage codegen (4.7 s vs 0.35 s for the sf0.1 gram pass).
+    # Identical gram strings, identical md5 keys. Guard: Spark
+    # sequence(1, 0) yields a DESCENDING [1, 0], so short docs must
+    # produce an explicit empty array, not sequence().
+    idx = toks.select(
+        *keep, "toks",
+        F.explode(F.expr(
+            f"if(size(toks) >= {n}, sequence(1, size(toks) - {n - 1}), "
+            f"cast(array() as array<int>))")).alias("i"),
     )
-    return grams.select(*keep, F.explode("grams").alias("g"))
+    return idx.select(
+        *keep,
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("i"), n), " "))
+        .alias("g"))
 
 
 def contamination_report(docs: DataFrame, every: int = 41, n: int = 13) -> DataFrame:
