@@ -22,10 +22,11 @@ Last Reducer"; Cohen, "Graph Twiddling in a MapReduce World"):
 * orient every undirected edge from its (degree, id)-smaller endpoint
   to its larger — a total order, so each triangle has exactly ONE
   source vertex with two out-edges;
-* wedges = oriented ⋈ oriented on src, keeping (deg,id)-ordered
-  neighbor pairs (v, w);
-* triangles = wedges ⋈ oriented on (v, w) — the closing edge, if
-  present, is oriented v→w BY CONSTRUCTION of the total order.
+* per oriented edge u→v, closed triangles (u, v, w) are exactly
+  w ∈ N+(u) ∩ N+(v): every such w is ordered after v BY CONSTRUCTION
+  of the total order, so the out-neighbor-array intersection is the
+  wedge join and the closing-edge probe in one codegen'd kernel
+  (the "compact-forward" form of the same algorithm).
 
 Why this survives 100×: out-degree under degree-orientation is
 O(√m) for ANY graph (a vertex of degree d > √(2m) has < √(2m)
@@ -65,16 +66,18 @@ def triangle_counts(pairs: DataFrame, a_col: str = "a",
     ``lcc_q`` = floor(1e6 · triangles / wedges) (0 for degree-1
     vertices): the local clustering coefficient in 1e-6 units.
 
-    One degree aggregation, two degree-annotation joins, one wedge
-    self-join, one closing-edge join, one final count — all equi-joins
-    on uniform keys; see module docstring for the O(m^{3/2}) bound.
+    One degree aggregation, two degree-annotation joins, one adjacency
+    aggregation, two adjacency-annotation joins + per-edge out-neighbor
+    intersection, one final count — all equi-joins on uniform keys; see
+    module docstring for the O(m^{3/2}) bound.
 
-    The edge list and the oriented edge list are PERSISTED (the
-    token_set_similarity_join pattern): ``e`` fans out 5 ways and
-    ``oriented`` 3 ways, so the lazy tree would otherwise replicate the
-    upstream pair-generation subtree ~15× (measured: a 793-Exchange
-    plan at sf0.1 collapses to single digits). ``cleanup`` receives the
-    persisted frames for the caller to unpersist."""
+    The edge list, the oriented edge list and the adjacency arrays are
+    PERSISTED (the token_set_similarity_join pattern): ``e`` fans out 5
+    ways, ``oriented`` and ``adj`` 2 ways each, so the lazy tree would
+    otherwise replicate the upstream pair-generation subtree ~15×
+    (measured: a 793-Exchange plan at sf0.1 collapses to single
+    digits). ``cleanup`` receives the persisted frames for the caller
+    to unpersist."""
     e = pairs.select(F.col(a_col).alias("x"),
                      F.col(b_col).alias("y")).persist()
     e.count()
@@ -111,36 +114,47 @@ def triangle_counts(pairs: DataFrame, a_col: str = "a",
     if cleanup is not None:
         cleanup.append(oriented)
 
-    # wedges centered at src: ordered out-neighbor pairs (v, w)
-    o1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"),
-                         F.col("deg_dst").alias("deg_v"))
-    o2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"),
-                         F.col("deg_dst").alias("deg_w"))
-    v_first = (F.col("deg_v") < F.col("deg_w")) | (
-        (F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
-    # NO join hints here, deliberately: AQE's runtime re-plan is
-    # load-bearing. When the oriented edge list fits broadcast, AQE
-    # streams the O(m^1.5) wedge stream through broadcast-hash joins
-    # with NO wedge shuffle (measured 40 s vs 148 s at sf0.1 — a
-    # shuffle_hash hint, or any action that bypasses AQE, forces the
-    # wedge stream through an exchange). At 100x the edge list
-    # outgrows broadcast and AQE itself degrades to the shuffled join,
-    # which is the algorithm's documented O(m^1.5) communication cost.
-    wedges = o1.join(o2, "u").where(v_first).select("u", "v", "w")
+    # Adjacency-intersection census (the "compact-forward" form of the
+    # same degree-ordered algorithm): for an oriented edge u→v, the
+    # triangles whose source is u and middle is v are EXACTLY
+    # N+(u) ∩ N+(v) — every w there satisfies v <_(deg,id) w by the
+    # orientation, so no extra ordering filter is needed. This replaces
+    # the wedge self-join + closing-edge join (which materialized the
+    # full O(m^1.5) wedge stream as join rows — 443M rows at sf0.1)
+    # with one sorted-neighbor-array intersection per EDGE: the same
+    # Σ outdeg² element touches, but inside a codegen'd array kernel
+    # instead of the join machinery's per-row overhead. The per-row
+    # work (|N+(u)|+|N+(v)|) rides the round-robin balance of
+    # `oriented` above, so the hot-source skew defusal is preserved.
+    # NO join hints, deliberately: while the adjacency table fits
+    # broadcast, AQE streams both annotate joins broadcast-side with no
+    # array shuffle; at 100x it degrades to the shuffled join — the
+    # algorithm's documented communication cost.
+    adj = oriented.groupBy("src").agg(
+        F.collect_list("dst").alias("nbrs")).persist()
+    adj.count()  # fills the cache before both join branches reference it
+    if cleanup is not None:
+        cleanup.append(adj)
 
-    # closing edge is oriented v -> w by the total order
-    closing = oriented.select(F.col("src").alias("v"),
-                              F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    ed = oriented.select("src", "dst")
+    # inner joins: src is always in adj; a dst with no out-edges closes
+    # no triangle as a middle vertex, so dropping its edge rows is exact
+    j = (ed.join(adj.select(F.col("src").alias("_u"),
+                            F.col("nbrs").alias("nu")),
+                 F.col("src") == F.col("_u"))
+         .join(adj.select(F.col("src").alias("_v"),
+                          F.col("nbrs").alias("nv")),
+               F.col("dst") == F.col("_v"))
+         .select("src", "dst",
+                 F.array_intersect("nu", "nv").alias("ws")))
 
-    # ONE pass over the triangle stream: explode each triangle into its
-    # three member ids. The 3-way unionAll of projections this replaces
-    # re-executed the LAZY wedge+closing join subtree three times (the
-    # O(m^1.5) wedge stream is the whole cost of this operator — measured
-    # 3x wall time at sf0.1); explode(array(u,v,w)) yields the identical
-    # member multiset from a single execution.
-    member = tri.select(
-        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("x"))
+    # Identical member multiset to exploding the (u,v,w) triangle
+    # stream: per edge, u and v each appear once per closed triangle
+    # (|ws| repeats) and every w in the intersection appears once.
+    member = j.select(F.explode(F.concat(
+        F.array_repeat(F.col("src"), F.size("ws")),
+        F.array_repeat(F.col("dst"), F.size("ws")),
+        F.col("ws"))).alias("x"))
     per_node = member.groupBy("x").agg(
         F.count(F.lit(1)).alias("triangles"))
 
