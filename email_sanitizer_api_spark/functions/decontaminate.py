@@ -54,10 +54,15 @@ def _with_grams(docs: DataFrame, n: int,
             f"if(size(toks) >= {n}, sequence(1, size(toks) - {n - 1}), "
             f"cast(array() as array<int>))")).alias("i"),
     )
+    # unhex: the 16-byte md5 digest instead of its 32-char hex string —
+    # `g` is a pure join/distinct key (never output), unhex is injective
+    # on md5 hex, and every downstream exchange (source_overlap's
+    # (source, g) distinct + window + self-join, the benchmark broadcast)
+    # ships half the key bytes for identical counts.
     return idx.select(
         *keep,
-        F.md5(F.array_join(F.slice(F.col("toks"), F.col("i"), n), " "))
-        .alias("g"))
+        F.unhex(F.md5(F.array_join(F.slice(F.col("toks"), F.col("i"), n),
+                                   " "))).alias("g"))
 
 
 def contamination_report(docs: DataFrame, every: int = 41, n: int = 13) -> DataFrame:
