@@ -61,7 +61,8 @@ __all__ = [
 
 def global_running_sum(df: DataFrame, order_cols: list[str], bucket_col: str,
                        value_col: str, out_col: str = "off",
-                       cleanup: list | None = None) -> DataFrame:
+                       cleanup: list | None = None,
+                       persist_input: bool = True) -> DataFrame:
     """EXCLUSIVE prefix sum of ``value_col`` over the total order given by
     ``order_cols`` — the distributed scan primitive — without the
     single-partition window Spark would plan for ``sum().over(orderBy)``.
@@ -74,15 +75,21 @@ def global_running_sum(df: DataFrame, order_cols: list[str], bucket_col: str,
     ``value_col`` must be non-null (coalesce upstream).
     """
     # df fans out into the per-bucket sums AND the enriched join probe;
-    # unpersisted, Catalyst computes its subtree once per branch — for
-    # the SNM caller that subtree is the 64-aggregate md5-SimHash over
-    # the exploded token relation (measured ~2x its cost at sf0.1).
-    # Persist+count is an eager cut of a docs-sized relation; branch
-    # determinism (the old no-persist rationale) is unaffected.
-    df = df.persist()
-    df.count()
-    if cleanup is not None:
-        cleanup.append(df)
+    # unpersisted, Catalyst plans its subtree once per branch. Whether
+    # persist+count (an eager cut of a docs-sized relation: one extra
+    # job + a memory write/read) beats recomputing the subtree is
+    # caller-specific — measured at sf0.1: persist wins for the cheap
+    # scan+project inputs (sampling/packing, ~0.1-0.25 s), loses for
+    # the SNM md5-SimHash input (min-of-3 5.8 s vs 6.7 s with persist,
+    # the recompute overlapping better than the cache round-trip) —
+    # hence the ``persist_input`` knob. Branch determinism (the old
+    # no-persist rationale) holds either way: the bucket id is a pure
+    # function of the row.
+    if persist_input:
+        df = df.persist()
+        df.count()
+        if cleanup is not None:
+            cleanup.append(df)
     sums = df.groupBy(bucket_col).agg(F.sum(value_col).alias("_n"))
     # running offsets over the per-bucket sums — O(n_buckets), not
     # O(rows); the single-partition window touches bucket SUMS only
@@ -122,7 +129,8 @@ def global_running_sum(df: DataFrame, order_cols: list[str], bucket_col: str,
 
 def global_rank(df: DataFrame, order_cols: list[str], bucket_col: str,
                 rank_col: str = "r",
-                cleanup: list | None = None) -> DataFrame:
+                cleanup: list | None = None,
+                persist_input: bool = True) -> DataFrame:
     """Dense 0-based global rank over ``order_cols`` (must be a total
     order: include a unique id as the last key) — the exclusive running
     sum of ones. See :func:`global_running_sum` for the bucket contract.
@@ -130,7 +138,8 @@ def global_rank(df: DataFrame, order_cols: list[str], bucket_col: str,
     return (
         global_running_sum(
             df.withColumn("_one", F.lit(1).cast("long")),
-            order_cols, bucket_col, "_one", rank_col, cleanup=cleanup)
+            order_cols, bucket_col, "_one", rank_col, cleanup=cleanup,
+            persist_input=persist_input)
         .drop("_one")
     )
 
@@ -162,7 +171,9 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = 8,
     width = max(1, (1 << 16) // n_buckets)
     sig = sig.withColumn("_bkt", F.floor(F.col(lead) / width).cast("int"))
     order_cols = [f"c{j}" for j in reversed(range(n_chunks))] + ["id"]
-    ranked = global_rank(sig, order_cols, "_bkt")
+    # persist_input=False: the md5-SimHash input measured FASTER
+    # recomputed per branch than cached (see global_running_sum)
+    ranked = global_rank(sig, order_cols, "_bkt", persist_input=False)
     blk = ranked.withColumn(
         "_blk", F.floor(F.col("r") / window).cast("long"))
     repl = blk.withColumn(
@@ -268,7 +279,8 @@ def blocking_recall_snm(docs: DataFrame,
     width = max(1, (1 << 16) // n_buckets)
     sig = sig.withColumn("_bkt", F.floor(F.col(lead) / width).cast("int"))
     order_cols = [f"c{j}" for j in reversed(range(n_chunks))] + ["id"]
-    ranked = global_rank(sig, order_cols, "_bkt").select("id", "r")
+    ranked = global_rank(sig, order_cols, "_bkt",
+                         persist_input=False).select("id", "r")
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"), "lang",
