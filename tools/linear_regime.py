@@ -1,0 +1,135 @@
+"""Capped-bucket linear-regime evidence (VERDICT r05 item 4).
+
+BASELINE.md documents a transient near-quadratic verify-volume regime on
+this synthetic family between ~30k and ~300k files and asserts linearity
+past it once the LSH bucket caps bind. This tool measures that claim
+directly: the FULL flagship pipeline (fresh JVM, local[32], noop sink —
+the bench methodology) at two corpus sizes spanning the regime, plus the
+candidate-pair strategy mix (allpairs / star / salted) so "caps binding"
+is visible as nonzero star+salted counts rather than asserted.
+
+Per-file cost flat-or-falling from ~50k to 300k+ rows = the linear
+regime; the strategy mix shows the caps doing the bounding.
+
+Usage:
+    python tools/linear_regime.py [--n-bases 36000 222000]
+        [--cpus 32] [--out LINEAR_REGIME_r06.json]
+
+Corpus: bench_scaling's deterministic synthesizer (FIXTURES.md §1);
+n_base 36000 → ~50k rows, 222000 → ~310k rows (dup rates add ~39%).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.bench_scaling import ensure_corpus  # noqa: E402
+from tools.host_probe import probe  # noqa: E402
+
+
+def child(parquet: str, cpus: int) -> None:
+    from email_sanitizer_api_spark.config import DedupConfig
+    from email_sanitizer_api_spark.operators.exact import (
+        exact_dedup, with_sha)
+    from email_sanitizer_api_spark.operators.lsh import lsh_candidate_pairs
+    from email_sanitizer_api_spark.operators.normalize import (
+        normalize_content)
+    from email_sanitizer_api_spark.operators.signatures import add_signatures
+    from email_sanitizer_api_spark.operators.validate import (
+        split_valid, validate_content)
+    from email_sanitizer_api_spark.pipeline import run_pipeline
+    from email_sanitizer_api_spark.session import get_spark
+
+    spark = get_spark(app_name=f"linear-regime-{cpus}",
+                      master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()  # JVM/scheduler warm-up outside the timer
+
+    files = spark.read.parquet(parquet)
+    n = files.count()
+    cfg = DedupConfig()
+
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, files, cfg)
+    res.files_clustered.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+
+    # caps-binding evidence (outside the timed region): the LSH candidate
+    # strategy mix on the identical signature input. star/salted > 0 =
+    # the hot-bucket caps actively bounding pair volume at this size.
+    spark.catalog.clearCache()
+    valid, _ = split_valid(validate_content(files, cfg))
+    normalized = with_sha(normalize_content(valid.drop("verdict")))
+    reps = exact_dedup(normalized)[0]
+    sigs = add_signatures(reps, cfg).select(
+        "content_sha256", "minhash").persist()
+    n_reps = sigs.count()
+    cand = lsh_candidate_pairs(sigs, cfg)
+    mix = {r["strategy"]: r["count"]
+           for r in cand.groupBy("strategy").count().collect()}
+
+    print(json.dumps({
+        "files": n, "reps": n_reps, "cpus": cpus,
+        "elapsed_sec": round(elapsed, 2),
+        "files_per_sec": round(n / elapsed, 1),
+        "candidate_mix": mix,
+        "candidates_total": int(sum(mix.values())),
+        "candidates_per_file": round(sum(mix.values()) / n, 3),
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--_child":
+        child(sys.argv[2], int(sys.argv[3]))
+        return
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-bases", type=int, nargs="+",
+                    default=[36000, 222000])
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "LINEAR_REGIME_r06.json"))
+    args = ap.parse_args()
+
+    sizes = []
+    for n_base in args.n_bases:
+        parquet = ensure_corpus(n_base, 20, 80, 42)
+        pre = probe([1], 2.0)["aggregate_mops"][1]
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_child",
+             parquet, str(args.cpus)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600)
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            raise RuntimeError(f"child failed (n_base={n_base}):\n"
+                               f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+        rec["n_base"] = n_base
+        rec["host_probe_pre_mops"] = pre
+        rec["host_probe_post_mops"] = probe([1], 2.0)["aggregate_mops"][1]
+        sizes.append(rec)
+        print(json.dumps(rec), file=sys.stderr)
+
+    result = {"metric": "flagship_linear_regime", "sizes": sizes}
+    if len(sizes) >= 2:
+        lo, hi = sizes[0], sizes[-1]
+        result["per_file_cost_ratio_hi_over_lo"] = round(
+            (hi["elapsed_sec"] / hi["files"])
+            / (lo["elapsed_sec"] / lo["files"]), 3)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
